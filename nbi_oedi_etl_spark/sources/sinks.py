@@ -1,0 +1,53 @@
+"""Parquet sinks + bypass copy.
+
+Reference behaviors reproduced:
+- snappy parquet output (transform.py:151-154, README.md:230) — Spark session
+  default codec is set to snappy in session.py.
+- hive-layout preservation: the reference echoes the original
+  ``upgrade=…/state=…`` key under a timestamped run dir (upload.py:55,
+  main.py:58-60); we use ``partitionBy`` which produces the same layout from
+  the partition columns instead of string-echoing keys.
+- bypass copy of dimension/metadata tables, unmodified (fetch.py:161-196).
+
+Scale notes: ``partitionBy`` at 100 TB needs care — writing P partitions from
+T tasks creates up to P×T files. Repartition by the partition columns first
+(done below) so each output partition is written by a bounded set of tasks,
+and AQE coalescing keeps file counts sane.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "error",
+    compression: str = "snappy",
+    cluster_output: bool = True,
+) -> None:
+    """Write a DataFrame as (optionally hive-partitioned) snappy parquet."""
+    if partition_by and cluster_output:
+        # Co-locate rows of the same output partition to avoid the P×T
+        # small-file explosion at scale.
+        df = df.repartition(*partition_by)
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def bypass_copy(spark: SparkSession, src: str, dest: str, mode: str = "error") -> int:
+    """Copy a parquet dataset through unmodified (identity map).
+
+    Semantics of reference ``bypass_etl`` (fetch.py:161-196): metadata files
+    go source → destination without decode/transform. A re-encode via Spark
+    preserves rows/schema (not byte-identity); returns row count copied.
+    """
+    df = spark.read.parquet(src)
+    df.write.mode(mode).parquet(dest)
+    return spark.read.parquet(dest).count()

@@ -1,0 +1,544 @@
+"""The engine's declared query workload: every operator from SURVEY.md §2
+(implemented rows + §2.12 extensions) as a named (Spark builder, oracle SQL)
+pair. ``__spark_entry__.py`` re-exports this registry to the driver.
+
+Cross-engine determinism rules used throughout (so value-hashes match):
+
+- **Decimal-sum trick**: large double sums are order-dependent in floating
+  point (Spark sums in partition order, DuckDB sequentially). Summing
+  ``CAST(x AS DECIMAL)`` is exact and order-independent in BOTH engines;
+  casting the exact decimal result back to double is deterministic. Averages
+  are written explicitly as decimal-sum / count.
+- Small-group averages (bounded accumulation error ≪ 1e-6) are rounded to 6
+  decimals on both sides.
+- All timestamps stay TIMESTAMP_NTZ end-to-end (no session-timezone
+  dependence); ``events.ts`` ns→µs truncation matches DuckDB's.
+- Spark INT vs DuckDB BIGINT: oracle casts count-like ints to match Spark's
+  output types (row_number → INTEGER, size/length → INTEGER).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark.operators import dedup, reconcile, similarity, text
+from nbi_oedi_etl_spark.operators import queries as qops
+from nbi_oedi_etl_spark.operators.resample import resample_hourly
+from nbi_oedi_etl_spark.functions.scalars import upgrade_str
+from nbi_oedi_etl_spark.sources import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+def _dec_sum(col: str | F.Column, alias: str, scale: str = "decimal(18,2)") -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------- flagship
+
+def flagship_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the reference ETL's hourly resample, on the events table.
+
+    Reference: etl/oedi_etl/transform.py:19-122 (15-min → 1-h group-by with
+    min on keys, mean on measures, ``_min``/``_mean`` naming per
+    sql/saved-queries.sql:14). Entity key user_id plays bldg_id
+    (SURVEY.md §7.4.2 distributed grouping).
+    """
+    events = read_table(spark, sf_dir, "events")
+    return resample_hourly(
+        events,
+        ts_col="ts",
+        entity_cols=("user_id",),
+        min_cols=("event_id", "ts"),
+        mean_cols=("value",),
+        hour_col="ts_hour",
+        round_means=6,
+    )
+
+
+_FLAGSHIP_ORACLE = """
+SELECT min(event_id) AS event_id_min,
+       min(ts) AS ts_min,
+       round(avg(value), 6) AS value_mean,
+       user_id,
+       date_trunc('hour', ts) AS ts_hour
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# ------------------------------------------------- reference saved queries
+
+def ref_q1_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (saved-queries.sql:12-17): dim⋈fact + equality filters + global
+    COUNT(DISTINCT). customer/orders stand in for metadata/hourly-data
+    (FIXTURES.md F3)."""
+    return qops.count_distinct_joined(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        "c_custkey",
+        "o_custkey",
+        filters={"c_mktsegment": "BUILDING", "c_nationkey": 5},
+        out_name="total_customers",
+    )
+
+
+_Q1_ORACLE = """
+SELECT count(DISTINCT c.c_custkey) AS total_customers
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_nationkey = 5
+"""
+
+
+def ref_q1_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant of Q1 (separately named so exact/approx semantics
+    never mix — SURVEY.md §7.4.5). Rows-only check (HLL estimate is
+    engine-specific)."""
+    return qops.count_distinct_joined(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        "c_custkey",
+        "o_custkey",
+        filters={"c_mktsegment": "BUILDING", "c_nationkey": 5},
+        out_name="total_customers_approx",
+        approximate=True,
+    )
+
+
+def ref_q2_grouped_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (saved-queries.sql:20-26): join + grouped COUNT(DISTINCT)."""
+    return qops.grouped_count_distinct_joined(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        "c_custkey",
+        "o_custkey",
+        group_col="c_mktsegment",
+        out_name="total_customers",
+    )
+
+
+_Q2_ORACLE = """
+SELECT c.c_mktsegment, count(DISTINCT c.c_custkey) AS total_customers
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def ref_q3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 (saved-queries.sql:29-45): DISTINCT → ROW_NUMBER per group →
+    rn <= k + group filter."""
+    return qops.topk_per_group_joined(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        "c_custkey",
+        "o_custkey",
+        group_col="c_mktsegment",
+        k=100,
+        group_value="BUILDING",
+    )
+
+
+_Q3_ORACLE = """
+WITH joined AS (
+  SELECT DISTINCT c.c_custkey, c.c_mktsegment
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+)
+SELECT c_custkey, c_mktsegment, rn FROM (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey)
+              AS INTEGER) AS rn
+  FROM joined
+) t
+WHERE c_mktsegment = 'BUILDING' AND rn <= 100
+"""
+
+
+# ------------------------------------------------------ general SQL surface
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (the engine's headline scan+agg): filter →
+    group → sum/avg/count. Decimal-sum trick for cross-engine exactness."""
+    li = read_table(spark, sf_dir, "lineitem")
+    filtered = li.where(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+    n = F.count(F.lit(1))
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "sum_disc_price",
+                "decimal(28,10)",
+            ),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / n).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / n
+            ).alias("avg_price"),
+            n.alias("count_order"),
+        )
+    )
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit → TakeOrderedAndProject (per-partition top-n,
+    single-reduce merge; no cluster-wide sort)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return qops.top_n_global(
+        orders,
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+        cols=("o_orderkey", "o_custkey", "o_totalprice"),
+    )
+
+
+_TOPK_ORDERS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY.md §2.4 'not present in reference' —
+    exposed as engine built-in)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + grouped count (zero-order customers included)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"], c["c_mktsegment"])
+        .agg(F.count(o["o_orderkey"]).alias("order_cnt"))
+    )
+
+
+_OUTER_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS order_cnt
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+"""
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having at least one order."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def anti_join_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 (monitor.py:87-106): listed − uploaded as LEFT ANTI join.
+    customers-without-orders plays listed-but-not-uploaded."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return reconcile.discrepancies(c, o, "c_custkey", "o_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (saved-queries.sql:30,41-42): SELECT DISTINCT column subset."""
+    return qops.distinct_rows(read_table(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+_DISTINCT_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def upgrade_code_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (fetch.py:19-37): upgrade-code formatter as a column expression."""
+    return read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", upgrade_str("n_nationkey").alias("upgrade_name")
+    )
+
+
+_UPGRADE_ORACLE = """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey = 0 THEN 'baseline'
+            WHEN n_nationkey < 10 THEN 'upgrade0' || CAST(n_nationkey AS VARCHAR)
+            ELSE 'upgrade' || CAST(n_nationkey AS VARCHAR) END AS upgrade_name
+FROM nation
+"""
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column function surface (SURVEY.md §2.8): get_json_object over
+    events.props, grouped stats. Integer sums are exact → avg deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int").alias("k")
+    return (
+        ev.select("event_type", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("k_mean"),
+            F.max("k").alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type, round(avg(k), 6) AS k_mean, max(k) AS k_max, count(*) AS n
+FROM (SELECT event_type,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+      FROM events) t
+GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------------- text analysis
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_token_stats(read_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual,
+       round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+             / len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_token_len
+FROM documents
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_quality_score(read_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars_actual,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars_actual, alpha,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS INTEGER) AS stop
+  FROM t
+)
+SELECT doc_id, n_chars_actual, n_tokens,
+       round(alpha * 1.0 / n_chars_actual, 6) AS alpha_ratio,
+       round(stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       round((alpha * 1.0 / n_chars_actual) * 0.5
+             + (stop * 1.0 / n_tokens) * 0.5, 6) AS quality_score
+FROM s
+"""
+
+
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_lang_guess(read_table(spark, sf_dir, "documents"))
+
+
+_LANG_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS INTEGER) AS hits_en,
+    CAST(len(list_filter(toks, x -> x IN ('der','und','die','das','ist'))) AS INTEGER) AS hits_de,
+    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS INTEGER) AS hits_es,
+    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS INTEGER) AS hits_fr
+  FROM t
+)
+SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+       CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+            WHEN hits_es >= hits_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM h
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_ORACLE = r"""
+SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------- dedup
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: content hash → canonical id + dup count."""
+    return dedup.exact_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def ngram_jaccard_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over a bounded pair set (doc_id < 30 all-pairs) —
+    the verification stage of the near-dup pipeline, oracle-checkable."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    ids = docs.select(F.col("doc_id").alias("doc_id_a"))
+    ids2 = docs.select(F.col("doc_id").alias("doc_id_b"))
+    pairs = ids.crossJoin(ids2).where(F.col("doc_id_a") < F.col("doc_id_b"))
+    return dedup.ngram_jaccard(docs, pairs)
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE doc_id < 30
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+  FROM d
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+"""
+
+
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (rows-only: xxhash64 has no DuckDB twin).
+    Banded signature → bucket join; see operators/dedup.py for scale notes."""
+    return dedup.minhash_lsh_candidates(read_table(spark, sf_dir, "documents"))
+
+
+def simhash_bucket_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints + prefix buckets (rows-only)."""
+    return dedup.simhash_buckets(read_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- similarity
+
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors for query vectors
+    (vec_id < 5). Double-precision math on both sides."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return similarity.brute_force_topk(emb, q, k=10)
+
+
+_TOPK_COSINE_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+p AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(e.emb, q.q_emb) AS sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+  FROM p
+)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim, rank
+FROM r WHERE rank <= 10
+"""
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k (rows-only: approximate recall is
+    engine-defined; the scale path for 100 TB corpora)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return similarity.lsh_topk(emb, q, k=10)
+
+
+# ---------------------------------------------------------------- registry
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("flagship_hourly_resample", flagship_hourly_resample, _FLAGSHIP_ORACLE),
+    QuerySpec("ref_q1_count_distinct", ref_q1_count_distinct, _Q1_ORACLE),
+    QuerySpec("ref_q1_approx_count_distinct", ref_q1_approx, None),
+    QuerySpec("ref_q2_grouped_count_distinct", ref_q2_grouped_count_distinct, _Q2_ORACLE),
+    QuerySpec("ref_q3_topk_per_group", ref_q3_topk_per_group, _Q3_ORACLE),
+    QuerySpec("pricing_summary", pricing_summary, _PRICING_ORACLE),
+    QuerySpec("topk_orders", topk_orders, _TOPK_ORDERS_ORACLE),
+    QuerySpec("rollup_revenue", rollup_revenue, _ROLLUP_ORACLE),
+    QuerySpec("customer_order_counts", customer_order_counts, _OUTER_ORACLE),
+    QuerySpec("semi_join_customers", semi_join_customers, _SEMI_ORACLE),
+    QuerySpec("anti_join_reconciliation", anti_join_reconciliation, _ANTI_ORACLE),
+    QuerySpec("distinct_user_event_pairs", distinct_user_event_pairs, _DISTINCT_ORACLE),
+    QuerySpec("upgrade_code_format", upgrade_code_format, _UPGRADE_ORACLE),
+    QuerySpec("json_props_stats", json_props_stats, _JSON_ORACLE),
+    QuerySpec("doc_token_stats", doc_token_stats, _TOKEN_ORACLE),
+    QuerySpec("doc_quality", doc_quality, _QUALITY_ORACLE),
+    QuerySpec("doc_lang_guess", doc_lang_guess, _LANG_ORACLE),
+    QuerySpec("doc_fingerprints", doc_fingerprints, _FINGERPRINT_ORACLE),
+    QuerySpec("exact_dedup_docs", exact_dedup_docs, _EXACT_DEDUP_ORACLE),
+    QuerySpec("ngram_jaccard_small", ngram_jaccard_small, _NGRAM_JACCARD_ORACLE),
+    QuerySpec("minhash_lsh_near_dup", minhash_lsh_near_dup, None),
+    QuerySpec("simhash_buckets", simhash_bucket_docs, None),
+    QuerySpec("embedding_topk_cosine", embedding_topk_cosine, _TOPK_COSINE_ORACLE),
+    QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None),
+]
+
+
+def queries() -> dict[str, QueryFn]:
+    return {s.name: s.fn for s in SPECS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in SPECS if s.oracle is not None}
