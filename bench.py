@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract): run the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion via .collect() (results are small —
+aggregations / bounded top-k / per-doc stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from nbi_oedi_etl_spark import get_spark, workload
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference workload + one per extension-operator family.
+HEADLINE = [
+    "flagship_hourly_resample",
+    "ref_q1_count_distinct",
+    "ref_q2_grouped_count_distinct",
+    "ref_q3_topk_per_group",
+    "pricing_summary",
+    "topk_orders",
+    "rollup_revenue",
+    "customer_order_counts",
+    "anti_join_reconciliation",
+    "json_props_stats",
+    "doc_token_stats",
+    "doc_quality",
+    "exact_dedup_docs",
+    "minhash_lsh_near_dup",
+    "embedding_topk_cosine",
+    "embedding_lsh_topk",
+]
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark(app_name="nbi-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = workload.queries()
+    # JVM/codegen warmup on the smallest SF so per-query times measure the
+    # query, not first-run initialization.
+    qs["ref_q1_count_distinct"](spark, "/root/testdata/sf0.001").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

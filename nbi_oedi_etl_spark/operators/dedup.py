@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nbi_oedi_etl_spark.operators._util import ensure_parallelism
 from nbi_oedi_etl_spark.operators.text import _WS
 
 
@@ -62,17 +63,31 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: for seed s in 0..k-1, min over shingles of
     xxhash64(shingle, s) → array<bigint> of length k.
 
     xxhash64 with distinct seeds plays the role of k independent hash
-    functions; entirely JVM-side."""
-    def _minhash(seed: int) -> Column:
-        # Outer-function binding: HOF lambdas must be single-arity.
-        return F.array_min(F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(seed))))
+    functions; entirely JVM-side.
 
-    return F.array(*[_minhash(s) for s in range(num_hashes)])
+    Single-pass formulation: one transform computes all k hashes per
+    shingle, then one aggregate folds an elementwise min. The naive
+    alternative — k separate ``array_min(transform(shingles, …))`` — gets
+    the shingle subexpression COPIED k times by projection collapse (no CSE
+    across expression trees), turning O(shingles) into O(k × shingles):
+    measured 200+ s vs seconds at sf0.1."""
+
+    def _hash_all(x: Column) -> Column:
+        return F.array(*[F.xxhash64(x, F.lit(s)) for s in range(num_hashes)])
+
+    hash_arrays = F.transform(shingle_col, _hash_all)
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes)
+    return F.aggregate(
+        hash_arrays, init, lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b))
+    )
 
 
 def minhash_lsh_candidates(
@@ -94,6 +109,7 @@ def minhash_lsh_candidates(
     duplicates — which is the signal). Output: (doc_id_a, doc_id_b) with
     a < b, distinct."""
     rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
     sig = df.select(
         F.col(id_col).alias("doc_id"),
         minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
@@ -164,44 +180,45 @@ def ngram_jaccard(
     return out
 
 
-def simhash64(text_col: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash over word shingles.
-
-    For each of 64 bit positions, sum +1/-1 weighted by whether
-    xxhash64(shingle) has that bit set; sign of the sum gives the output bit.
-    Expressed with aggregate() over the shingle array — JVM higher-order
-    functions, no UDF."""
-    sh = shingles(text_col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    def _tally(bit: int) -> Column:
-        # sum over shingles of (bit_i(hash) ? 1 : -1); outer-function binding
-        # because HOF lambdas must be exactly binary for aggregate().
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bits = []
-    for i in range(64):
-        tally = _tally(i)
-        bits.append(F.when(tally > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2**i if i < 63 else -(2**63)).cast("long"))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def simhash_buckets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    shingle_n: int = 2,
 ) -> DataFrame:
-    """SimHash each doc and bucket by the top ``prefix_bits`` bits — docs in
-    the same bucket are near-dup candidates (one rotation; production would
-    use multiple permuted tables)."""
-    sim = df.select(
-        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash")
+    """64-bit SimHash per doc + prefix buckets — docs in the same bucket are
+    near-dup candidates (one rotation; production would use multiple
+    permuted tables).
+
+    Formulation: explode shingles → xxhash64 per shingle row → 64 signed
+    bit-tally SUMs in one vectorized hash aggregate → recombine sign bits
+    into the fingerprint. One shuffle on doc_id (uniform — each doc
+    contributes only its own shingles, bounded by doc length). A per-row
+    aggregate() over 64 bit positions would copy the shingle subexpression
+    64× (no CSE across expression trees) — same trap as minhash, avoided
+    the same way."""
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).withColumn("h", F.xxhash64("sh"))
+    tallies = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
     )
-    return sim.withColumn(
+    weights = [
+        F.when(F.col(f"b{i}") > 0, F.lit(2**i if i < 63 else -(2**63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(64)
+    ]
+    simhash = weights[0]
+    for w in weights[1:]:
+        simhash = simhash + w
+    return tallies.select("doc_id", simhash.alias("simhash")).withColumn(
         "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
     )

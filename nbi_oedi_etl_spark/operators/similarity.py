@@ -23,6 +23,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nbi_oedi_etl_spark.operators._util import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -54,7 +56,7 @@ def brute_force_topk(
     WindowGroupLimit's partial top-k below the shuffle).
     Output: (query_id, vec_id, cos_sim rounded to 6, rank).
     """
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("emb")
     )
     q = queries.select(
@@ -114,7 +116,7 @@ def lsh_topk(
     query fan-out is |buckets hit| ≈ 1 per table; use multiple tables for
     recall (union of per-table candidates, dedup, re-rank)."""
     planes = random_hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("emb")
     ).withColumn("bucket", signlsh_signature(F.col("emb"), planes))
     q = queries.select(
