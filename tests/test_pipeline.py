@@ -1,0 +1,118 @@
+"""End-to-end pipeline test on a reference-shaped fixture: hive-partitioned
+15-min series with DOTTED column names (FIXTURES.md F1 — dotted names are
+load-bearing, SURVEY.md §7.4.1), through partition-pruned read → hourly
+resample → partitioned write → reconciliation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from nbi_oedi_etl_spark.config import ETLConfig, JobSpec
+from nbi_oedi_etl_spark.pipeline import run_pipeline
+
+MEASURES = [
+    "out.electricity.total.energy_consumption",
+    "out.electricity.total.energy_consumption_intensity",
+    "out.other_fuel.water_systems.energy_consumption",  # the _intensity-less one
+]
+
+
+@pytest.fixture(scope="module")
+def ts_fixture(tmp_path_factory):
+    """3 partitions × 2 buildings × 8 hours of 15-min data, one parquet per
+    (upgrade, state) like the reference's per-building files."""
+    root = tmp_path_factory.mktemp("oedi_src")
+    rows_per_bldg = 32  # 8 hours of 15-min samples
+    for upgrade, state in [(0, "AK"), (1, "AK"), (0, "CA")]:
+        part_dir = root / f"upgrade={upgrade}" / f"state={state}"
+        part_dir.mkdir(parents=True)
+        frames = []
+        for bldg in (100, 200):
+            # µs precision → parquet TIMESTAMP(MICROS) → Spark TIMESTAMP_NTZ
+            # (ns would be read as long under nanosAsLong, like events.ts)
+            ts = pd.date_range("2024-01-01", periods=rows_per_bldg, freq="15min").astype(
+                "datetime64[us]"
+            )
+            df = pd.DataFrame({"timestamp": ts, "bldg_id": bldg})
+            for i, m in enumerate(MEASURES):
+                df[m] = [
+                    (bldg + i * 10 + j * 0.25) for j in range(rows_per_bldg)
+                ]
+            frames.append(df)
+        pd.concat(frames).to_parquet(part_dir / "data.parquet", index=False)
+    return str(root)
+
+
+def test_pipeline_end_to_end(spark, ts_fixture, tmp_path):
+    config = ETLConfig(
+        src_path=ts_fixture,
+        dest_path=str(tmp_path / "dest"),
+        job_specific=[JobSpec(release_year="2024", release_name="test", state="AK", upgrades=[0, 1])],
+    )
+    results = run_pipeline(spark, config)
+    assert len(results) == 1
+    res = results[0]
+    # 2 upgrades × 2 buildings × 32 15-min rows in; ÷4 rows out (hourly)
+    assert res.rows_in == 2 * 2 * 32
+    assert res.rows_out == 2 * 2 * 8
+    assert res.counters["rows_listed"] == res.rows_in
+
+    out = spark.read.parquet(res.output_path)
+    # reference naming (SURVEY.md §1.4): _min keys, _mean measures, group keys last
+    assert "bldg_id_min" in out.columns
+    assert "timestamp_min" in out.columns
+    for m in MEASURES:
+        assert f"{m}_mean" in out.columns
+    # partition pruning: CA was never read
+    assert out.where("state = 'CA'").count() == 0
+    assert set(r["state"] for r in out.select("state").distinct().collect()) == {"AK"}
+
+    # value check: mean of 4 consecutive 15-min samples
+    first = (
+        out.where("bldg_id_min = 100 AND upgrade = 0")
+        .orderBy("timestamp")
+        .select(f"`{MEASURES[0]}_mean`")
+        .first()[0]
+    )
+    # samples 100.0, 100.25, 100.5, 100.75 → mean 100.375
+    assert first == pytest.approx(100.375)
+
+
+def test_pipeline_prunes_partitions(spark, ts_fixture):
+    """The partition filter must reach the file index — upgrade=1/state=CA
+    files are never listed in the scan."""
+    from nbi_oedi_etl_spark.sources.parquet import read_partitioned
+
+    from nbi_oedi_etl_spark.plans import partition_filters
+
+    df = read_partitioned(
+        spark, ts_fixture, partition_filters={"state": "AK", "upgrade": [0]}
+    )
+    assert df.count() == 2 * 32
+    pf = partition_filters(df)
+    assert "state" in pf and "upgrade" in pf, f"no partition filters in scan: {pf!r}"
+
+
+def test_metadata_bypass(spark, ts_fixture, tmp_path):
+    """S6: dimension data copied through unmodified (fetch.py:161-196)."""
+    import os
+
+    meta_dir = f"{ts_fixture}/metadata"
+    os.makedirs(meta_dir, exist_ok=True)
+    pd.DataFrame(
+        {
+            "bldg_id": [100, 200],
+            "in.state": ["AK", "AK"],
+            "in.comstock_building_type": ["Hospital", "School"],
+        }
+    ).to_parquet(f"{meta_dir}/meta.parquet", index=False)
+
+    config = ETLConfig(src_path=ts_fixture, dest_path=str(tmp_path / "dest2"))
+    from nbi_oedi_etl_spark.pipeline import bypass_metadata
+
+    dest = bypass_metadata(spark, config, "metadata", "epoch1")
+    copied = spark.read.parquet(dest)
+    assert copied.count() == 2
+    assert "`in.state`" in [f"`{c}`" for c in copied.columns]
