@@ -1,0 +1,89 @@
+"""Structured Streaming restatement of the reference's pipeline semantics
+(SURVEY.md §2.9).
+
+The reference hand-builds streaming machinery around a batch job: bounded
+queues with backpressure (T1, fetch.py:108-140), listing pacing (T2),
+poison-pill completion (T3), an idle watchdog (T4), and per-run output
+epochs (T5). Structured Streaming subsumes every one:
+
+- T1/T2 → ``maxFilesPerTrigger`` (source-side backpressure)
+- T3   → ``trigger(availableNow=True)`` (process-everything-then-stop)
+- T4   → ``StreamingQuery.awaitTermination(timeout)`` + listener
+- T5   → checkpointed sink, exactly-once per epoch
+
+The hourly resample A1 becomes a TUMBLING WINDOW aggregation with a
+watermark for late data — semantics the batch group-by can't express
+incrementally.
+
+Scale: streaming state is keyed by (entity, window); the watermark bounds
+state size (old windows are evicted once the watermark passes), so a
+continuous 100 TB/day ingest holds only the in-flight hour per entity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (the reference's listed
+    file queue, fetch.py:40-158, as a declarative source)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_hourly_resample(
+    stream: DataFrame,
+    ts_col: str = "timestamp",
+    entity_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    mean_cols: Sequence[str] = (),
+    watermark: str = "2 hours",
+    round_means: int | None = None,
+) -> DataFrame:
+    """A1 as a tumbling-window streaming aggregation with late-data handling.
+
+    Same ``_min``/``_mean`` naming as the batch resample; the hour bucket is
+    ``window(ts, '1 hour').start``. Late rows within ``watermark`` update
+    their window; older rows are dropped (reference precedent: none — data
+    was historical; SURVEY.md §7.4.8 says this policy is ours to define)."""
+    withw = stream.withWatermark(ts_col, watermark)
+    aggs = []
+    for c in min_cols:
+        aggs.append(F.min(F.col(f"`{c}`")).alias(f"{c}_min"))
+    for c in mean_cols:
+        m = F.avg(F.col(f"`{c}`"))
+        if round_means is not None:
+            m = F.round(m, round_means)
+        aggs.append(m.alias(f"{c}_mean"))
+    out = withw.groupBy(
+        *[F.col(f"`{c}`") for c in entity_cols],
+        F.window(F.col(ts_col), "1 hour").alias("hour_window"),
+    ).agg(*aggs)
+    return out.withColumn("ts_hour", F.col("hour_window.start")).drop("hour_window")
+
+
+def run_available_now(
+    df: DataFrame, checkpoint_dir: str, queue_name: str = "ingest"
+) -> StreamingQuery:
+    """Drain everything currently available then stop (poison-pill
+    semantics, T3) into an in-memory sink table named ``queue_name``."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(queue_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -25,7 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nbi_oedi_etl_spark.operators import dedup, reconcile, similarity, text
+from nbi_oedi_etl_spark.operators import dedup, multimodal, reconcile, sessions, similarity, text
 from nbi_oedi_etl_spark.operators import queries as qops
 from nbi_oedi_etl_spark.operators.resample import resample_hourly
 from nbi_oedi_etl_spark.functions.scalars import upgrade_str
@@ -506,6 +506,87 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, q, k=10)
 
 
+# ------------------------------------------------- sessions / streaming / mm
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 30 min) over events — built-in session_window;
+    oracle is the classic gaps-and-islands rewrite."""
+    return sessions.user_sessions(read_table(spark, sf_dir, "events"))
+
+
+_SESSIONS_ORACLE = """
+WITH w AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), g AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM w
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+def streaming_hourly_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship resample as a Structured Streaming job: file source →
+    watermark → tumbling 1-hour window → availableNow drain to a memory
+    sink (SURVEY.md §2.9 T1-T5). Same results + naming as the batch
+    flagship, so it shares the flagship oracle."""
+    import tempfile
+
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Watermarks require TIMESTAMP (with local tz), not NTZ — pin the
+    # session to UTC and cast the outputs back to NTZ so the values equal
+    # the batch/oracle naive timestamps.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = ingest.streaming_hourly_resample(
+        stream,
+        ts_col="ts",
+        entity_cols=("user_id",),
+        min_cols=("event_id", "ts"),
+        mean_cols=("value",),
+        round_means=6,
+    )
+    q = ingest.run_available_now(agg, tempfile.mkdtemp(), queue_name="stream_hourly")
+    q.awaitTermination()
+    return spark.table("stream_hourly").select(
+        F.col("event_id_min"),
+        F.col("ts_min").cast("timestamp_ntz").alias("ts_min"),
+        F.col("value_mean"),
+        F.col("user_id"),
+        F.col("ts_hour").cast("timestamp_ntz").alias("ts_hour"),
+    )
+
+
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload + metadata → Arrow-batched
+    mapInPandas feature extraction (deterministic fake decode — the codec
+    itself is stubbed; see operators/multimodal.py). Rows-only."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.extract_image_features(multimodal.with_binary_payload(docs))
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame-sampling shape over binary payloads (rows-only)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.with_binary_payload(docs), n_frames=3)
+
+
 # ---------------------------------------------------------------- registry
 
 SPECS: list[QuerySpec] = [
@@ -533,6 +614,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("simhash_buckets", simhash_bucket_docs, None),
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, _TOPK_COSINE_ORACLE),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None),
+    QuerySpec("user_sessions", user_sessions, _SESSIONS_ORACLE),
+    QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
+    QuerySpec("multimodal_image_features", multimodal_image_features, None),
+    QuerySpec("multimodal_frame_sample", multimodal_frame_sample, None),
 ]
 
 
