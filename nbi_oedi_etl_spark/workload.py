@@ -25,7 +25,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nbi_oedi_etl_spark.operators import dedup, multimodal, reconcile, sessions, similarity, text
+from nbi_oedi_etl_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    reconcile,
+    sessions,
+    similarity,
+    text,
+)
 from nbi_oedi_etl_spark.operators import queries as qops
 from nbi_oedi_etl_spark.operators.resample import resample_hourly
 from nbi_oedi_etl_spark.functions.scalars import upgrade_str
@@ -179,10 +187,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dec_sum("l_quantity", "sum_qty"),
             _dec_sum("l_extendedprice", "sum_base_price"),
+            # price(2dec) × (1−discount(2dec)) is EXACTLY a 4-decimal value;
+            # casting the double product to decimal(18,4) recovers the true
+            # value in both engines (a finer scale like (28,10) is NOT
+            # cross-engine stable: ulp of the scaled double exceeds the
+            # rounding granularity).
             _dec_sum(
                 F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
                 "sum_disc_price",
-                "decimal(28,10)",
+                "decimal(18,4)",
             ),
             (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / n).alias(
                 "avg_qty"
@@ -199,7 +212,7 @@ _PRICING_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
          AS sum_disc_price,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
@@ -506,6 +519,137 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, q, k=10)
 
 
+# -------------------------------------------------- as-of / range / windows
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent (ts' <= ts) purchase
+    event of the same user. Union+window formulation (operators/asof.py);
+    DuckDB's native ASOF JOIN is the oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", right_payload=["value"]
+    )
+    return joined.select("event_id", "user_id", "ts", "asof_ts", "value_asof")
+
+
+_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts, p.ts AS asof_ts, p.value AS value_asof
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND p.ts <= e.ts
+"""
+
+
+def range_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems shipped within 30 days of their order's date,
+    revenue per order priority. Equi-key hash join + range post-filter."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    joined = asof.range_join(
+        o, li, "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate",
+        lower="0 days", upper="30 days",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        _dec_sum("l_extendedprice", "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM orders o JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderpriority
+"""
+
+
+def window_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/row_number surface (SURVEY.md §2.5 'absent in reference,
+    exposed unchanged'): per-customer order sequence features."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(by_price).alias("price_rank"),
+        F.lag("o_totalprice").over(seq).alias("prev_price"),
+        F.lead("o_totalprice").over(seq).alias("next_price"),
+    )
+
+
+_WINDOW_DEMO_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       lead(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS next_price
+FROM orders
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders (engine built-in beyond reference)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        _dec_sum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ------------------------------------------------------------- UDF surface
+
+def pandas_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-vectorized) text normalization."""
+    from nbi_oedi_etl_spark.functions.udfs import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+
+
+_PANDAS_NORM_ORACLE = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+def pandas_demean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user demeaned event values."""
+    from nbi_oedi_etl_spark.functions.udfs import demean_values
+
+    return demean_values(read_table(spark, sf_dir, "events"))
+
+
+_PANDAS_DEMEAN_ORACLE = """
+SELECT event_id, user_id,
+       round(value -
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id)
+                  AS DOUBLE) / count(*) OVER (PARTITION BY user_id),
+             6) AS value_demeaned
+FROM events
+"""
+
+
 # ------------------------------------------------- sessions / streaming / mm
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,6 +758,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("simhash_buckets", simhash_bucket_docs, None),
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, _TOPK_COSINE_ORACLE),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None),
+    QuerySpec("asof_last_purchase", asof_last_purchase, _ASOF_ORACLE),
+    QuerySpec("range_join_order_revenue", range_join_order_revenue, _RANGE_JOIN_ORACLE),
+    QuerySpec("window_functions_demo", window_functions_demo, _WINDOW_DEMO_ORACLE),
+    QuerySpec("cube_order_stats", cube_order_stats, _CUBE_ORACLE),
+    QuerySpec("pandas_normalize_text", pandas_normalize_text, _PANDAS_NORM_ORACLE),
+    QuerySpec("pandas_demean_values", pandas_demean_values, _PANDAS_DEMEAN_ORACLE),
     QuerySpec("user_sessions", user_sessions, _SESSIONS_ORACLE),
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("multimodal_image_features", multimodal_image_features, None),
