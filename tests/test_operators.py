@@ -1,0 +1,224 @@
+"""Operator-level unit tests: reference-spec details (naming, the 51-column
+measure list, upgrade formatter edges), dedup recall on injected
+near-duplicates, as-of join semantics on a hand-built tiny input, and the
+monitoring/reconciliation layer.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark.functions.scalars import upgrade_str
+from nbi_oedi_etl_spark.monitor import StageCounters
+from nbi_oedi_etl_spark.operators import asof, dedup, multimodal, reconcile
+from nbi_oedi_etl_spark.operators.resample import REFERENCE_MEASURE_COLUMNS, resample_hourly
+from nbi_oedi_etl_spark.sources import read_table
+
+from .conftest import SF_SMALL
+
+
+# ------------------------------------------------------------- resample spec
+
+def test_reference_measure_columns_spec():
+    """The 51-column mean list (transform.py:64-114) with its single
+    asymmetry: other_fuel.water_systems has no _intensity partner
+    (transform.py:112)."""
+    cols = REFERENCE_MEASURE_COLUMNS
+    assert len(cols) == 51
+    assert "out.other_fuel.water_systems.energy_consumption" in cols
+    assert "out.other_fuel.water_systems.energy_consumption_intensity" not in cols
+    # every other consumption column has an intensity twin
+    for c in cols:
+        if c.endswith(".energy_consumption") and "other_fuel.water_systems" not in c:
+            assert f"{c}_intensity" in cols, c
+    assert sum(1 for c in cols if c.endswith("_intensity")) == 25
+
+
+def test_resample_output_naming_and_order(spark):
+    """§1.4: explicit aggregates first (_min then _mean), group keys last."""
+    df = spark.createDataFrame(
+        [
+            Row(ts=dt.datetime(2024, 1, 1, 0, 10), bldg_id=7, m=1.0),
+            Row(ts=dt.datetime(2024, 1, 1, 0, 40), bldg_id=7, m=3.0),
+        ]
+    )
+    out = resample_hourly(
+        df, ts_col="ts", entity_cols=("bldg_id",), min_cols=("bldg_id", "ts"),
+        mean_cols=("m",), hour_col="hour",
+    )
+    assert out.columns == ["bldg_id_min", "ts_min", "m_mean", "bldg_id", "hour"]
+    row = out.first()
+    assert row["m_mean"] == 2.0
+    assert row["bldg_id_min"] == 7
+    assert row["ts_min"] == dt.datetime(2024, 1, 1, 0, 10)
+    assert row["hour"] == dt.datetime(2024, 1, 1, 0, 0)
+
+
+def test_resample_does_not_merge_entities(spark):
+    """§7.4.2: two buildings in the same hour must NOT share a group."""
+    df = spark.createDataFrame(
+        [
+            Row(ts=dt.datetime(2024, 1, 1, 0, 10), bldg_id=1, m=10.0),
+            Row(ts=dt.datetime(2024, 1, 1, 0, 20), bldg_id=2, m=30.0),
+        ]
+    )
+    out = resample_hourly(
+        df, ts_col="ts", entity_cols=("bldg_id",), min_cols=("bldg_id",),
+        mean_cols=("m",), hour_col="hour",
+    )
+    assert out.count() == 2
+    vals = {r["bldg_id"]: r["m_mean"] for r in out.collect()}
+    assert vals == {1: 10.0, 2: 30.0}
+
+
+# ------------------------------------------------------------------ scalars
+
+def test_upgrade_str_reference_rule(spark):
+    """fetch.py:19-37: 0→baseline, 1..9→upgrade0N, ≥10→upgradeN."""
+    df = spark.range(0, 16).select(upgrade_str(F.col("id").cast("int")).alias("u"))
+    got = [r["u"] for r in df.collect()]
+    assert got[0] == "baseline"
+    assert got[1] == "upgrade01"
+    assert got[9] == "upgrade09"
+    assert got[10] == "upgrade10"
+    assert got[15] == "upgrade15"
+
+
+# -------------------------------------------------------------------- dedup
+
+def _with_near_dups(spark):
+    docs = read_table(spark, SF_SMALL, "documents").limit(50)
+    # duplicate doc 0..2 with a one-token suffix change → near-dups;
+    # duplicate doc 3 exactly → exact dup
+    base = docs.select("doc_id", "text")
+    near = (
+        base.where(F.col("doc_id") < 3)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), F.concat("text", F.lit(" zzz")).alias("text"))
+    )
+    exact = base.where(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    )
+    return base.unionByName(near).unionByName(exact)
+
+
+def test_exact_dedup_groups_finds_injected_dup(spark):
+    df = _with_near_dups(spark)
+    groups = dedup.exact_dedup_groups(df)
+    dups = groups.where(F.col("dup_count") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0]["canonical_doc_id"] == 3
+    assert dups[0]["dup_count"] == 2
+    kept = dedup.exact_dedup(df)
+    assert kept.count() == df.count() - 1
+
+
+def test_minhash_lsh_recall_on_injected_near_dups(spark):
+    """Injected near-duplicates (1-token edit on ~100-token docs) must
+    surface as candidate pairs; exact duplicates always collide."""
+    df = _with_near_dups(spark)
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.minhash_lsh_candidates(df).collect()
+    }
+    assert (3, 2003) in pairs  # exact dup: all bands match
+    near_hits = sum((i, 1000 + i) in pairs for i in range(3))
+    assert near_hits >= 2, f"LSH recall too low: {near_hits}/3 near-dups found"
+
+
+def test_ngram_jaccard_scores_near_dups_high(spark):
+    df = _with_near_dups(spark)
+    pairs = spark.createDataFrame(
+        [Row(doc_id_a=0, doc_id_b=1000), Row(doc_id_a=3, doc_id_b=2003), Row(doc_id_a=0, doc_id_b=1)]
+    )
+    scored = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard(df, pairs).collect()
+    }
+    assert scored[(3, 2003)] == 1.0  # identical text
+    assert scored[(0, 1000)] > 0.9  # near-dup
+    assert scored[(0, 1)] < 0.5  # unrelated docs
+
+
+def test_simhash_near_dups_close_in_hamming(spark):
+    df = _with_near_dups(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_buckets(df).collect()}
+    ham_near = bin((sh[0] ^ sh[1000]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[1]) & ((1 << 64) - 1)).count("1")
+    assert ham_near <= 8, f"near-dup hamming {ham_near}"
+    assert ham_far > ham_near
+
+
+# -------------------------------------------------------------------- as-of
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right ts <= left ts per key; ties match;
+    missing history → nulls."""
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lts=dt.datetime(2024, 1, 1, 10, 0)),
+            Row(k=1, lts=dt.datetime(2024, 1, 1, 12, 0)),
+            Row(k=2, lts=dt.datetime(2024, 1, 1, 9, 0)),
+        ]
+    ).select("k", F.col("lts").cast("timestamp_ntz").alias("lts"))
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=dt.datetime(2024, 1, 1, 10, 0), v=1.0),  # tie with left@10
+            Row(k=1, rts=dt.datetime(2024, 1, 1, 11, 0), v=2.0),
+            Row(k=2, rts=dt.datetime(2024, 1, 1, 9, 30), v=9.0),  # after left@9
+        ]
+    ).select("k", F.col("rts").cast("timestamp_ntz").alias("rts"), "v")
+    out = asof.asof_join(left, right, on="k", left_ts="lts", right_ts="rts", right_payload=["v"])
+    rows = {(r["k"], r["lts"]): (r["asof_ts"], r["v_asof"]) for r in out.collect()}
+    assert rows[(1, dt.datetime(2024, 1, 1, 10, 0))] == (dt.datetime(2024, 1, 1, 10, 0), 1.0)
+    assert rows[(1, dt.datetime(2024, 1, 1, 12, 0))] == (dt.datetime(2024, 1, 1, 11, 0), 2.0)
+    assert rows[(2, dt.datetime(2024, 1, 1, 9, 0))] == (None, None)
+
+
+# -------------------------------------------------- monitor / reconciliation
+
+def test_stage_counters_observe(spark):
+    counters = StageCounters()
+    df = counters.count_stage(read_table(spark, SF_SMALL, "nation"), "listed")
+    n = df.count()
+    assert counters.summary() == {"listed": n}
+
+
+def test_reconciliation_report(spark):
+    orders = read_table(spark, SF_SMALL, "orders")
+    subset = orders.where(F.col("o_orderkey") % 10 != 0)
+    rep = reconcile.reconciliation_report(orders, subset, "o_orderkey")
+    assert rep["listed"] == orders.count()
+    assert rep["uploaded"] == subset.count()
+    assert rep["discrepancies"] == rep["listed"] - rep["uploaded"]
+
+
+# --------------------------------------------------------------- multimodal
+
+def test_multimodal_features_schema_and_determinism(spark):
+    docs = read_table(spark, SF_SMALL, "documents").limit(20)
+    payloads = multimodal.with_binary_payload(docs)
+    feats = multimodal.extract_image_features(payloads)
+    assert [f.name for f in feats.schema.fields] == [
+        "doc_id", "payload_len", "mime", "width", "height", "channels", "decoded_ok",
+    ]
+    a = sorted(feats.collect(), key=lambda r: r["doc_id"])
+    b = sorted(multimodal.extract_image_features(payloads).collect(), key=lambda r: r["doc_id"])
+    assert a == b  # deterministic fake decode
+    assert all(64 <= r["width"] < 256 and r["decoded_ok"] for r in a)
+
+
+def test_multimodal_frame_fanout(spark):
+    docs = read_table(spark, SF_SMALL, "documents").limit(10)
+    frames = multimodal.sample_frames(multimodal.with_binary_payload(docs), n_frames=3)
+    assert frames.count() == 30
+    assert frames.groupBy("doc_id").count().where("count != 3").count() == 0
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x89PNG")
