@@ -25,6 +25,9 @@ from pyspark.sql import SparkSession
 #   nation/region) broadcast instead of shuffling the fact side.
 _DEFAULT_CONF = {
     "spark.sql.session.timeZone": "UTC",
+    # local mode = single JVM: driver memory is the only heap knob.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    "spark.ui.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -617,6 +617,70 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --------------------------------------------------------- pivot / unpivot
+
+def pivot_qty_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-returnflag quantity sums spread across linestatus columns
+    (explicit value list keeps the schema static — required at scale; an
+    unlisted pivot triggers an extra distinct-values job)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): wide measures → (measure, value) rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice)"
+        ).alias("measure", "value"),
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, l_extendedprice AS value
+FROM lineitem
+"""
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per order status.
+    ``approx_percentile`` is the scale path; exact is the parity semantics
+    (same split as COUNT DISTINCT, SURVEY.md §7.4.5)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ------------------------------------------------------------- UDF surface
 
 def pandas_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,6 +826,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("range_join_order_revenue", range_join_order_revenue, _RANGE_JOIN_ORACLE),
     QuerySpec("window_functions_demo", window_functions_demo, _WINDOW_DEMO_ORACLE),
     QuerySpec("cube_order_stats", cube_order_stats, _CUBE_ORACLE),
+    QuerySpec("pivot_qty_by_linestatus", pivot_qty_by_linestatus, _PIVOT_ORACLE),
+    QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, _UNPIVOT_ORACLE),
+    QuerySpec("price_percentiles", price_percentiles, _PERCENTILE_ORACLE),
     QuerySpec("pandas_normalize_text", pandas_normalize_text, _PANDAS_NORM_ORACLE),
     QuerySpec("pandas_demean_values", pandas_demean_values, _PANDAS_DEMEAN_ORACLE),
     QuerySpec("user_sessions", user_sessions, _SESSIONS_ORACLE),
