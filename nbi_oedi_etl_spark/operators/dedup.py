@@ -51,7 +51,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of normalized text → array<string> (distinct)."""
+    """Word n-gram shingles of normalized text → array<string> (distinct).
+
+    NOTE: higher-order functions (transform/slice/array_join per index) are
+    interpreted, not codegen'd — fine for the bounded candidate-verification
+    path (ngram_jaccard), but NOT for corpus-wide signature computation.
+    Corpus-scale operators use :func:`shingle_hashes` instead."""
     toks = F.split(F.trim(F.lower(text)), _WS)
     count = F.size(toks) - (n - 1)
     idx = F.sequence(F.lit(0), F.greatest(count - 1, F.lit(0)))
@@ -61,6 +66,41 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(count > 0, F.array_distinct(gram)).otherwise(
         F.array(F.array_join(toks, " "))
     )
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """One row per word-n-gram shingle: (doc_id, h) with h = xxhash64 of the
+    n token columns. The corpus-scale shingling path.
+
+    Formulation chosen for whole-stage codegen end-to-end: tokenize →
+    posexplode → window ``lead`` to align the next n-1 tokens → one
+    multi-argument xxhash64 per shingle. No per-row array allocation, no
+    interpreted higher-order functions (measured 20-40× faster than a
+    transform/aggregate formulation at sf0.1). The only shuffle is the
+    window's hash(doc_id) exchange of token rows — linear in corpus size,
+    and the downstream per-doc aggregation reuses the same partitioning, so
+    signature computation adds no second shuffle.
+
+    Docs shorter than n tokens emit a single partial shingle (pos 0) so
+    every doc has at least one hash — mirrors :func:`shingles`' fallback.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), _WS)).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    t = t.select("doc_id", "pos", "tok", *lead_cols)
+    last = F.col(f"t{n - 1}") if n > 1 else F.col("tok")
+    t = t.where(last.isNotNull() | (F.col("pos") == 0))
+    hash_args = [F.col("tok")] + [
+        F.coalesce(F.col(f"t{i}"), F.lit("")) for i in range(1, n)
+    ]
+    return t.select("doc_id", F.xxhash64(*hash_args).alias("h"))
 
 
 _LONG_MAX = (1 << 63) - 1
@@ -110,29 +150,31 @@ def minhash_lsh_candidates(
     a < b, distinct."""
     rows_per_band = num_hashes // bands
     df = ensure_parallelism(df)
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    hashes = shingle_hashes(df, text_col, id_col, shingle_n)
+    # k min-aggregates in one codegen'd hash aggregate; xxhash64(h, seed)
+    # rehashes the 8-byte shingle hash per seed — k independent-enough hash
+    # functions without re-hashing the shingle STRING k times. Partial
+    # (map-side) aggregation collapses the shuffle to one row per doc.
+    sig = hashes.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
     )
+    # Band hash = one multi-arg xxhash64 over the band's signature slots —
+    # no string join, no array allocation. The 8-struct array literal is
+    # codegen'd (unlike transform over a sequence).
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
     banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -191,17 +233,14 @@ def simhash_buckets(
     near-dup candidates (one rotation; production would use multiple
     permuted tables).
 
-    Formulation: explode shingles → xxhash64 per shingle row → 64 signed
-    bit-tally SUMs in one vectorized hash aggregate → recombine sign bits
-    into the fingerprint. One shuffle on doc_id (uniform — each doc
-    contributes only its own shingles, bounded by doc length). A per-row
-    aggregate() over 64 bit positions would copy the shingle subexpression
-    64× (no CSE across expression trees) — same trap as minhash, avoided
-    the same way."""
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).withColumn("h", F.xxhash64("sh"))
+    Formulation: codegen'd shingle hashing (:func:`shingle_hashes`) → 64
+    signed bit-tally SUMs in one vectorized hash aggregate → recombine sign
+    bits into the fingerprint. One shuffle on doc_id (uniform — each doc
+    contributes only its own shingles, bounded by doc length); partial
+    aggregation collapses it to one row per doc. A per-row aggregate() over
+    64 bit positions would copy the shingle subexpression 64× (no CSE
+    across expression trees) — same trap as minhash, avoided the same way."""
+    sh = shingle_hashes(ensure_parallelism(df), text_col, id_col, shingle_n)
     tallies = sh.groupBy("doc_id").agg(
         *[
             F.sum(
