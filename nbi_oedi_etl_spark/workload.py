@@ -701,6 +701,190 @@ SELECT 'either_year', count(*) FROM (SELECT * FROM c94 UNION SELECT * FROM c95)
 """
 
 
+# ------------------------------------------------------- multi-join queries
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filter → 3-table join → grouped revenue → top 10.
+
+    Scale posture: customer (filtered dim) gets an explicit broadcast hint;
+    orders⋈lineitem carries NO hint — AQE broadcasts it at bench scale but
+    degrades to a shuffle join on orderkey at 100 TB, where a forced
+    broadcast of a fact table would OOM. The final top-10 is
+    TakeOrderedAndProject (no global sort materialization)."""
+    c = read_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    )
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                "decimal(18,4)",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region⋈nation⋈customer⋈orders⋈lineitem
+    ⋈supplier with customer and supplier in the same nation) → revenue per
+    nation.
+
+    Scale posture: explicit broadcast hints ONLY on the bounded dims
+    (region, nation, supplier); customer and orders carry no hint so AQE
+    broadcasts them at bench scale but falls back to shuffle joins on
+    custkey/orderkey at 100 TB."""
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dim, F.col("o_custkey") == dim.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                "decimal(18,4)",
+            )
+        )
+    )
+
+
+_REGIONAL_VOLUME_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def lineitem_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion statistics (stddev / variance / correlation) per return
+    flag. Built from EXACT decimal sums of x, x², and x·y so the double
+    arithmetic on top is identical in both engines (native stddev/corr are
+    accumulation-order-dependent and not cross-engine bit-stable)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    sq = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    sq2 = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,4)")).cast("double")
+    sp = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    sp2 = F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(28,4)")).cast("double")
+    sqp = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(28,4)")).cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        n.alias("n"), sq.alias("sq"), sq2.alias("sq2"), sp.alias("sp"),
+        sp2.alias("sp2"), sqp.alias("sqp"),
+    )
+    # nullif guards the n=1 group: ANSI mode raises DIVIDE_BY_ZERO even for
+    # doubles; NULL stddev for a single-sample group matches SQL semantics.
+    nm1 = F.nullif(F.col("n") - 1, F.lit(0.0))
+    var_q = (F.col("sq2") - F.col("sq") * F.col("sq") / F.col("n")) / nm1
+    var_p = (F.col("sp2") - F.col("sp") * F.col("sp") / F.col("n")) / nm1
+    cov = (F.col("sqp") - F.col("sq") * F.col("sp") / F.col("n")) / nm1
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(F.sqrt(var_p), 6).alias("stddev_price"),
+        F.round(cov / (F.sqrt(var_q) * F.sqrt(var_p)), 6).alias("corr_qty_price"),
+    )
+
+
+_DISPERSION_ORACLE = """
+WITH a AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sq2,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sp2,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round(sqrt((sq2 - sq*sq/n)/NULLIF(n-1, 0)), 6) AS stddev_qty,
+       round(sqrt((sp2 - sp*sp/n)/NULLIF(n-1, 0)), 6) AS stddev_price,
+       round(((sqp - sq*sp/n)/NULLIF(n-1, 0)) / (sqrt((sq2 - sq*sq/n)/NULLIF(n-1, 0)) * sqrt((sp2 - sp*sp/n)/NULLIF(n-1, 0))), 6) AS corr_qty_price
+FROM a
+"""
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2-hour window, 1-hour slide) event counts — the
+    overlapping-window surface (SURVEY.md §2.9: exposed for the events
+    table). Spark's window() expands each event into its two covering
+    windows before a plain hash aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+_SLIDING_WINDOW_ORACLE = """
+SELECT ws AS window_start, count(*) AS n_events
+FROM (
+  SELECT date_trunc('hour', ts) AS ws FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws FROM events
+)
+GROUP BY ws
+"""
+
+
 # --------------------------------------------------------- pivot / unpivot
 
 def pivot_qty_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,6 +1094,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("embedding_cosine_near_dup", embedding_cosine_near_dup, None),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, _GROUPING_SETS_ORACLE),
     QuerySpec("set_ops_customer_years", set_ops_customer_years, _SET_OPS_ORACLE),
+    QuerySpec("shipping_priority", shipping_priority, _SHIPPING_PRIORITY_ORACLE),
+    QuerySpec("regional_supplier_volume", regional_supplier_volume, _REGIONAL_VOLUME_ORACLE),
+    QuerySpec("lineitem_dispersion_stats", lineitem_dispersion_stats, _DISPERSION_ORACLE),
+    QuerySpec("sliding_window_counts", sliding_window_counts, _SLIDING_WINDOW_ORACLE),
     QuerySpec("asof_last_purchase", asof_last_purchase, _ASOF_ORACLE),
     QuerySpec("range_join_order_revenue", range_join_order_revenue, _RANGE_JOIN_ORACLE),
     QuerySpec("window_functions_demo", window_functions_demo, _WINDOW_DEMO_ORACLE),
