@@ -810,6 +810,50 @@ GROUP BY n_name
 """
 
 
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part⋈lineitem revenue per brand for one part type — the classic
+    dim-attribute rollup over a fact table. part broadcasts (bounded dim);
+    lineitem aggregates map-side before the tiny brand shuffle."""
+    p = read_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                "decimal(18,4)",
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_BRAND_REVENUE_ORACLE = """
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'ECONOMY'
+GROUP BY p_brand
+"""
+
+
+def near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed near-dedup pipeline (SURVEY.md §2.12): MinHash-LSH
+    candidate generation → exact n-gram Jaccard verification on candidates
+    only → verified pairs with jaccard ≥ 0.5. Rows-only (candidates are
+    xxhash-seeded); the verification stage alone is oracle-checked via
+    ngram_jaccard_small. At 100 TB the Jaccard join touches only the
+    candidate set, never all-pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs)
+    scored = dedup.ngram_jaccard(docs, pairs)
+    return scored.where(F.col("jaccard") >= 0.5)
+
+
 def lineitem_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dispersion statistics (stddev / variance / correlation) per return
     flag. Built from EXACT decimal sums of x, x², and x·y so the double
@@ -1095,6 +1139,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, _GROUPING_SETS_ORACLE),
     QuerySpec("set_ops_customer_years", set_ops_customer_years, _SET_OPS_ORACLE),
     QuerySpec("shipping_priority", shipping_priority, _SHIPPING_PRIORITY_ORACLE),
+    QuerySpec("brand_revenue", brand_revenue, _BRAND_REVENUE_ORACLE),
+    QuerySpec("near_dup_pipeline", near_dup_pipeline, None),
     QuerySpec("regional_supplier_volume", regional_supplier_volume, _REGIONAL_VOLUME_ORACLE),
     QuerySpec("lineitem_dispersion_stats", lineitem_dispersion_stats, _DISPERSION_ORACLE),
     QuerySpec("sliding_window_counts", sliding_window_counts, _SLIDING_WINDOW_ORACLE),
