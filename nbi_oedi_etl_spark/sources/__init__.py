@@ -1,3 +1,11 @@
+from nbi_oedi_etl_spark.sources.formats import (
+    read_csv,
+    read_json,
+    read_orc,
+    write_csv,
+    write_json,
+    write_orc,
+)
 from nbi_oedi_etl_spark.sources.parquet import (
     TABLES,
     load_tables,
@@ -6,4 +14,16 @@ from nbi_oedi_etl_spark.sources.parquet import (
     register_views,
 )
 
-__all__ = ["TABLES", "load_tables", "read_partitioned", "read_table", "register_views"]
+__all__ = [
+    "TABLES",
+    "load_tables",
+    "read_partitioned",
+    "read_table",
+    "register_views",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "write_csv",
+    "write_json",
+    "write_orc",
+]

@@ -116,3 +116,37 @@ def test_metadata_bypass(spark, ts_fixture, tmp_path):
     copied = spark.read.parquet(dest)
     assert copied.count() == 2
     assert "`in.state`" in [f"`{c}`" for c in copied.columns]
+
+
+def test_csv_json_orc_roundtrip(spark, tmp_path):
+    """CSV/JSON/ORC sources (SURVEY.md §2.1 'engine exposes for free'):
+    schema-pinned round-trips preserve rows and values."""
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.sources import (
+        read_csv,
+        read_json,
+        read_orc,
+        read_table,
+        write_csv,
+        write_json,
+        write_orc,
+    )
+
+    src = read_table(spark, "/root/testdata/sf0.001", "nation")
+    want = sorted(tuple(r) for r in src.collect())
+
+    p = str(tmp_path / "nation_csv")
+    write_csv(src, p)
+    got = sorted(tuple(r) for r in read_csv(spark, p, schema=src.schema).collect())
+    assert got == want
+
+    p = str(tmp_path / "nation_json")
+    write_json(src, p)
+    got = sorted(tuple(r) for r in read_json(spark, p, schema=src.schema).collect())
+    assert got == want
+
+    p = str(tmp_path / "nation_orc")
+    write_orc(src, p)
+    got = sorted(tuple(r) for r in read_orc(spark, p).collect())
+    assert got == want
