@@ -32,6 +32,7 @@ from nbi_oedi_etl_spark.operators import (
     reconcile,
     sessions,
     similarity,
+    skew,
     text,
 )
 from nbi_oedi_etl_spark.operators import queries as qops
@@ -905,6 +906,30 @@ FROM a
 """
 
 
+def salted_event_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune two-phase salted aggregation (operators/skew.py) — the
+    100 TB answer to a hot group key. Salting is semantically transparent:
+    the oracle is the PLAIN grouped sum, proving the salt never leaks into
+    results. Decimal cast makes the sum order-independent across engines."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    out = skew.salted_grouped_sum(ev, ["event_type"], ["value"], salt_buckets=16)
+    return out.select(
+        "event_type",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "n_rows",
+    )
+
+
+_SALTED_SUM_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       count(*) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (2-hour window, 1-hour slide) event counts — the
     overlapping-window surface (SURVEY.md §2.9: exposed for the events
@@ -1144,6 +1169,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("regional_supplier_volume", regional_supplier_volume, _REGIONAL_VOLUME_ORACLE),
     QuerySpec("lineitem_dispersion_stats", lineitem_dispersion_stats, _DISPERSION_ORACLE),
     QuerySpec("sliding_window_counts", sliding_window_counts, _SLIDING_WINDOW_ORACLE),
+    QuerySpec("salted_event_value_sum", salted_event_value_sum, _SALTED_SUM_ORACLE),
     QuerySpec("asof_last_purchase", asof_last_purchase, _ASOF_ORACLE),
     QuerySpec("range_join_order_revenue", range_join_order_revenue, _RANGE_JOIN_ORACLE),
     QuerySpec("window_functions_demo", window_functions_demo, _WINDOW_DEMO_ORACLE),
