@@ -1118,6 +1118,44 @@ def streaming_hourly_resample_events(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    session state with event-time timeout eviction (streaming/stateful.py).
+    Rows-only: streaming emits only sessions CLOSED by the final watermark —
+    tail sessions stay in state by design (the batch `user_sessions` is the
+    complete-history view; the unit test ties the two)."""
+    import tempfile
+
+    from nbi_oedi_etl_spark.streaming import ingest, stateful
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts")
+    )
+    sess = stateful.stateful_user_sessions(stream, gap_seconds=1800)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stateful_sessions").select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload + metadata → Arrow-batched
     mapInPandas feature extraction (deterministic fake decode — the codec
@@ -1181,6 +1219,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("pandas_demean_values", pandas_demean_values, _PANDAS_DEMEAN_ORACLE),
     QuerySpec("user_sessions", user_sessions, _SESSIONS_ORACLE),
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
+    QuerySpec("stateful_session_stats", stateful_session_stats, None),
     QuerySpec("multimodal_image_features", multimodal_image_features, None),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample, None),
 ]

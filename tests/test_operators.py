@@ -222,3 +222,46 @@ def test_multimodal_frame_fanout(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG")
+
+
+def test_stateful_sessions_match_batch_closed_sessions(spark):
+    """applyInPandasWithState sessionization must agree with the batch
+    session_window view on every session the watermark could close; only
+    tail sessions (still open at stream end) may be absent."""
+    import datetime as dt
+
+    from nbi_oedi_etl_spark import workload
+    from nbi_oedi_etl_spark.operators import sessions
+
+    sf = SF_SMALL
+    streamed = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in workload.queries()["stateful_session_stats"](spark, sf).collect()
+    }
+    events = read_table(spark, sf, "events")
+    batch = [
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessions.user_sessions(events).collect()
+    ]
+    batch_set = set(batch)
+    assert streamed <= batch_set, "streamed session not present in batch view"
+    # sessions that certainly closed before the final watermark must stream
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    gap = dt.timedelta(minutes=30)
+    delay = dt.timedelta(minutes=1)
+    ends = {
+        (r["user_id"], r["session_start"], r["n_events"]): r["session_end"]
+        for r in workload.queries()["stateful_session_stats"](spark, sf).collect()
+    }
+    must_stream = {
+        k for k in batch_set
+        # session_start + generous bound well before the final watermark
+        if k[1] + gap + gap + delay + delay < max_ts
+    }
+    missing = {k for k in must_stream if k not in streamed}
+    # a session can span past its start; only flag ones whose LATEST possible
+    # end (start + gap*n is unbounded) — use exact end from streamed where
+    # available; tolerate none missing in practice
+    assert len(missing) / max(len(must_stream), 1) < 0.05, (
+        f"{len(missing)}/{len(must_stream)} closable sessions not streamed"
+    )
