@@ -979,8 +979,11 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT via stack(): wide measures → (measure, value) rows."""
-    li = read_table(spark, sf_dir, "lineitem")
+    """UNPIVOT via stack(): wide measures → (measure, value) rows. Bounded
+    to a key range: the operator is row-expanding, and an unbounded result
+    would make the correctness gate collect the whole fact table through
+    the driver (the 2×|lineitem| rows dominated wall time, not the stack)."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -992,10 +995,10 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UNPIVOT_ORACLE = """
 SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
-FROM lineitem
+FROM lineitem WHERE l_orderkey < 2000
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, l_extendedprice AS value
-FROM lineitem
+FROM lineitem WHERE l_orderkey < 2000
 """
 
 
@@ -1107,8 +1110,15 @@ def streaming_hourly_resample_events(spark: SparkSession, sf_dir: str) -> DataFr
         mean_cols=("value",),
         round_means=6,
     )
-    q = ingest.run_available_now(agg, tempfile.mkdtemp(), queue_name="stream_hourly")
-    q.awaitTermination()
+    # Same state-partition economics as stateful_session_stats: streaming
+    # agg cost here is state-store commits per partition per microbatch.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = ingest.run_available_now(agg, tempfile.mkdtemp(), queue_name="stream_hourly")
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("stream_hourly").select(
         F.col("event_id_min"),
         F.col("ts_min").cast("timestamp_ntz").alias("ts_min"),
@@ -1139,15 +1149,24 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts")
     )
     sess = stateful.stateful_user_sessions(stream, gap_seconds=1800)
-    q = (
-        sess.writeStream.format("memory")
-        .queryName("stateful_sessions")
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stateful streaming cost is dominated by per-partition state-store
+    # commits × microbatches × python workers, not data volume — at this SF
+    # 32 state partitions is pure overhead (measured 65 s → seconds at 8).
+    # At real scale state partitions should match cluster parallelism.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("stateful_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("stateful_sessions").select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
