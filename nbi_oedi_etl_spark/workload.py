@@ -304,7 +304,8 @@ def anti_join_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANTI_ORACLE = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 2000)
 """
 
 
@@ -906,6 +907,62 @@ FROM a
 """
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS subquery via Spark SQL — Catalyst decorrelates
+    it to a left-anti join (SURVEY.md §4 'subquery decorrelation built-in');
+    the SQL-surface twin of the DataFrame anti-join query. Conditioned on
+    year 2000 so the result is non-degenerate on this testdata (every
+    customer has SOME order; 335/1500 lack a year-2000 order at sf0.01)."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer_sq c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders_sq o
+            WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 2000
+        )
+        """
+    )
+
+
+_NOT_EXISTS_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 2000)
+"""
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery: orders priced above their own
+    customer's average. Catalyst rewrites the per-row subquery into an
+    aggregate + join — the shape that would be O(n²) if executed naively."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sc")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders_sc o
+        WHERE o_totalprice > (
+            SELECT avg(o2.o_totalprice) FROM orders_sc o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+_SCALAR_SUBQUERY_ORACLE = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+    SELECT avg(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
 def salted_event_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-immune two-phase salted aggregation (operators/skew.py) — the
     100 TB answer to a hot group key. Salting is semantically transparent:
@@ -1227,6 +1284,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("lineitem_dispersion_stats", lineitem_dispersion_stats, _DISPERSION_ORACLE),
     QuerySpec("sliding_window_counts", sliding_window_counts, _SLIDING_WINDOW_ORACLE),
     QuerySpec("salted_event_value_sum", salted_event_value_sum, _SALTED_SUM_ORACLE),
+    QuerySpec("customers_without_orders", customers_without_orders, _NOT_EXISTS_ORACLE),
+    QuerySpec("orders_above_customer_avg", orders_above_customer_avg, _SCALAR_SUBQUERY_ORACLE),
     QuerySpec("asof_last_purchase", asof_last_purchase, _ASOF_ORACLE),
     QuerySpec("range_join_order_revenue", range_join_order_revenue, _RANGE_JOIN_ORACLE),
     QuerySpec("window_functions_demo", window_functions_demo, _WINDOW_DEMO_ORACLE),
