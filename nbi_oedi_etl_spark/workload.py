@@ -293,19 +293,23 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 
 
 def anti_join_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 (monitor.py:87-106): listed − uploaded as LEFT ANTI join.
-    customers-without-orders plays listed-but-not-uploaded."""
-    c = read_table(spark, sf_dir, "customer")
+    """E1 (monitor.py:87-106): listed − uploaded as LEFT ANTI join — the
+    reference's discrepancy report ('Listed but not Uploaded',
+    README.md:352-361). orders plays the listed set; a simulated uploader
+    that drops every 97th key plays the uploaded set, so the report is
+    non-empty and deterministic."""
     o = read_table(spark, sf_dir, "orders")
-    return reconcile.discrepancies(c, o, "c_custkey", "o_custkey").select(
-        "c_custkey", "c_name"
+    listed = o.select("o_orderkey")
+    uploaded = o.where(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("up_orderkey")
+    )
+    return reconcile.discrepancies(listed, uploaded, "o_orderkey", "up_orderkey").select(
+        "o_orderkey"
     )
 
 
 _ANTI_ORACLE = """
-SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 2000)
+SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
 """
 
 
