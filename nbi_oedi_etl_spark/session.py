@@ -43,6 +43,9 @@ _DEFAULT_CONF = {
     # TIMESTAMP(NANOS) parquet (events.ts) is otherwise unreadable; the
     # source layer rebuilds a proper NTZ timestamp from the raw long.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # RFC-4648 base64 without MIME line-chunking (matches DuckDB/Trino;
+    # chunked output breaks cross-engine comparison of encoded columns).
+    "spark.sql.chunkBase64String.enabled": "false",
 }
 
 

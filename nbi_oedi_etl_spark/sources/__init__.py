@@ -13,6 +13,11 @@ from nbi_oedi_etl_spark.sources.parquet import (
     read_table,
     register_views,
 )
+from nbi_oedi_etl_spark.sources.sinks import (
+    bypass_copy,
+    write_bucketed,
+    write_parquet,
+)
 
 __all__ = [
     "TABLES",
@@ -26,4 +31,7 @@ __all__ = [
     "write_csv",
     "write_json",
     "write_orc",
+    "bypass_copy",
+    "write_bucketed",
+    "write_parquet",
 ]

@@ -41,6 +41,38 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed (optionally per-bucket-sorted) parquet table.
+
+    The 100 TB co-location strategy the reference never needed (single node):
+    two tables bucketed on their join key with the same bucket count join
+    WITHOUT any shuffle — Spark's bucketed scan exposes the hash
+    distribution, so SortMergeJoin/ShuffledHashJoin reads both sides
+    in-place. Repeated fact⋈fact joins (orders⋈lineitem on orderkey) amortize
+    ONE bucketing write against every downstream join; ``sort_by`` the join
+    key to also skip the per-task sort. Plan property locked by
+    tests/test_plans.py::test_bucketed_join_has_no_exchange.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def bypass_copy(spark: SparkSession, src: str, dest: str, mode: str = "error") -> int:
     """Copy a parquet dataset through unmodified (identity map).
 

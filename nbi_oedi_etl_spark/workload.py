@@ -847,6 +847,120 @@ GROUP BY p_brand
 """
 
 
+def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation — promo vs total revenue per
+    ship month via ``sum(CASE WHEN …)``. part is a broadcast dim; the fact
+    side shuffles once on the month key after map-side partial aggregation.
+    Conditional sums use the exact-decimal trick; months with no PROMO
+    lineitems yield NULL in both engines (sum over empty CASE)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_PROMO_REVENUE_ORACLE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                END) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month
+ORDER BY ship_month
+"""
+
+
+def priority_shipping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact join + conditional counts
+    (``sum(CASE WHEN priority …)``) per line status. No broadcast hint on
+    either side — at 100 TB both orders and lineitem shuffle on orderkey
+    (AQE may still broadcast at bench scale)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, F.lit(1)).otherwise(F.lit(0))).alias("high_line_count"),
+            F.sum(F.when(~hi, F.lit(1)).otherwise(F.lit(0))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_PRIORITY_COUNTS_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def order_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 scalar surface: timestamp formatting with the reference's run-dir
+    pattern ``%Y-%m-%d-%H-%M-%S`` (main.py:58-60, glue_job.py:85) as a
+    vectorized column expression (the reference formats driver-side only).
+    Bounded to the first 200 orders by key — formatting is per-row; the
+    bound keeps the driver-compared result set small."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd-HH-mm-ss").alias("run_dir_ts"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+_DATE_FORMAT_ORACLE = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d-%H-%M-%S') AS run_dir_ts
+FROM orders ORDER BY o_orderkey LIMIT 200
+"""
+
+
+def doc_base64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 codec surface: base64 encode/decode as column expressions (the
+    reference base64s its config driver-side: config.js:73, glue_job.py:51).
+    RFC-4648 without MIME chunking (session conf) so the encoding matches
+    DuckDB/Trino byte-for-byte; the unbase64 roundtrip length proves
+    decode-side fidelity."""
+    d = read_table(spark, sf_dir, "documents")
+    b64 = F.base64(F.col("text").cast("binary"))
+    return d.select(
+        "doc_id",
+        b64.alias("text_b64"),
+        F.length(F.unbase64(b64).cast("string")).alias("roundtrip_len"),
+    )
+
+
+_BASE64_ORACLE = """
+SELECT doc_id,
+       to_base64(encode(text)) AS text_b64,
+       CAST(length(text) AS INTEGER) AS roundtrip_len
+FROM documents
+"""
+
+
 def near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed near-dedup pipeline (SURVEY.md §2.12): MinHash-LSH
     candidate generation → exact n-gram Jaccard verification on candidates
@@ -1283,6 +1397,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("set_ops_customer_years", set_ops_customer_years, _SET_OPS_ORACLE),
     QuerySpec("shipping_priority", shipping_priority, _SHIPPING_PRIORITY_ORACLE),
     QuerySpec("brand_revenue", brand_revenue, _BRAND_REVENUE_ORACLE),
+    QuerySpec("promo_revenue_by_month", promo_revenue_by_month, _PROMO_REVENUE_ORACLE),
+    QuerySpec("priority_shipping_counts", priority_shipping_counts, _PRIORITY_COUNTS_ORACLE),
+    QuerySpec("order_date_format", order_date_format, _DATE_FORMAT_ORACLE),
+    QuerySpec("doc_base64_codec", doc_base64_codec, _BASE64_ORACLE),
     QuerySpec("near_dup_pipeline", near_dup_pipeline, None),
     QuerySpec("regional_supplier_volume", regional_supplier_volume, _REGIONAL_VOLUME_ORACLE),
     QuerySpec("lineitem_dispersion_stats", lineitem_dispersion_stats, _DISPERSION_ORACLE),

@@ -63,3 +63,44 @@ def test_ref_q1_broadcasts_dimension(spark):
     assert has_broadcast_join(df)
     pf = pushed_filters(df)
     assert "EqualTo(c_mktsegment,BUILDING)" in pf
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO shuffles (the 100 TB fact⋈fact co-location strategy).
+    Broadcast is disabled so the assertion exercises the bucketed
+    SortMergeJoin path, not an AQE broadcast."""
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.sources import read_table, write_bucketed
+
+    o = read_table(spark, "/root/testdata/sf0.001", "orders")
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    write_bucketed(o, "b_orders", ["o_orderkey"], 4,
+                   path=str(tmp_path / "b_orders"), sort_by=["o_orderkey"])
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 4,
+                   path=str(tmp_path / "b_lineitem"), sort_by=["l_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(spark.table("b_orders"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        )
+        joined.collect()
+        plan = physical_plan(joined)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        # the join itself is shuffle-free; only the small post-join groupBy
+        # may exchange — assert no exchange BELOW the join by checking the
+        # join's children are scans/sorts, i.e. no hashpartitioning on the
+        # join keys.
+        assert "Exchange hashpartitioning(l_orderkey" not in final
+        assert "Exchange hashpartitioning(o_orderkey" not in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
