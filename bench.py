@@ -28,6 +28,8 @@ HEADLINE = [
     "regional_supplier_volume",
     "topk_orders",
     "rollup_revenue",
+    "promo_revenue_by_month",
+    "priority_shipping_counts",
     "customer_order_counts",
     "anti_join_reconciliation",
     "lineitem_dispersion_stats",

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     IntegerType,
     LongType,
@@ -116,6 +117,51 @@ def extract_image_features(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
     return payloads.mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def resize_images(payloads: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize shape (binary → binary, 1→1): decode → resample → re-encode.
+
+    The codec is stubbed (deterministic fake: the output buffer is the
+    payload digest cycled to exactly width×height×channels bytes) but the
+    Spark contract is real — binary in, binary out, stable typed metadata,
+    Arrow-batched, no shuffle. In production swap ``_fake_resize`` for a
+    PIL/libvips call; nothing else changes."""
+
+    def _fake_resize(data: bytes, w: int, h: int, c: int) -> bytes:
+        d = hashlib.md5(data).digest()
+        n = w * h * c
+        return (d * (n // len(d) + 1))[:n]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                _, _, c = _fake_decode(data)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "payload": _fake_resize(data, width, height, c),
+                        "width": width,
+                        "height": height,
+                        "channels": c,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return payloads.mapInPandas(_resize, RESIZED_SCHEMA)
 
 
 def sample_frames(payloads: DataFrame, n_frames: int = 3) -> DataFrame:

@@ -1364,6 +1364,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(multimodal.with_binary_payload(docs), n_frames=3)
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary→binary resize shape (decode → resample → re-encode, codec
+    stubbed; operators/multimodal.py). Rows-only; payload determinism and
+    1→1 mapping are unit-tested."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.resize_images(multimodal.with_binary_payload(docs), 32, 32)
+
+
 # ---------------------------------------------------------------- registry
 
 SPECS: list[QuerySpec] = [
@@ -1422,6 +1430,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("stateful_session_stats", stateful_session_stats, None),
     QuerySpec("multimodal_image_features", multimodal_image_features, None),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample, None),
+    QuerySpec("multimodal_resize", multimodal_resize, None),
 ]
 
 

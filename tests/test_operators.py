@@ -219,6 +219,23 @@ def test_multimodal_frame_fanout(spark):
     assert frames.groupBy("doc_id").count().where("count != 3").count() == 0
 
 
+def test_multimodal_resize_binary_roundtrip(spark):
+    docs = read_table(spark, SF_SMALL, "documents").limit(10)
+    payloads = multimodal.with_binary_payload(docs)
+    resized = multimodal.resize_images(payloads, width=8, height=8)
+    rows = sorted(resized.collect(), key=lambda r: r["doc_id"])
+    assert len(rows) == 10  # 1→1
+    for r in rows:
+        assert isinstance(r["payload"], (bytes, bytearray))
+        assert len(r["payload"]) == 8 * 8 * r["channels"]
+        assert (r["width"], r["height"]) == (8, 8)
+    again = sorted(
+        multimodal.resize_images(payloads, width=8, height=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [bytes(r["payload"]) for r in rows] == [bytes(r["payload"]) for r in again]
+
+
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG")

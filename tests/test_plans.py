@@ -104,3 +104,8 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_promo_revenue_plan_broadcasts_part(spark):
+    df = _plan(spark, "promo_revenue_by_month")
+    assert has_broadcast_join(df)
