@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 from nbi_oedi_etl_spark.functions.scalars import dotted
 
 
+def _dcol(df: DataFrame, name: str) -> Column:
+    """Dataframe-bound column reference that survives dotted flat names
+    (SURVEY.md §7.4.1): ``df["in.x"]`` would parse ``.x`` as struct access,
+    so dotted names are backtick-quoted. Stays df-bound (unlike a bare
+    ``F.col``) so join-side disambiguation keeps working."""
+    return df[f"`{name}`"] if "." in name else df[name]
+
+
 def _filtered_join(
     dim: DataFrame,
     fact: DataFrame,
@@ -41,7 +49,7 @@ def _filtered_join(
     if filters:
         for c, v in filters.items():
             dim = dim.where(dotted(c) == F.lit(v))
-    return fact.join(F.broadcast(dim), dim[dim_key] == fact[fact_key], "inner")
+    return fact.join(F.broadcast(dim), _dcol(dim, dim_key) == _dcol(fact, fact_key), "inner")
 
 
 def count_distinct_joined(
@@ -56,9 +64,9 @@ def count_distinct_joined(
     """Q1 shape: join + filters + global COUNT(DISTINCT dim_key)."""
     joined = _filtered_join(dim, fact, dim_key, fact_key, filters)
     agg = (
-        F.approx_count_distinct(dim[dim_key])
+        F.approx_count_distinct(_dcol(dim, dim_key))
         if approximate
-        else F.countDistinct(dim[dim_key])
+        else F.countDistinct(_dcol(dim, dim_key))
     )
     return joined.agg(agg.alias(out_name))
 
@@ -74,8 +82,8 @@ def grouped_count_distinct_joined(
 ) -> DataFrame:
     """Q2 shape: join + COUNT(DISTINCT dim_key) GROUP BY group_col."""
     joined = _filtered_join(dim, fact, dim_key, fact_key, filters)
-    return joined.groupBy(dim[group_col]).agg(
-        F.countDistinct(dim[dim_key]).alias(out_name)
+    return joined.groupBy(_dcol(dim, group_col)).agg(
+        F.countDistinct(_dcol(dim, dim_key)).alias(out_name)
     )
 
 
@@ -97,7 +105,9 @@ def topk_per_group_joined(
     full rank (SURVEY.md §2.5).
     """
     joined = _filtered_join(dim, fact, dim_key, fact_key)
-    distinct = joined.select(dim[dim_key].alias(dim_key), dim[group_col].alias(group_col)).distinct()
+    distinct = joined.select(
+        _dcol(dim, dim_key).alias(dim_key), _dcol(dim, group_col).alias(group_col)
+    ).distinct()
     w = Window.partitionBy(dotted(group_col)).orderBy(dotted(dim_key))
     ranked = distinct.withColumn(rn_name, F.row_number().over(w))
     out = ranked.where(F.col(rn_name) <= k)
