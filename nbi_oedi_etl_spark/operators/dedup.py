@@ -261,3 +261,70 @@ def simhash_buckets(
     return tallies.select("doc_id", simhash.alias("simhash")).withColumn(
         "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → duplicate clusters: iterative
+    min-label propagation. Output: (node, component) where component is the
+    smallest node id reachable; doc_ids absent from ``pairs`` are singletons
+    and not emitted.
+
+    This is the step every real dedup pipeline needs between pair generation
+    and row dropping — pairs (1,2),(2,3) must collapse to ONE cluster {1,2,3}
+    keeping a single canonical doc, which no single join expresses.
+
+    Each iteration is one join + one hash aggregate (all distributed; the
+    driver sees only a 1-row convergence probe). ``localCheckpoint``
+    truncates the plan lineage per round — without it the DAG doubles every
+    iteration. Dedup graphs are cliques/short chains, so rounds ≈ 2-4; at
+    100 TB with adversarial long chains, swap the body for the
+    large-star/small-star rewrite (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — same (node, component) contract."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    comp = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("component")
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(comp, edges.v == comp.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        staged = comp.join(nbr_min, comp.node == nbr_min.u, "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
+            (F.col("nbr_component") < F.col("component")).alias("changed"),
+        ).localCheckpoint()
+        comp = staged.select("node", "component")
+        if staged.where("changed").limit(1).count() == 0:
+            break
+    return comp
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster summary over the components of ``pairs``: one row per
+    duplicate cluster with its canonical (minimum) doc id and size. The
+    keep-list at scale is ``docs`` anti-joined to members minus canonicals."""
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("canonical_doc_id"),
+        )
+        .where(F.col("cluster_size") > 1)
+    )

@@ -974,6 +974,17 @@ def near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("jaccard") >= 0.5)
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline tail: MinHash-LSH candidate pairs → transitive
+    closure (iterative min-label propagation, operators/dedup.py
+    connected_components) → duplicate clusters with canonical doc + size.
+    Rows-only (hash-seeded candidates); the closure operator itself is
+    unit-tested on known graphs."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def lineitem_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dispersion statistics (stddev / variance / correlation) per return
     flag. Built from EXACT decimal sums of x, x², and x·y so the double
@@ -1410,6 +1421,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("order_date_format", order_date_format, _DATE_FORMAT_ORACLE),
     QuerySpec("doc_base64_codec", doc_base64_codec, _BASE64_ORACLE),
     QuerySpec("near_dup_pipeline", near_dup_pipeline, None),
+    QuerySpec("near_dup_clusters", near_dup_clusters, None),
     QuerySpec("regional_supplier_volume", regional_supplier_volume, _REGIONAL_VOLUME_ORACLE),
     QuerySpec("lineitem_dispersion_stats", lineitem_dispersion_stats, _DISPERSION_ORACLE),
     QuerySpec("sliding_window_counts", sliding_window_counts, _SLIDING_WINDOW_ORACLE),

@@ -282,3 +282,56 @@ def test_stateful_sessions_match_batch_closed_sessions(spark):
     assert len(missing) / max(len(must_stream), 1) < 0.05, (
         f"{len(missing)}/{len(must_stream)} closable sessions not streamed"
     )
+
+
+def test_connected_components_known_graphs(spark):
+    """Chain + separate pair + isolated-from-pairs node: components must be
+    the transitive closure, not just pairwise minima."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id_a": [1, 2, 3, 10, 8, 7], "doc_id_b": [2, 3, 4, 11, 9, 8]}
+        )
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node chain needs ~11 propagation rounds — exercises the
+    iteration + convergence logic well past the typical 2-4 rounds."""
+    import pandas as pd
+
+    n = 12
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_id_a": list(range(n - 1)), "doc_id_b": list(range(1, n))})
+    )
+    rows = dedup.connected_components(pairs).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == n
+
+
+def test_dedup_clusters_canonicals(spark):
+    """dedup_clusters: exact-duplicate docs in the testdata must land in the
+    same cluster with the smallest id as canonical."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["same text here", "same text here", "same text here", "unique"],
+            }
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_id_a": [1, 2], "doc_id_b": [2, 3]})
+    )
+    rows = dedup.dedup_clusters(docs, pairs).collect()
+    assert len(rows) == 1
+    assert rows[0]["canonical_doc_id"] == 1
+    assert rows[0]["cluster_size"] == 3
