@@ -1314,6 +1314,37 @@ def streaming_hourly_resample_events(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a STREAMING stateful aggregation: file source →
+    groupBy(content hash) → min/count state → availableNow drain (complete
+    mode). Shares the batch exact-dedup oracle — the drained state must
+    equal the batch group-by exactly. At scale this is the continuous-ingest
+    dedup path: state is one row per distinct hash; a new file's rows fold
+    into existing groups incrementally (the batch path rescans the corpus)."""
+    import tempfile
+
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = ingest.run_available_now(agg, tempfile.mkdtemp(), queue_name="stream_dedup")
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_dedup")
+
+
 def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     session state with event-time timeout eviction (streaming/stateful.py).
@@ -1439,6 +1470,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("pandas_demean_values", pandas_demean_values, _PANDAS_DEMEAN_ORACLE),
     QuerySpec("user_sessions", user_sessions, _SESSIONS_ORACLE),
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
+    QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
     QuerySpec("stateful_session_stats", stateful_session_stats, None),
     QuerySpec("multimodal_image_features", multimodal_image_features, None),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample, None),
