@@ -974,6 +974,71 @@ def near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("jaccard") >= 0.5)
 
 
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-AND predicate spanning both join sides.
+    Catalyst extracts the common p-side factors of the disjunction and
+    pushes them into the part scan (predicate pushdown through OR) — the
+    join only sees pre-filtered parts; the residual mixed predicate is
+    evaluated post-join in whole-stage codegen."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    pred = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & (F.col("l_quantity") >= 5)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 20)
+        & (F.col("l_quantity") >= 10)
+    )
+    return joined.where(pred).agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "revenue",
+            "decimal(18,4)",
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_DISJUNCTIVE_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 5)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity >= 10)
+"""
+
+
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: split → explode → hash-aggregate → top-20
+    (count desc, token asc — a total order, so the limit is deterministic).
+    The explode never materializes the corpus-wide token table outside the
+    aggregation pipeline: partial map-side counts collapse the shuffle to
+    one row per distinct token per partition."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_TOP_TOKENS_ORACLE = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline tail: MinHash-LSH candidate pairs → transitive
     closure (iterative min-label propagation, operators/dedup.py
@@ -1453,6 +1518,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("doc_base64_codec", doc_base64_codec, _BASE64_ORACLE),
     QuerySpec("near_dup_pipeline", near_dup_pipeline, None),
     QuerySpec("near_dup_clusters", near_dup_clusters, None),
+    QuerySpec("disjunctive_filter_revenue", disjunctive_filter_revenue, _DISJUNCTIVE_ORACLE),
+    QuerySpec("top_tokens", top_tokens, _TOP_TOKENS_ORACLE),
     QuerySpec("regional_supplier_volume", regional_supplier_volume, _REGIONAL_VOLUME_ORACLE),
     QuerySpec("lineitem_dispersion_stats", lineitem_dispersion_stats, _DISPERSION_ORACLE),
     QuerySpec("sliding_window_counts", sliding_window_counts, _SLIDING_WINDOW_ORACLE),
