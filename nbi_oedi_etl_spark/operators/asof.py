@@ -41,7 +41,7 @@ def asof_join(
         *lcols,
         F.lit(1).alias("__side"),
         F.col(left_ts).alias("__ts"),
-        F.lit(None).cast("timestamp_ntz").alias("__r_ts"),
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
         *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"__p_{p}") for p in right_payload],
     )
     r_tagged = right.select(

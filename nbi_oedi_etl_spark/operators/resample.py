@@ -42,7 +42,7 @@ def _measure_columns() -> list[str]:
     ``out.other_fuel.water_systems.energy_consumption`` has no ``_intensity``
     partner (transform.py:112) — the only 1-column fuel/enduse pair.
     """
-    both = []  # pairs: consumption + intensity
+    cols = []
     for fuel, enduses in [
         ("district_cooling", ["cooling", "total"]),
         ("district_heating", ["heating", "total", "water_systems"]),
@@ -64,14 +64,16 @@ def _measure_columns() -> list[str]:
             ],
         ),
         ("natural_gas", ["heating", "interior_equipment", "total", "water_systems"]),
-        ("other_fuel", ["cooling", "heating", "total"]),
+        # water_systems is the lone intensity-less column, in reference
+        # position (transform.py:112 — before the site_energy pair)
+        ("other_fuel", ["cooling", "heating", "total", "water_systems"]),
         ("site_energy", ["total"]),
     ]:
         for enduse in enduses:
-            both.append(f"out.{fuel}.{enduse}.energy_consumption")
-            both.append(f"out.{fuel}.{enduse}.energy_consumption_intensity")
-    both.append("out.other_fuel.water_systems.energy_consumption")  # no _intensity
-    return both
+            cols.append(f"out.{fuel}.{enduse}.energy_consumption")
+            if (fuel, enduse) != ("other_fuel", "water_systems"):
+                cols.append(f"out.{fuel}.{enduse}.energy_consumption_intensity")
+    return cols
 
 
 REFERENCE_MEASURE_COLUMNS: tuple[str, ...] = tuple(_measure_columns())

@@ -93,7 +93,10 @@ def make_sessionizer(gap_seconds: int):
                 closed.append(_emit(user_id, start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
             else:
-                last_us, n = t, n + 1
+                # A later microbatch can deliver an event older than the
+                # carried state (late but within watermark): extend the
+                # session bounds, never regress them.
+                start_us, last_us, n = min(start_us, t), max(last_us, t), n + 1
         state.update((start_us, last_us, n))
         # close the open session when the watermark passes last_ts + gap
         state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)

@@ -941,11 +941,17 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 def doc_base64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 codec surface: base64 encode/decode as column expressions (the
     reference base64s its config driver-side: config.js:73, glue_job.py:51).
-    RFC-4648 without MIME chunking (session conf) so the encoding matches
-    DuckDB/Trino byte-for-byte; the unbase64 roundtrip length proves
-    decode-side fidelity."""
+    RFC-4648 without MIME chunking so the encoding matches DuckDB/Trino
+    byte-for-byte; the unbase64 roundtrip length proves decode-side
+    fidelity. The CRLF strip makes the output canonical even when the
+    session runs with ``spark.sql.chunkBase64String.enabled=true`` (the
+    conf is set false in our session factory, but this query must be
+    correct in ANY caller's session — the round-1 driver session chunked
+    long documents into 76-char MIME lines and failed the value hash)."""
     d = read_table(spark, sf_dir, "documents")
-    b64 = F.base64(F.col("text").cast("binary"))
+    b64 = F.regexp_replace(
+        F.base64(F.col("text").cast("binary")), "[\\r\\n]", ""
+    )
     return d.select(
         "doc_id",
         b64.alias("text_b64"),

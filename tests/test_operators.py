@@ -37,6 +37,12 @@ def test_reference_measure_columns_spec():
         if c.endswith(".energy_consumption") and "other_fuel.water_systems" not in c:
             assert f"{c}_intensity" in cols, c
     assert sum(1 for c in cols if c.endswith("_intensity")) == 25
+    # reference position (transform.py:112): the intensity-less column sits
+    # immediately before the site_energy pair, not appended last
+    i = cols.index("out.other_fuel.water_systems.energy_consumption")
+    assert cols[i - 1] == "out.other_fuel.total.energy_consumption_intensity"
+    assert cols[i + 1] == "out.site_energy.total.energy_consumption"
+    assert cols[-1] == "out.site_energy.total.energy_consumption_intensity"
 
 
 def test_resample_output_naming_and_order(spark):
@@ -282,6 +288,66 @@ def test_stateful_sessions_match_batch_closed_sessions(spark):
     assert len(missing) / max(len(must_stream), 1) < 0.05, (
         f"{len(missing)}/{len(must_stream)} closable sessions not streamed"
     )
+
+
+def test_sessionizer_out_of_order_second_batch():
+    """A late (within-watermark) event in a LATER microbatch must never
+    regress the carried session bounds: last_us stays at the max seen,
+    start_us extends downward (ADVICE r1: unconditional overwrite emitted
+    wrong session_end/timeout). Drives the applyInPandasWithState function
+    directly with a fake GroupState — batch 1 in order, batch 2 out of
+    order — no streaming harness needed."""
+    import pandas as pd
+
+    from nbi_oedi_etl_spark.streaming.stateful import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+            self.timeout_ms = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    sessionize = make_sessionizer(gap_seconds=1800)
+    state = FakeState()
+    us = 1_000_000  # µs per second
+    # sessionize reads the ts column as int64 nanoseconds
+    mkbatch = lambda secs: [
+        pd.DataFrame({"ts": pd.Series([s * 1_000_000_000 for s in secs], dtype="int64")})
+    ]
+
+    # batch 1: events at t=0s and t=600s (in order)
+    assert list(sessionize((7,), mkbatch([0, 600]), state)) == []
+    assert state.get == (0, 600 * us, 2)
+    t1_timeout = state.timeout_ms
+    # batch 2: late event at t=300s — inside the session, older than last
+    assert list(sessionize((7,), mkbatch([300]), state)) == []
+    assert state.get == (0, 600 * us, 3), "bounds regressed on late event"
+    assert state.timeout_ms == t1_timeout, "timeout must track max ts, not last event"
+    # batch 3: late event BEFORE the carried start extends start downward
+    list(sessionize((7,), mkbatch([-120]), state))
+    assert state.get == (-120 * us, 600 * us, 4)
+    # batch 4: event past the gap closes the carried session with the
+    # correct (extended) bounds
+    closed = list(sessionize((7,), mkbatch([600 + 1800]), state))
+    assert len(closed) == 1
+    row = closed[0].iloc[0]
+    assert row["session_start"] == pd.Timestamp(-120 * us, unit="us")
+    assert row["session_end"] == pd.Timestamp(600 * us, unit="us")
+    assert row["n_events"] == 4
 
 
 def test_connected_components_known_graphs(spark):
