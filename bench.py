@@ -45,6 +45,13 @@ HEADLINE = [
     "embedding_topk_cosine",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
+    "large_order_customers",
+    "nation_pair_volume",
+    "late_shipment_priority_counts",
+    "window_rank_suite",
+    "rolling_revenue_90d",
+    "embedding_norm_stats",
+    "minhash_lsh_portable",
 ]
 
 

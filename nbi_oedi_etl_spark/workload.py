@@ -1486,11 +1486,17 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- registry
+#
+# Ordering contract: oracle-backed specs FIRST (grouped by area), rows-only
+# specs (approximate / hash-seeded / streaming-stateful / multimodal) last.
+# External correctness runs may evaluate a prefix of this list — the
+# value-hash-checkable surface must never sit behind a rows-only entry.
+
+from nbi_oedi_etl_spark import workload_ext as ext
 
 SPECS: list[QuerySpec] = [
     QuerySpec("flagship_hourly_resample", flagship_hourly_resample, _FLAGSHIP_ORACLE),
     QuerySpec("ref_q1_count_distinct", ref_q1_count_distinct, _Q1_ORACLE),
-    QuerySpec("ref_q1_approx_count_distinct", ref_q1_approx, None),
     QuerySpec("ref_q2_grouped_count_distinct", ref_q2_grouped_count_distinct, _Q2_ORACLE),
     QuerySpec("ref_q3_topk_per_group", ref_q3_topk_per_group, _Q3_ORACLE),
     QuerySpec("pricing_summary", pricing_summary, _PRICING_ORACLE),
@@ -1508,12 +1514,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("doc_fingerprints", doc_fingerprints, _FINGERPRINT_ORACLE),
     QuerySpec("exact_dedup_docs", exact_dedup_docs, _EXACT_DEDUP_ORACLE),
     QuerySpec("ngram_jaccard_small", ngram_jaccard_small, _NGRAM_JACCARD_ORACLE),
-    QuerySpec("minhash_lsh_near_dup", minhash_lsh_near_dup, None),
-    QuerySpec("simhash_buckets", simhash_bucket_docs, None),
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, _TOPK_COSINE_ORACLE),
-    QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None),
-    QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None),
-    QuerySpec("embedding_cosine_near_dup", embedding_cosine_near_dup, None),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, _GROUPING_SETS_ORACLE),
     QuerySpec("set_ops_customer_years", set_ops_customer_years, _SET_OPS_ORACLE),
     QuerySpec("shipping_priority", shipping_priority, _SHIPPING_PRIORITY_ORACLE),
@@ -1522,8 +1523,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("priority_shipping_counts", priority_shipping_counts, _PRIORITY_COUNTS_ORACLE),
     QuerySpec("order_date_format", order_date_format, _DATE_FORMAT_ORACLE),
     QuerySpec("doc_base64_codec", doc_base64_codec, _BASE64_ORACLE),
-    QuerySpec("near_dup_pipeline", near_dup_pipeline, None),
-    QuerySpec("near_dup_clusters", near_dup_clusters, None),
     QuerySpec("disjunctive_filter_revenue", disjunctive_filter_revenue, _DISJUNCTIVE_ORACLE),
     QuerySpec("top_tokens", top_tokens, _TOP_TOKENS_ORACLE),
     QuerySpec("regional_supplier_volume", regional_supplier_volume, _REGIONAL_VOLUME_ORACLE),
@@ -1542,8 +1541,33 @@ SPECS: list[QuerySpec] = [
     QuerySpec("pandas_normalize_text", pandas_normalize_text, _PANDAS_NORM_ORACLE),
     QuerySpec("pandas_demean_values", pandas_demean_values, _PANDAS_DEMEAN_ORACLE),
     QuerySpec("user_sessions", user_sessions, _SESSIONS_ORACLE),
+    # round-2 SQL-surface / array-map / portable-hash extensions
+    QuerySpec("large_order_customers", ext.large_order_customers, ext.LARGE_ORDER_ORACLE),
+    QuerySpec("nation_pair_volume", ext.nation_pair_volume, ext.NATION_PAIR_ORACLE),
+    QuerySpec("late_shipment_priority_counts", ext.late_shipment_priority_counts, ext.LATE_SHIPMENT_ORACLE),
+    QuerySpec("supplier_part_brand_counts", ext.supplier_part_brand_counts, ext.SUPPLIER_PART_ORACLE),
+    QuerySpec("idle_rich_customers", ext.idle_rich_customers, ext.IDLE_RICH_ORACLE),
+    QuerySpec("window_rank_suite", ext.window_rank_suite, ext.WINDOW_RANK_ORACLE),
+    QuerySpec("rolling_revenue_90d", ext.rolling_revenue_90d, ext.ROLLING_90D_ORACLE),
+    QuerySpec("embedding_norm_stats", ext.embedding_norm_stats, ext.EMBEDDING_NORM_ORACLE),
+    QuerySpec("map_props_surface", ext.map_props_surface, ext.MAP_PROPS_ORACLE),
+    QuerySpec("string_function_suite", ext.string_function_suite, ext.STRING_SUITE_ORACLE),
+    QuerySpec("date_function_suite", ext.date_function_suite, ext.DATE_SUITE_ORACLE),
+    QuerySpec("hash_sample_documents", ext.hash_sample_documents, ext.HASH_SAMPLE_ORACLE),
+    QuerySpec("doc_regex_token_estimate", ext.doc_regex_token_estimate, ext.REGEX_TOKEN_ORACLE),
+    QuerySpec("minhash_lsh_portable", ext.minhash_lsh_portable, ext.MINHASH_PORTABLE_ORACLE),
+    # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
+    # ---------------- rows-only from here down (no exact SQL twin) --------
+    QuerySpec("ref_q1_approx_count_distinct", ref_q1_approx, None),
+    QuerySpec("minhash_lsh_near_dup", minhash_lsh_near_dup, None),
+    QuerySpec("simhash_buckets", simhash_bucket_docs, None),
+    QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None),
+    QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None),
+    QuerySpec("embedding_cosine_near_dup", embedding_cosine_near_dup, None),
+    QuerySpec("near_dup_pipeline", near_dup_pipeline, None),
+    QuerySpec("near_dup_clusters", near_dup_clusters, None),
     QuerySpec("stateful_session_stats", stateful_session_stats, None),
     QuerySpec("multimodal_image_features", multimodal_image_features, None),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample, None),

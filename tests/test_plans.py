@@ -109,3 +109,43 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 def test_promo_revenue_plan_broadcasts_part(spark):
     df = _plan(spark, "promo_revenue_by_month")
     assert has_broadcast_join(df)
+
+
+def test_nation_pair_volume_plan(spark):
+    """Q7 shape: both nation role-aliases broadcast; the join spine never
+    broadcasts a fact table by hint."""
+    df = _plan(spark, "nation_pair_volume")
+    assert has_broadcast_join(df)
+
+
+def test_window_rank_suite_single_shuffle(spark):
+    """All five ranking/distribution functions share ONE partitioning:
+    a single exchange on o_orderpriority feeds every window frame — a
+    refactor that re-partitions per frame would double the shuffle."""
+    df = _plan(spark, "window_rank_suite")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_rolling_revenue_pushes_partition_filter(spark):
+    """The o_custkey filter precedes the window partition key, so it must
+    reach the parquet scan (filters on window PARTITION columns are
+    pushable; filters on window OUTPUTS are not)."""
+    df = _plan(spark, "rolling_revenue_90d")
+    assert "LessThan(o_custkey,200)" in pushed_filters(df)
+
+
+def test_embedding_norm_stats_single_shuffle(spark):
+    """explode → partial hash agg → one exchange on vec_id → final agg;
+    the exploded element rows must never shuffle raw."""
+    df = _plan(spark, "embedding_norm_stats")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in final or "partial_sum" in final
+
+
+def test_minhash_portable_reuses_signature_exchange(spark):
+    """The portable-hash LSH self-join must reuse the banded-signature
+    exchange, same as the xxhash64 production path."""
+    df = _plan(spark, "minhash_lsh_portable")
+    assert "ReusedExchange" in physical_plan(df)

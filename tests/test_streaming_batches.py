@@ -1,0 +1,76 @@
+"""Multi-microbatch streaming tests: the round-1 shipped tests drained
+everything in one availableNow batch (pre-sorted input), which cannot catch
+cross-batch state bugs. Here maxFilesPerTrigger=1 forces one microbatch per
+file, so carried GroupState meets genuinely late (out-of-order but
+within-watermark) events.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(path, ts_list):
+    t = pa.table(
+        {
+            "user_id": pa.array([1] * len(ts_list), pa.int64()),
+            "ts": pa.array(ts_list, pa.timestamp("us", tz="UTC")),
+        }
+    )
+    pq.write_table(t, path)
+
+
+def test_stateful_sessions_two_batch_out_of_order(spark, tmp_path):
+    """Batch 1 delivers events at 10:00 and 10:10; batch 2 delivers a late
+    10:05 (within the 30-min watermark) plus a 13:00 event that closes the
+    session. The emitted session must span 10:00-10:10 with 3 events — the
+    pre-fix sessionizer regressed session_end to the late 10:05."""
+    from nbi_oedi_etl_spark.streaming import stateful
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc)
+    m = dt.timedelta(minutes=1)
+    _write_events(d / "a.parquet", [base, base + 10 * m])
+    _write_events(d / "b.parquet", [base + 5 * m, base + 180 * m])
+    # file-source batch order follows modification time — pin it
+    os.utime(d / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(d / "b.parquet", (2_000_000, 2_000_000))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    sess = stateful.stateful_user_sessions(
+        stream, gap_seconds=1800, watermark="30 minutes"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("oo_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    rows = spark.table("oo_sessions").collect()
+    assert len(rows) == 1, rows  # the 13:00 tail session stays open in state
+    r = rows[0]
+    naive = base.replace(tzinfo=None)
+    assert r["user_id"] == 1
+    assert r["session_start"] == naive
+    assert r["session_end"] == naive + 10 * m, "late event regressed session_end"
+    assert r["n_events"] == 3
