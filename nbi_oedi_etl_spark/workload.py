@@ -1556,6 +1556,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("hash_sample_documents", ext.hash_sample_documents, ext.HASH_SAMPLE_ORACLE),
     QuerySpec("doc_regex_token_estimate", ext.doc_regex_token_estimate, ext.REGEX_TOKEN_ORACLE),
     QuerySpec("minhash_lsh_portable", ext.minhash_lsh_portable, ext.MINHASH_PORTABLE_ORACLE),
+    QuerySpec("near_dup_clusters_portable", ext.near_dup_clusters_portable, ext.CLUSTERS_PORTABLE_ORACLE),
+    QuerySpec("char_stats_udtf", ext.char_stats_udtf, ext.CHAR_STATS_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

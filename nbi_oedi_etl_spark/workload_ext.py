@@ -478,18 +478,9 @@ FROM documents
 """
 
 
-def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates with a CROSS-ENGINE-PORTABLE hash
-    family (md5 hex → bigint), value-hash-checked against a DuckDB twin —
-    the oracle-checked proof of the LSH banding logic that the fast
-    xxhash64 production path (operators/dedup.py, rows-only) can't give.
-
-    8 hashes × 4 bands × 2 rows/band over distinct 3-gram shingles. Same
-    shape as the production operator: codegen'd tokenize → window lead →
-    per-doc min-aggregate → band self-join on (band, v1, v2); md5-per-seed
-    is ~4× the hashing cost of xxhash64, which is why it's the parity
-    variant, not the default."""
-    docs = read_table(spark, sf_dir, "documents")
+def _portable_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate-pair core of :func:`minhash_lsh_portable` (shared with the
+    portable cluster query)."""
     t = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
@@ -546,6 +537,20 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with a CROSS-ENGINE-PORTABLE hash
+    family (md5 hex → bigint), value-hash-checked against a DuckDB twin —
+    the oracle-checked proof of the LSH banding logic that the fast
+    xxhash64 production path (operators/dedup.py, rows-only) can't give.
+
+    8 hashes × 4 bands × 2 rows/band over distinct 3-gram shingles. Same
+    shape as the production operator: codegen'd tokenize → window lead →
+    per-doc min-aggregate → band self-join on (band, v1, v2); md5-per-seed
+    is ~4× the hashing cost of xxhash64, which is why it's the parity
+    variant, not the default."""
+    return _portable_minhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
 MINHASH_PORTABLE_ORACLE = r"""
 WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -569,4 +574,103 @@ WITH d AS (
 SELECT DISTINCT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b
 FROM b a JOIN b b2 ON a.band = b2.band AND a.v1 = b2.v1 AND a.v2 = b2.v2
                    AND a.doc_id < b2.doc_id
+"""
+
+
+def near_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters over the PORTABLE MinHash candidate pairs — the full
+    pipeline tail (pairs → iterative connected components → cluster
+    summary) value-hash-checked cross-engine: Spark's distributed min-label
+    propagation (operators/dedup.py connected_components) must equal
+    DuckDB's recursive-CTE transitive closure. This is the oracle proof of
+    the closure algorithm the xxhash-seeded ``near_dup_clusters`` (rows-
+    only) can't give."""
+    from nbi_oedi_etl_spark.operators import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, _portable_minhash_pairs(docs))
+
+
+CLUSTERS_PORTABLE_ORACLE = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+  FROM d
+), hs AS (
+  SELECT doc_id, seed,
+         min(('0x' || substring(md5(seed::VARCHAR || '|' || s), 1, 15))::BIGINT) AS m
+  FROM sh, range(8) t(seed) GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(m ORDER BY seed) AS sig FROM hs GROUP BY doc_id
+), bnd AS (
+  SELECT doc_id, band, sig[2*band+1] AS v1, sig[2*band+2] AS v2
+  FROM sig, range(4) t(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.v1 = b2.v1 AND a.v2 = b2.v2
+                         AND a.doc_id < b2.doc_id
+), e AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
+       min(node) AS canonical_doc_id
+FROM (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+GROUP BY component
+HAVING count(*) > 1
+"""
+
+
+# ----------------------------------------------------------- UDTF surface
+
+def char_stats_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) + LATERAL join — the 1→N user-pluggable
+    row expander (SURVEY.md §2.10: the reference's transform slot is a
+    TODO; UDTFs are the Spark-4 shape of it). Emits 3 char-class count rows
+    per document. Counts use explicit ASCII ranges so the Python side and
+    the oracle's regex char classes agree on any input."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="kind: string, cnt: int")
+    class CharStats:
+        def eval(self, text: str):
+            if text is None:
+                return
+            letters = sum(1 for c in text if "a" <= c <= "z" or "A" <= c <= "Z")
+            digits = sum(1 for c in text if "0" <= c <= "9")
+            yield "letters", letters
+            yield "digits", digits
+            yield "spaces", text.count(" ")
+
+    spark.udtf.register("char_stats", CharStats)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.kind, s.cnt
+        FROM documents_udtf d, LATERAL char_stats(d.text) s
+        """
+    )
+
+
+CHAR_STATS_ORACLE = """
+SELECT doc_id, 'letters' AS kind,
+       CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+            AS INTEGER) AS cnt
+FROM documents
+UNION ALL
+SELECT doc_id, 'digits',
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS INTEGER)
+FROM documents
+UNION ALL
+SELECT doc_id, 'spaces',
+       CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER)
+FROM documents
 """
