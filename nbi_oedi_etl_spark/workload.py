@@ -1558,9 +1558,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("minhash_lsh_portable", ext.minhash_lsh_portable, ext.MINHASH_PORTABLE_ORACLE),
     QuerySpec("near_dup_clusters_portable", ext.near_dup_clusters_portable, ext.CLUSTERS_PORTABLE_ORACLE),
     QuerySpec("char_stats_udtf", ext.char_stats_udtf, ext.CHAR_STATS_ORACLE),
+    QuerySpec("embedding_near_dup_exact_small", ext.embedding_near_dup_exact_small, ext.EMBEDDING_NEAR_DUP_EXACT_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
+    QuerySpec("streaming_sliding_window_counts", ext.streaming_sliding_window_counts, _SLIDING_WINDOW_ORACLE),
     # ---------------- rows-only from here down (no exact SQL twin) --------
     QuerySpec("ref_q1_approx_count_distinct", ref_q1_approx, None),
     QuerySpec("minhash_lsh_near_dup", minhash_lsh_near_dup, None),

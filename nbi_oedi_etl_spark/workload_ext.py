@@ -674,3 +674,78 @@ SELECT doc_id, 'spaces',
        CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER)
 FROM documents
 """
+
+
+def embedding_near_dup_exact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs on a bounded subset (vec_id < 100
+    all-pairs, threshold on the ROUNDED similarity so the boundary is
+    engine-stable) — the oracle-checked verification tier of the embedding
+    near-dup pipeline. The LSH-bucketed candidate generator
+    (embedding_cosine_near_dup) stays the 100 TB path; this proves the pair
+    semantics it approximates. Same HOF-cosine fold order as
+    embedding_topk_cosine (bit-exact vs DuckDB list_cosine_similarity)."""
+    from nbi_oedi_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+    )
+    pairs = a.crossJoin(b).where(F.col("vec_id_a") < F.col("vec_id_b"))
+    sim = F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6)
+    return pairs.select("vec_id_a", "vec_id_b", sim.alias("cos_sim")).where(
+        F.col("cos_sim") >= 0.3
+    )
+
+
+EMBEDDING_NEAR_DUP_EXACT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 100
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3
+"""
+
+
+def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window count as a STREAMING aggregation (complete-mode
+    drain, availableNow) — shares the batch sliding-window oracle: the
+    drained window state must equal the batch group-by exactly. Overlapping
+    windows mean each event updates two state rows; the watermark-less
+    complete mode keeps every window (the batch-parity semantics; append
+    mode with a watermark is the continuous-ingest variant)."""
+    import tempfile
+
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = ingest.run_available_now(
+            agg, tempfile.mkdtemp(), queue_name="stream_sliding"
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_sliding").select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n_events"
+    )
