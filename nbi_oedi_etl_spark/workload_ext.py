@@ -749,3 +749,75 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.table("stream_sliding").select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n_events"
     )
+
+
+def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 60-bit SimHash (md5 hex → bigint per 2-gram shingle,
+    frequency-weighted bit tallies) with prefix buckets, value-hash-checked
+    against a DuckDB twin — completes the oracle-checked dedup tier set
+    (exact / MinHash-LSH / Jaccard / closure / embedding-cosine / SimHash).
+    Same two-phase shape as the xxhash64 production path
+    (operators/dedup.py simhash_buckets): codegen'd shingle hashing → 60
+    conditional tally SUMs in ONE hash aggregate (one shuffled row per doc)
+    → sign-bit recombination. 60 bits keeps every value positive, so no
+    sign-bit special case on either engine."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t = t.select(
+        "doc_id", "tok", F.lead("tok", 1).over(w).alias("t1")
+    ).where(F.col("t1").isNotNull())
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", "tok", "t1")), 1, 15), 16, 10
+    ).cast("bigint")
+    sh = t.select("doc_id", h.alias("h"))
+    tallies = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(60)
+        ]
+    )
+    simhash = None
+    for i in range(60):
+        wgt = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = wgt if simhash is None else simhash + wgt
+    return tallies.select("doc_id", simhash.alias("simhash")).withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 44)
+    )
+
+
+SIMHASH_PORTABLE_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(toks) - 1),
+             i -> toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM d
+), hs AS (
+  SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM sh
+), tal AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS t
+  FROM hs, range(60) r(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN t > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+         AS simhash,
+       CAST(sum(CASE WHEN t > 0 THEN (1::BIGINT << b) ELSE 0 END) >> 44 AS BIGINT)
+         AS bucket
+FROM tal GROUP BY doc_id
+"""
