@@ -33,6 +33,12 @@ def asof_join(
 
     Output: all left columns + ``<payload>_asof`` for each payload column
     (+ ``asof_ts`` — the matched right timestamp; null when no match).
+
+    Tie semantics: a right row AT the left timestamp matches (like
+    merge_asof with allow_exact_matches). Among multiple right rows with
+    the SAME (key, ts) the winner is engine-defined (sort stability) —
+    the same contract as pandas merge_asof (input order) and DuckDB ASOF
+    (unspecified); deduplicate the right side first if it matters.
     """
     if direction != "backward":
         raise ValueError("only direction='backward' is implemented")

@@ -68,6 +68,73 @@ def test_resample_hourly_matches_pandas(spark, rows):
         assert math.isclose(got[k][1], vmean, rel_tol=1e-9, abs_tol=1e-9)
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 1000)),  # (key, ts offset s)
+        min_size=1,
+        max_size=40,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(1, 3), st.integers(0, 1000), st.integers(-100, 100)
+        ),  # (key, ts offset s, payload)
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """For ANY left/right event sets (left-ts == right-ts exact matches
+    included): the union+window as-of join equals pandas merge_asof
+    (backward, exact matches allowed). Right rows are unique per (key, ts):
+    with same-key same-ts right DUPLICATES the winner is engine-defined in
+    every engine (pandas: input order; DuckDB ASOF: unspecified; here: sort
+    stability) — excluded by construction rather than pinned."""
+    from nbi_oedi_etl_spark.operators.asof import asof_join
+
+    lp = pd.DataFrame(
+        [
+            {"k": k, "ts": _EPOCH + dt.timedelta(seconds=s), "lid": i}
+            for i, (k, s) in enumerate(left)
+        ]
+    )
+    rp = pd.DataFrame(
+        [
+            {"k": k, "ts": _EPOCH + dt.timedelta(seconds=s), "pay": float(p)}
+            for k, s, p in right
+        ],
+        columns=["k", "ts", "pay"],
+    )
+    ldf = spark.createDataFrame(lp)
+    if len(rp):
+        rdf = spark.createDataFrame(rp)
+    else:
+        rdf = spark.createDataFrame([], "k bigint, ts timestamp, pay double")
+    got = {
+        r["lid"]: r["pay_asof"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", right_payload=["pay"]
+        ).collect()
+    }
+    if len(rp):
+        want_df = pd.merge_asof(
+            lp.sort_values(["ts", "lid"]),
+            rp.sort_values(["ts", "k"]),
+            on="ts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        want = dict(zip(want_df["lid"], want_df["pay"]))
+    else:
+        want = {lid: float("nan") for lid in lp["lid"]}
+    assert set(got) == set(want)
+    for lid in want:
+        g, w = got[lid], want[lid]
+        assert (g is None and pd.isna(w)) or g == w, (lid, g, w)
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
