@@ -350,6 +350,30 @@ def test_sessionizer_out_of_order_second_batch():
     assert row["n_events"] == 4
 
 
+def test_hash_sample_invariant_under_partitioning(spark):
+    """The deterministic hash sample must select the SAME rows regardless
+    of physical layout — the reproducibility claim that TABLESAMPLE can't
+    make (its rows depend on partition boundaries)."""
+    from nbi_oedi_etl_spark import workload
+
+    base = {
+        r["doc_id"]
+        for r in workload.queries()["hash_sample_documents"](spark, SF_SMALL).collect()
+    }
+    from nbi_oedi_etl_spark.workload_ext import hash_sample_documents
+    from nbi_oedi_etl_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    for layout in (docs.repartition(17), docs.repartition(1), docs.coalesce(2)):
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % 10
+        )
+        got = {r["doc_id"] for r in layout.where(bucket == 0).select("doc_id").collect()}
+        assert got == base
+
+
 def test_connected_components_known_graphs(spark):
     """Chain + separate pair + isolated-from-pairs node: components must be
     the transitive closure, not just pairwise minima."""

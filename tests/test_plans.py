@@ -149,3 +149,32 @@ def test_minhash_portable_reuses_signature_exchange(spark):
     exchange, same as the xxhash64 production path."""
     df = _plan(spark, "minhash_lsh_portable")
     assert "ReusedExchange" in physical_plan(df)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of formulation is ONE shuffle on the entity key
+    — the property that keeps it linear at 100 TB (operators/asof.py). Both
+    union legs feed the same window exchange; no per-row range probe, no
+    broadcast of the right side."""
+    df = _plan(spark, "asof_last_purchase")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" not in final
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join-hint surface: SHUFFLE_HASH must yield a ShuffledHashJoin and
+    MERGE a SortMergeJoin even under broadcast-eligible sizes — the manual
+    override lever when AQE's choice is wrong for a known workload."""
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.sources import read_table
+
+    o = read_table(spark, SF_ORACLE, "orders")
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    for hint, node in [("shuffle_hash", "ShuffledHashJoin"), ("merge", "SortMergeJoin")]:
+        j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        j.collect()
+        assert node in physical_plan(j), hint
