@@ -1564,6 +1564,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("char_stats_udtf", ext.char_stats_udtf, ext.CHAR_STATS_ORACLE),
     QuerySpec("embedding_near_dup_exact_small", ext.embedding_near_dup_exact_small, ext.EMBEDDING_NEAR_DUP_EXACT_ORACLE),
     QuerySpec("simhash_portable", ext.simhash_portable, ext.SIMHASH_PORTABLE_ORACLE),
+    QuerySpec("order_rollup_per_customer", ext.order_rollup_per_customer, ext.ORDER_ROLLUP_ORACLE),
+    QuerySpec("event_bitwise_aggregates", ext.event_bitwise_aggregates, ext.EVENT_BITWISE_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

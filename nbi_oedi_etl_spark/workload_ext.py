@@ -821,3 +821,64 @@ SELECT doc_id,
          AS bucket
 FROM tal GROUP BY doc_id
 """
+
+
+def order_rollup_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection/argmax aggregate surface: per customer the SORTED order-key
+    list (sort_array makes collect_list deterministic — raw collect order is
+    partition-dependent), its CSV form, and max_by/min_by keyed on a
+    strictly-unique decimal ordering value (price ties broken by orderkey,
+    exactly — a raw max_by on price alone would be engine-defined on ties)."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    ordv = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 1000000 + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"), ","
+        ).alias("orderkeys_csv"),
+        F.max_by("o_orderkey", ordv).alias("priciest_order"),
+        F.min_by("o_orderkey", ordv).alias("cheapest_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORDER_ROLLUP_ORACLE = """
+SELECT o_custkey,
+       list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS orderkeys_csv,
+       arg_max(o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 + o_orderkey)
+         AS priciest_order,
+       arg_min(o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 + o_orderkey)
+         AS cheapest_order,
+       count(*) AS n_orders
+FROM orders
+WHERE o_custkey < 300
+GROUP BY o_custkey
+"""
+
+
+def event_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface (bit_and / bit_or / bit_xor) — order-
+    independent by algebra, so no determinism tricks needed."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("ids_and"),
+        F.bit_or("event_id").alias("ids_or"),
+        F.bit_xor("event_id").alias("ids_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+EVENT_BITWISE_ORACLE = """
+SELECT event_type,
+       bit_and(event_id) AS ids_and,
+       bit_or(event_id) AS ids_or,
+       bit_xor(event_id) AS ids_xor,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
