@@ -87,3 +87,38 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def await_with_idle_timeout(
+    query: StreamingQuery,
+    idle_timeout_seconds: float,
+    poll_seconds: float = 0.5,
+) -> bool:
+    """T4 idle watchdog (reference monitor.py:221-274: stop the pipeline
+    when all queues have been empty longer than ``idle_timeout_in_minutes``,
+    checked every 30 s): stop a continuous streaming query once it has
+    processed no input rows for ``idle_timeout_seconds``.
+
+    Returns True if the watchdog stopped the query, False if the query
+    terminated on its own first. Progress is read from the query's own
+    ``recentProgress`` (numInputRows per micro-batch) — the declarative
+    equivalent of the reference's four queue-empty checks."""
+    import time as _time
+
+    last_data = _time.monotonic()
+    seen: set[str] = set()
+    while query.isActive:
+        for p in query.recentProgress:
+            if p is None:
+                continue
+            bid = f"{p['id']}/{p['batchId']}"
+            if bid not in seen:
+                seen.add(bid)
+                if p.get("numInputRows", 0) > 0:
+                    last_data = _time.monotonic()
+        if _time.monotonic() - last_data >= idle_timeout_seconds:
+            query.stop()
+            query.awaitTermination()
+            return True
+        _time.sleep(poll_seconds)
+    return False

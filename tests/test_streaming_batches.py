@@ -74,3 +74,36 @@ def test_stateful_sessions_two_batch_out_of_order(spark, tmp_path):
     assert r["session_start"] == naive
     assert r["session_end"] == naive + 10 * m, "late event regressed session_end"
     assert r["n_events"] == 3
+
+
+def test_idle_timeout_watchdog_stops_drained_stream(spark, tmp_path):
+    """T4 parity (reference monitor.py:221-274): a continuous-trigger query
+    over a static directory keeps producing empty micro-batches; the idle
+    watchdog must stop it once no rows have arrived for the timeout, and
+    the rows from the initial batches must have landed."""
+    import datetime as dt
+    import tempfile
+
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc)
+    _write_events(d / "a.parquet", [base, base + dt.timedelta(minutes=1)])
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    counts = stream.groupBy("user_id").count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("idle_watchdog_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    stopped = ingest.await_with_idle_timeout(q, idle_timeout_seconds=3.0)
+    assert stopped, "watchdog did not stop the idle query"
+    assert not q.isActive
+    rows = spark.table("idle_watchdog_sink").collect()
+    assert {(r["user_id"], r["count"]) for r in rows} == {(1, 2)}
