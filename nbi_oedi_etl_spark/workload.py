@@ -1497,6 +1497,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value-hash-checkable surface must never sit behind a rows-only entry.
 
 from nbi_oedi_etl_spark import workload_ext as ext
+from nbi_oedi_etl_spark import workload_tpch as tpch
 
 SPECS: list[QuerySpec] = [
     QuerySpec("flagship_hourly_resample", flagship_hourly_resample, _FLAGSHIP_ORACLE),
@@ -1566,6 +1567,16 @@ SPECS: list[QuerySpec] = [
     QuerySpec("simhash_portable", ext.simhash_portable, ext.SIMHASH_PORTABLE_ORACLE),
     QuerySpec("order_rollup_per_customer", ext.order_rollup_per_customer, ext.ORDER_ROLLUP_ORACLE),
     QuerySpec("event_bitwise_aggregates", ext.event_bitwise_aggregates, ext.EVENT_BITWISE_ORACLE),
+    # remaining TPC-H shapes (workload_tpch.py) — completes the 22-query surface
+    QuerySpec("q2_best_supplier_per_part", tpch.q2_best_supplier_per_part, tpch.Q2_ORACLE),
+    QuerySpec("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_ORACLE),
+    QuerySpec("q8_market_share", tpch.q8_market_share, tpch.Q8_ORACLE),
+    QuerySpec("q9_profit_by_nation_year", tpch.q9_profit_by_nation_year, tpch.Q9_ORACLE),
+    QuerySpec("q10_returned_items", tpch.q10_returned_items, tpch.Q10_ORACLE),
+    QuerySpec("q15_top_supplier", tpch.q15_top_supplier, tpch.Q15_ORACLE),
+    QuerySpec("q17_small_qty_revenue", tpch.q17_small_qty_revenue, tpch.Q17_ORACLE),
+    QuerySpec("q20_heavy_suppliers", tpch.q20_heavy_suppliers, tpch.Q20_ORACLE),
+    QuerySpec("q21_waiting_suppliers", tpch.q21_waiting_suppliers, tpch.Q21_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
