@@ -31,14 +31,20 @@ def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def partition_filters(df: DataFrame) -> str:
-    """The PartitionFilters clause(s) of the scan node(s)."""
+    """The PartitionFilters clause(s) of the scan node(s).
+
+    NOTE: scan-node metadata is truncated at render time by
+    spark.sql.maxMetadataStringLength, and the string is baked into the
+    scan node when the plan materializes — so the widened value must be in
+    effect BEFORE the query is built (get_spark sets it)."""
     plan = physical_plan(df)
     return "\n".join(re.findall(r"PartitionFilters: \[[^\]]*\]", plan))
 
 
 def pushed_filters(df: DataFrame) -> str:
     """The PushedFilters clause(s) of the scan node(s) — predicates that
-    reached the parquet reader (row-group/page pruning)."""
+    reached the parquet reader (row-group/page pruning). See the
+    truncation note on partition_filters."""
     plan = physical_plan(df)
     return "\n".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
 

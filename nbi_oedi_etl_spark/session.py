@@ -46,6 +46,11 @@ _DEFAULT_CONF = {
     # RFC-4648 base64 without MIME line-chunking (matches DuckDB/Trino;
     # chunked output breaks cross-engine comparison of encoded columns).
     "spark.sql.chunkBase64String.enabled": "false",
+    # Scan-node metadata (PushedFilters/PartitionFilters) is truncated to
+    # this many chars AT PLAN BUILD TIME; the default 100 hides all but the
+    # first pushed predicates, making plan assertions (tests/test_plans.py)
+    # and operator plan audits blind. Costs nothing at execution.
+    "spark.sql.maxMetadataStringLength": "10000",
 }
 
 

@@ -178,3 +178,49 @@ def test_join_strategy_hints_are_honored(spark):
         ).agg(F.count(F.lit(1)).alias("n"))
         j.collect()
         assert node in physical_plan(j), hint
+
+
+def test_q6_predicates_all_reach_scan(spark):
+    """Q6 is the canonical pushdown benchmark: the ENTIRE predicate (date
+    range + discount band + quantity cap) must reach the parquet reader so
+    a 100 TB scan skips row groups on column stats; and a scan-only agg
+    must have exactly one exchange (the one-row partial→final)."""
+    df = _plan(spark, "q6_forecast_revenue")
+    pf = pushed_filters(df)
+    assert "GreaterThanOrEqual(l_shipdate" in pf
+    assert "LessThan(l_shipdate" in pf
+    assert "GreaterThanOrEqual(l_discount,0.05)" in pf
+    assert "LessThan(l_quantity,24" in pf
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Join" not in final
+
+
+def test_q8_market_share_broadcasts_dims_only(spark):
+    """Q8's 8-table join: every dimension (part, both nation roles, region,
+    supplier) broadcasts; the lineitem⋈orders⋈customer spine must never be
+    broadcast (fact tables shuffle on keys at scale)."""
+    df = _plan(spark, "q8_market_share")
+    assert has_broadcast_join(df)
+    pf = pushed_filters(df)
+    assert "EqualTo(p_type,STANDARD)" in pf
+    assert "GreaterThanOrEqual(o_orderdate" in pf
+
+
+def test_q10_returned_items_topk_plan(spark):
+    """Q10: returnflag equality and the quarter range push to the scans;
+    the LIMIT 20 is a TakeOrderedAndProject, never a global sort."""
+    df = _plan(spark, "q10_returned_items")
+    pf = pushed_filters(df)
+    assert "EqualTo(l_returnflag,R)" in pf
+    assert "GreaterThanOrEqual(o_orderdate" in pf
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_q21_subqueries_decorrelate_to_joins(spark):
+    """Q21's EXISTS / NOT EXISTS double-correlation must decorrelate into
+    left-semi and left-anti joins on orderkey — per-row subquery execution
+    would be quadratic in order size at scale."""
+    df = _plan(spark, "q21_waiting_suppliers")
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
