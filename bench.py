@@ -52,6 +52,12 @@ HEADLINE = [
     "rolling_revenue_90d",
     "embedding_norm_stats",
     "minhash_lsh_portable",
+    # TPC-H completion shapes (workload_tpch.py)
+    "q6_forecast_revenue",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
 ]
 
 

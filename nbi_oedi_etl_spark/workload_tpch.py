@@ -352,21 +352,24 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from orders whose quantity is below half
-    the part's average. The correlated AVG subquery is computed as one
-    per-part aggregate over the brand-pruned fact and joined back
-    (broadcast — |brand parts| is small). The threshold test is rewritten
-    multiplicatively (qty * 2 * cnt < sum_qty) so it's evaluated in
-    exactly-representable doubles in both engines, avoiding AVG
-    fold-order sensitivity."""
+    the part's average. The correlated AVG subquery becomes a per-part
+    window aggregate over the brand-pruned fact: ONE scan of lineitem and
+    one shuffle of only the branded subset. (A groupBy + join-back would
+    scan the 100 TB fact twice — the brand filter lives on the broadcast
+    side, so it can't push down to prune the second scan.) The threshold
+    test is rewritten multiplicatively (qty * 2 * cnt < sum_qty) so it's
+    evaluated in exactly-representable doubles in both engines, avoiding
+    AVG fold-order sensitivity."""
     p = read_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
     li = read_table(spark, sf_dir, "lineitem")
     branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    per_part = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
-        _dec_sum("l_quantity", "sum_qty"),
-        F.count(F.lit(1)).alias("cnt_qty"),
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        branded.join(F.broadcast(per_part), branded.l_partkey == per_part.pk)
+        branded.withColumn(
+            "sum_qty",
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"),
+        )
+        .withColumn("cnt_qty", F.count(F.lit(1)).over(w))
         .where(F.col("l_quantity") * 2 * F.col("cnt_qty") < F.col("sum_qty"))
         .agg(
             F.round(
