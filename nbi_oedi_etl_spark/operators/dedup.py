@@ -328,3 +328,27 @@ def dedup_clusters(
         )
         .where(F.col("cluster_size") > 1)
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreaks: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot compaction / CDC-upsert shape: keep the LATEST row per key
+    (max order_col, ties broken by `tiebreaks` descending so the winner is
+    unique). The standard "latest document version wins" op in a
+    training-data pipeline fed by incremental crawls.
+
+    Scale: ONE shuffle on the key; since Spark 3.5 the rank<=1 filter
+    rewrites to WindowGroupLimit, so each map task pre-prunes to its local
+    top-1 per key before the exchange — shuffle volume is ~|distinct keys|,
+    not |rows| (asserted in tests/test_plans.py)."""
+    order = [F.desc(order_col)] + [F.desc(t) for t in (tiebreaks or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1577,6 +1577,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q17_small_qty_revenue", tpch.q17_small_qty_revenue, tpch.Q17_ORACLE),
     QuerySpec("q20_heavy_suppliers", tpch.q20_heavy_suppliers, tpch.Q20_ORACLE),
     QuerySpec("q21_waiting_suppliers", tpch.q21_waiting_suppliers, tpch.Q21_ORACLE),
+    QuerySpec("latest_event_per_user", ext.latest_event_per_user, ext.LATEST_EVENT_ORACLE),
+    QuerySpec("stratified_sample_documents", ext.stratified_sample_documents, ext.STRATIFIED_SAMPLE_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

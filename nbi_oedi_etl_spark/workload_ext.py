@@ -882,3 +882,58 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-upsert / snapshot-compaction shape: latest event per user
+    (operators/dedup.py latest_by_key) — the "latest document version
+    wins" primitive of an incrementally-crawled corpus. One shuffle on
+    the key; WindowGroupLimit pre-prunes map-side (plan-asserted)."""
+    from nbi_oedi_etl_spark.operators import dedup
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return dedup.latest_by_key(
+        ev, keys=["user_id"], order_col="ts", tiebreaks=["event_id"]
+    )
+
+
+LATEST_EVENT_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: per-language deterministic hash sampling with
+    per-stratum rates (downsample the dominant 'en', keep more of the
+    rest) — the standard language-balancing step before LLM training.
+    Pure scan+filter: no shuffle, no seed state, same rows on any engine
+    or partitioning (md5→bigint bridge, see hash_sample_documents)."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 10
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang").isin("zh", "es"), 5)
+        .otherwise(8)
+    )
+    return d.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10
+      < CASE WHEN lang = 'en' THEN 2
+             WHEN lang IN ('zh','es') THEN 5
+             ELSE 8 END
+"""

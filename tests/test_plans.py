@@ -224,3 +224,21 @@ def test_q21_subqueries_decorrelate_to_joins(spark):
     plan = physical_plan(df)
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_latest_by_key_window_group_limit(spark):
+    """latest_by_key's rank<=1 must rewrite to WindowGroupLimit so each
+    map task pre-prunes to its local winner before the exchange — shuffle
+    volume ~|keys|, not |rows|. One exchange total."""
+    df = _plan(spark, "latest_event_per_user")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """The stratified sampler is scan+filter only: any exchange would mean
+    an accidental repartition in a pure row-local op."""
+    df = _plan(spark, "stratified_sample_documents")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
