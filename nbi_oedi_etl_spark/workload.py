@@ -1497,6 +1497,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value-hash-checkable surface must never sit behind a rows-only entry.
 
 from nbi_oedi_etl_spark import workload_ext as ext
+from nbi_oedi_etl_spark import workload_ext2 as ext2
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 SPECS: list[QuerySpec] = [
@@ -1579,6 +1580,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q21_waiting_suppliers", tpch.q21_waiting_suppliers, tpch.Q21_ORACLE),
     QuerySpec("latest_event_per_user", ext.latest_event_per_user, ext.LATEST_EVENT_ORACLE),
     QuerySpec("stratified_sample_documents", ext.stratified_sample_documents, ext.STRATIFIED_SAMPLE_ORACLE),
+    # round-2 continuation: rollup cascade, SCD2, full-outer/cross joins
+    QuerySpec("cascade_daily_rollup", ext2.cascade_daily_rollup, ext2.CASCADE_DAILY_ORACLE),
+    QuerySpec("scd2_user_events", ext2.scd2_user_events, ext2.SCD2_ORACLE),
+    QuerySpec("full_outer_nation_activity", ext2.full_outer_nation_activity, ext2.FULL_OUTER_ORACLE),
+    QuerySpec("cross_join_region_matrix", ext2.cross_join_region_matrix, ext2.CROSS_JOIN_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
