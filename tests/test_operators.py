@@ -425,3 +425,30 @@ def test_dedup_clusters_canonicals(spark):
     assert len(rows) == 1
     assert rows[0]["canonical_doc_id"] == 1
     assert rows[0]["cluster_size"] == 3
+
+
+def test_scd2_and_cascade_single_event(spark, tmp_path):
+    """One event for one user: SCD2 yields a single open current version;
+    the cascade yields one daily bucket whose mean is the event value."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark import workload_ext2 as ext2
+
+    t = pa.table(
+        {
+            "event_id": pa.array([7], pa.int64()),
+            "ts": pa.array([datetime.datetime(2024, 1, 1, 0, 0, 1)], pa.timestamp("us")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(['{"k": 1}']),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    r = ext2.scd2_user_events(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0].is_current and r[0].valid_to is None and r[0].version == 1
+    c = ext2.cascade_daily_rollup(spark, str(tmp_path)).collect()
+    assert len(c) == 1 and c[0].value_mean == 1.5 and c[0].n_events == 1

@@ -242,3 +242,44 @@ def test_stratified_sample_no_shuffle(spark):
     df = _plan(spark, "stratified_sample_documents")
     final = physical_plan(df).split("== Initial Plan ==")[0]
     assert "Exchange" not in final
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining a hive-partitioned fact on its partition column with a
+    filtered dim must inject a dynamicpruning expression into the scan's
+    PartitionFilters — at 100 TB this skips every partition the dim filter
+    rules out, before any file is opened (the runtime analog of the
+    reference's prefix-level partition pruning, fetch.py:60-82)."""
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.plans.explain import partition_filters
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.partitionBy("event_type").parquet(str(tmp_path / "ev"))
+    fact = spark.read.parquet(str(tmp_path / "ev"))
+    dim = spark.createDataFrame(
+        [("click", "a"), ("view", "b"), ("error", "c")], ["event_type", "grp"]
+    ).where(F.col("grp") == "a")
+    j = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.sum("value").alias("v")
+    )
+    assert "dynamicpruning" in partition_filters(j).lower()
+
+
+def test_cascade_daily_rollup_two_aggregates(spark):
+    """The cascade is two hash aggregates; the second consumes the first's
+    (user_id, hour) partitioning, so there is exactly one width-changing
+    exchange chain, not a re-scan of raw events."""
+    df = _plan(spark, "cascade_daily_rollup")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+
+
+def test_scd2_single_sort_no_self_join(spark):
+    """SCD2 history derives lead() and row_number() from ONE window sort —
+    a self-join formulation would double the shuffle volume."""
+    df = _plan(spark, "scd2_user_events")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Join" not in final
+    assert final.count("Window") == 1
