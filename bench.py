@@ -52,6 +52,8 @@ HEADLINE = [
     "rolling_revenue_90d",
     "embedding_norm_stats",
     "minhash_lsh_portable",
+    "cascade_daily_rollup",
+    "scd2_user_events",
     # TPC-H completion shapes (workload_tpch.py)
     "q6_forecast_revenue",
     "q9_profit_by_nation_year",

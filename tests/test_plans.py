@@ -283,3 +283,42 @@ def test_scd2_single_sort_no_self_join(spark):
     assert final.count("Exchange hashpartitioning") == 1
     assert "Join" not in final
     assert final.count("Window") == 1
+
+
+def test_runtime_bloom_filter_for_shuffle_join(spark):
+    """When the dim side is too big to broadcast, Spark can still inject a
+    runtime Bloom filter built from the filtered dim keys into the fact
+    scan — the row-level analog of dynamic partition pruning. At 100 TB a
+    selective dim filter then prunes most fact rows before the shuffle.
+    Thresholds are lowered here because the testdata is tiny; production
+    defaults (10 MB creation side) apply unchanged at scale."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        assert "might_contain" in physical_plan(j)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            saved["spark.sql.autoBroadcastJoinThreshold"],
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
