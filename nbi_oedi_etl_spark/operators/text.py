@@ -109,6 +109,73 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+# Conservative regex subset (char classes, {m,n}, \b) that parses
+# identically under Java regex (Spark) and RE2 (DuckDB/Go) — the scrub must
+# be reproducible outside the engine.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: replace emails / phone-shaped tokens with typed
+    placeholders, keeping per-doc match counts for audit.
+
+    Pure narrow map (regexp_replace / regexp_count are codegen'd JVM
+    expressions): no shuffle, scales linearly with the corpus like every
+    text op in this module. Counts are computed on the ORIGINAL text so
+    the audit trail survives the redaction."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        scrubbed.alias("text_scrubbed"),
+    )
+
+
+# Gopher-style gate thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1) — bounds on
+# word count, mean word length, symbol ratio, and stopword presence.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style pretraining quality gate: per-doc boolean flags for
+    each rule plus the composite keep/drop decision.
+
+    All ratios are single integer-division expressions (deterministic
+    double ops, no rounding before the threshold compare), so the flags
+    are bit-identical across engines. Narrow map, no shuffle."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    mean_wlen = F.length(F.regexp_replace(t, _WS, "")) * F.lit(1.0) / n_words
+    symbols = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    symbol_ratio = symbols * F.lit(1.0) / F.length(t)
+    has_stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"]))) > 0
+    words_ok = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    wlen_ok = (mean_wlen >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_wlen <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    symbols_ok = symbol_ratio < GOPHER_MAX_SYMBOL_RATIO
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        words_ok.alias("words_ok"),
+        wlen_ok.alias("mean_word_len_ok"),
+        symbols_ok.alias("symbol_ratio_ok"),
+        has_stop.alias("has_stopword"),
+        (words_ok & wlen_ok & symbols_ok & has_stop).alias("keep"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.
 

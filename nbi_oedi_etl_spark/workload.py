@@ -1585,6 +1585,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("scd2_user_events", ext2.scd2_user_events, ext2.SCD2_ORACLE),
     QuerySpec("full_outer_nation_activity", ext2.full_outer_nation_activity, ext2.FULL_OUTER_ORACLE),
     QuerySpec("cross_join_region_matrix", ext2.cross_join_region_matrix, ext2.CROSS_JOIN_ORACLE),
+    QuerySpec("doc_pii_scrub", ext2.doc_pii_scrub, ext2.PII_SCRUB_ORACLE),
+    QuerySpec("doc_gopher_filter", ext2.doc_gopher_filter, ext2.GOPHER_FILTER_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nbi_oedi_etl_spark.operators import text as text_ops
 from nbi_oedi_etl_spark.sources import read_table
 
 
@@ -183,4 +184,84 @@ CROSS_JOIN_ORACLE = """
 SELECT a.r_name AS region_a, b.r_name AS region_b
 FROM region a CROSS JOIN region b
 WHERE a.r_regionkey <> b.r_regionkey
+"""
+
+
+# ------------------------------------------------- text-pipeline additions
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: the corpus is synthetic word-salad with no real
+    PII, so the query plants a deterministic fake email + phone per doc
+    (derived from doc_id), scrubs with operators.text.scrub_pii, and
+    returns match counts plus the md5 of the scrubbed text. The oracle
+    reproduces plant + scrub + hash in SQL — proving the regex semantics
+    (match set AND replacement) are engine-independent, not just the
+    counts."""
+    d = read_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = text_ops.scrub_pii(planted)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5(F.col("text_scrubbed")).alias("scrubbed_md5"),
+    )
+
+
+PII_SCRUB_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b555-[0-9]{4}\b', '[PHONE]', 'g')) AS scrubbed_md5
+FROM planted
+"""
+
+
+def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style pretraining quality gate (operators.text
+    .gopher_quality_flags): per-rule booleans + composite keep decision."""
+    return text_ops.gopher_quality_flags(read_table(spark, sf_dir, "documents"))
+
+
+GOPHER_FILTER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_words,
+         length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+           / len(regexp_split_to_array(trim(text), '\s+')) AS mean_wlen,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+           / length(text) AS symbol_ratio,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> x IN ('the','and','of','to','a'))) > 0 AS has_stopword
+  FROM documents
+)
+SELECT doc_id, n_words,
+       n_words >= 50 AND n_words <= 100000 AS words_ok,
+       mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS mean_word_len_ok,
+       symbol_ratio < 0.1 AS symbol_ratio_ok,
+       has_stopword,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+         AND symbol_ratio < 0.1 AND has_stopword AS keep
+FROM t
 """
