@@ -48,3 +48,24 @@ def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque-blob source (images/audio/video/other unparsed payloads):
+    Spark's ``binaryFile`` format yields (path, modificationTime, length,
+    content<binary>) — the ingestion edge of the multimodal pipeline
+    (operators/multimodal.py consumes the ``content`` column).
+
+    Scale notes: one row per FILE, so this is for object-per-sample
+    layouts; batch many small samples into parquet with a binary column
+    (the multimodal operators' native input) as early as possible — file
+    listing, not bytes, dominates at 100 M objects. Use
+    ``spark.sql.files.maxPartitionBytes`` to keep a task's blobs bounded in
+    memory, and ``glob`` to prune at the listing (the reference's
+    prefix-filter move, fetch.py:60-82, applied to blobs)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -83,3 +83,29 @@ def bypass_copy(spark: SparkSession, src: str, dest: str, mode: str = "error") -
     df = spark.read.parquet(src)
     df.write.mode(mode).parquet(dest)
     return spark.read.parquet(dest).count()
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    num_files: int,
+    mode: str = "error",
+) -> None:
+    """Range-clustered, sorted parquet layout for data skipping.
+
+    ``repartitionByRange`` gives each output file a DISJOINT value range of
+    ``cluster_by``; ``sortWithinPartitions`` tightens row-group min/max
+    stats inside each file. A later filtered scan then prunes whole files /
+    row groups from the footer statistics alone — at 100 TB this is the
+    difference between reading one file and reading all of them for a
+    point/range query on the cluster key. (The write itself costs one range
+    shuffle with a sampled boundary pass — amortized across every
+    downstream filtered read.)"""
+    cols = [df[c] for c in cluster_by]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -150,3 +150,44 @@ def test_csv_json_orc_roundtrip(spark, tmp_path):
     write_orc(src, p)
     got = sorted(tuple(r) for r in read_orc(spark, p).collect())
     assert got == want
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """binaryFile source: opaque blobs come back byte-identical with their
+    metadata — the multimodal ingestion edge."""
+    from nbi_oedi_etl_spark.sources.formats import read_binary_files
+
+    blobs = {"a.img": b"\x89fakepng\x00\x01", "b.img": b"\x00" * 64, "skip.txt": b"x"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["a.img"].content) == blobs["a.img"]
+    assert rows["b.img"].length == 64
+
+
+def test_write_clustered_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered layout: every output file owns a disjoint span of
+    the cluster key, so footer stats alone can prune filtered scans."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.sources.sinks import write_clustered
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_clustered(li, str(tmp_path / "out"), ["l_shipdate"], num_files=4)
+    spans = []
+    for f in globmod.glob(str(tmp_path / "out" / "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_shipdate"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min), maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
