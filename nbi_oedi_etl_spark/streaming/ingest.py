@@ -75,14 +75,19 @@ def streaming_hourly_resample(
 
 
 def run_available_now(
-    df: DataFrame, checkpoint_dir: str, queue_name: str = "ingest"
+    df: DataFrame,
+    checkpoint_dir: str,
+    queue_name: str = "ingest",
+    output_mode: str = "complete",
 ) -> StreamingQuery:
     """Drain everything currently available then stop (poison-pill
-    semantics, T3) into an in-memory sink table named ``queue_name``."""
+    semantics, T3) into an in-memory sink table named ``queue_name``.
+    ``complete`` suits stateful aggregations (the drained state IS the
+    result); stream-stream joins only support ``append``."""
     return (
         df.writeStream.format("memory")
         .queryName(queue_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -1498,6 +1498,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from nbi_oedi_etl_spark import workload_ext as ext
 from nbi_oedi_etl_spark import workload_ext2 as ext2
+from nbi_oedi_etl_spark import workload_ext3 as ext3
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 SPECS: list[QuerySpec] = [
@@ -1587,10 +1588,16 @@ SPECS: list[QuerySpec] = [
     QuerySpec("cross_join_region_matrix", ext2.cross_join_region_matrix, ext2.CROSS_JOIN_ORACLE),
     QuerySpec("doc_pii_scrub", ext2.doc_pii_scrub, ext2.PII_SCRUB_ORACLE),
     QuerySpec("doc_gopher_filter", ext2.doc_gopher_filter, ext2.GOPHER_FILTER_ORACLE),
+    # round-2 continuation #2: last TPC-H shapes + shingle dedup signals
+    QuerySpec("q11_important_parts", ext3.q11_important_parts, ext3.Q11_ORACLE),
+    QuerySpec("q13_order_count_distribution", ext3.q13_order_count_distribution, ext3.Q13_ORACLE),
+    QuerySpec("shingle_novelty", ext3.shingle_novelty, ext3.SHINGLE_NOVELTY_ORACLE),
+    QuerySpec("doc_word_repetition", ext3.doc_word_repetition, ext3.WORD_REPETITION_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
     QuerySpec("streaming_sliding_window_counts", ext.streaming_sliding_window_counts, _SLIDING_WINDOW_ORACLE),
+    QuerySpec("streaming_click_purchase_join", ext3.streaming_click_purchase_join, ext3.STREAM_JOIN_ORACLE),
     # ---------------- rows-only from here down (no exact SQL twin) --------
     QuerySpec("ref_q1_approx_count_distinct", ref_q1_approx, None),
     QuerySpec("minhash_lsh_near_dup", minhash_lsh_near_dup, None),

