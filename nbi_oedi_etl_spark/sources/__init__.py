@@ -16,7 +16,9 @@ from nbi_oedi_etl_spark.sources.parquet import (
 from nbi_oedi_etl_spark.sources.sinks import (
     bypass_copy,
     write_bucketed,
+    write_clustered,
     write_parquet,
+    write_zordered,
 )
 
 __all__ = [
@@ -33,5 +35,7 @@ __all__ = [
     "write_orc",
     "bypass_copy",
     "write_bucketed",
+    "write_clustered",
     "write_parquet",
+    "write_zordered",
 ]

@@ -191,3 +191,53 @@ def test_write_clustered_disjoint_file_ranges(spark, tmp_path):
     assert len(spans) == 4
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_write_zordered_narrows_both_dimensions(spark, tmp_path):
+    """Z-order layout: per-file footer min/max must be narrow on BOTH
+    cluster columns. Control: single-key range clustering on user_id keeps
+    every file's ts span at (nearly) the full range, so a ts-filtered scan
+    prunes nothing; the Morton layout shrinks the mean per-file area by an
+    order of magnitude, i.e. a filter on EITHER column skips most files."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.sources.sinks import write_clustered, write_zordered
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "user_id", "event_id", "value"
+    )
+
+    def file_spans(path, col):
+        spans = []
+        for f in globmod.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min), maxs.append(st.max)
+            spans.append((min(mins), max(maxs)))
+        return spans
+
+    def mean_span(path, col, width):
+        spans = file_spans(path, col)
+        return sum((hi - lo) / width for lo, hi in spans) / len(spans)
+
+    lo = ev.groupBy().min("user_id", "event_id").first()
+    hi = ev.groupBy().max("user_id", "event_id").first()
+    wx, wy = hi[0] - lo[0], hi[1] - lo[1]
+
+    write_zordered(ev, str(tmp_path / "z"), ["user_id", "event_id"], num_files=16)
+    write_clustered(ev, str(tmp_path / "r"), ["user_id"], num_files=16)
+    # verify no rows were lost
+    assert spark.read.parquet(str(tmp_path / "z")).count() == ev.count()
+    # z-order: BOTH dimensions narrow — a filter on either column skips files
+    zx = mean_span(str(tmp_path / "z"), "user_id", wx)
+    zy = mean_span(str(tmp_path / "z"), "event_id", wy)
+    assert zx < 0.5 and zy < 0.5, f"z spans not tight in both dims: {zx}, {zy}"
+    # range layout: leading key tight but trailing column unskippable
+    ry = mean_span(str(tmp_path / "r"), "event_id", wy)
+    assert ry > 0.8, f"control layout unexpectedly tight on event_id: {ry}"
+    assert zy < ry / 2, f"z-order event_id span ({zy}) not better than range ({ry})"
