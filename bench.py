@@ -60,6 +60,11 @@ HEADLINE = [
     "q10_returned_items",
     "q17_small_qty_revenue",
     "q21_waiting_suppliers",
+    # round-2 continuation #2 (workload_ext3.py)
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "shingle_novelty",
+    "doc_word_repetition",
 ]
 
 
