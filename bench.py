@@ -70,7 +70,12 @@ HEADLINE = [
 
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
-    spark = get_spark(app_name="nbi-bench")
+    # No console progress bars: their \r-redraw fragments interleave with the
+    # final JSON line in captured output and can defeat last-line parsing.
+    spark = get_spark(
+        app_name="nbi-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = workload.queries()
     # JVM/codegen/python-worker warmup on the smallest SF so per-query times
@@ -102,7 +107,8 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 
