@@ -1501,6 +1501,13 @@ from nbi_oedi_etl_spark import workload_ext2 as ext2
 from nbi_oedi_etl_spark import workload_ext3 as ext3
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
+try:  # transformWithState's python state-server protocol needs protobuf
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
 SPECS: list[QuerySpec] = [
     QuerySpec("flagship_hourly_resample", flagship_hourly_resample, _FLAGSHIP_ORACLE),
     QuerySpec("ref_q1_count_distinct", ref_q1_count_distinct, _Q1_ORACLE),
@@ -1598,6 +1605,15 @@ SPECS: list[QuerySpec] = [
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
     QuerySpec("streaming_sliding_window_counts", ext.streaming_sliding_window_counts, _SLIDING_WINDOW_ORACLE),
     QuerySpec("streaming_click_purchase_join", ext3.streaming_click_purchase_join, ext3.STREAM_JOIN_ORACLE),
+    # transformWithStateInPandas needs protobuf in the python workers
+    # (Spark's state-server wire format); register its query only where
+    # that's importable — absent in this container, present on a real
+    # cluster (streaming/transform_state.py; logic unit-tested either way).
+    *(
+        [QuerySpec("streaming_running_totals", ext3.streaming_running_totals, ext3.RUNNING_TOTALS_ORACLE)]
+        if _HAS_PROTOBUF
+        else []
+    ),
     # ---------------- rows-only from here down (no exact SQL twin) --------
     QuerySpec("ref_q1_approx_count_distinct", ref_q1_approx, None),
     QuerySpec("minhash_lsh_near_dup", minhash_lsh_near_dup, None),

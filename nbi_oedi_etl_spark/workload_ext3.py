@@ -357,3 +357,70 @@ JOIN events p
  AND p.ts <= c.ts + INTERVAL 2 HOUR
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
+
+
+# ---------------------------------------------- transformWithState totals
+
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, exact value sum) via Spark 4's
+    ``transformWithStateInPandas`` StatefulProcessor
+    (streaming/transform_state.py) — the arbitrary-stateful successor to
+    applyInPandasWithState: named ValueState with its own schema + TTL.
+
+    Each microbatch emits the key's updated running totals (update mode);
+    after the availableNow drain the latest emission per user — selected
+    with max_by on the strictly-increasing event count, so the query is
+    multi-microbatch-correct — equals the batch groupBy aggregate, which
+    is the oracle. Values are quantized to DECIMAL(18,6) micro-unit
+    integers BEFORE the python worker, so state arithmetic is exact int64
+    and fold-order free (matching the decimal-summing oracle bitwise).
+
+    Reference parity: monitor.py:44-85 running stage counters, keyed and
+    distributed.
+    """
+    import tempfile
+
+    from nbi_oedi_etl_spark.streaming import ingest, transform_state
+
+    # transformWithState requires the RocksDB state store (named state
+    # variables + TTL live outside the HDFS-backed provider's model).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    running = transform_state.running_user_totals(stream)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = ingest.run_available_now(
+            running,
+            tempfile.mkdtemp(),
+            queue_name="stream_running_totals",
+            output_mode="update",
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table("stream_running_totals")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_micros", "n_events").alias("total_micros"),
+        )
+    )
+
+
+RUNNING_TOTALS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_micros
+FROM events
+GROUP BY user_id
+"""
