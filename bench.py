@@ -65,6 +65,9 @@ HEADLINE = [
     "q13_order_count_distribution",
     "shingle_novelty",
     "doc_word_repetition",
+    # round-2 continuation #3 (workload_ext4.py)
+    "doc_chunking",
+    "doc_tfidf_top_terms",
 ]
 
 

@@ -1499,6 +1499,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 from nbi_oedi_etl_spark import workload_ext as ext
 from nbi_oedi_etl_spark import workload_ext2 as ext2
 from nbi_oedi_etl_spark import workload_ext3 as ext3
+from nbi_oedi_etl_spark import workload_ext4 as ext4
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1600,11 +1601,14 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q13_order_count_distribution", ext3.q13_order_count_distribution, ext3.Q13_ORACLE),
     QuerySpec("shingle_novelty", ext3.shingle_novelty, ext3.SHINGLE_NOVELTY_ORACLE),
     QuerySpec("doc_word_repetition", ext3.doc_word_repetition, ext3.WORD_REPETITION_ORACLE),
+    QuerySpec("doc_chunking", ext4.doc_chunking, ext4.CHUNKING_ORACLE),
+    QuerySpec("doc_tfidf_top_terms", ext4.doc_tfidf_top_terms, ext4.TFIDF_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
     QuerySpec("streaming_sliding_window_counts", ext.streaming_sliding_window_counts, _SLIDING_WINDOW_ORACLE),
     QuerySpec("streaming_click_purchase_join", ext3.streaming_click_purchase_join, ext3.STREAM_JOIN_ORACLE),
+    QuerySpec("streaming_watermark_dedup", ext4.streaming_watermark_dedup, ext4.WM_DEDUP_ORACLE),
     # transformWithStateInPandas needs protobuf in the python workers
     # (Spark's state-server wire format); register its query only where
     # that's importable — absent in this container, present on a real

@@ -1,0 +1,177 @@
+"""Round-2 continuation #3: training-data-pipeline text operators beyond
+the dedup/quality families — document chunking (the RAG/context-window
+splitter), corpus TF-IDF term scoring — plus the
+``dropDuplicatesWithinWatermark`` streaming dedup variant.
+
+Determinism contract (same as workload.py): chunk boundaries are integer
+arithmetic on character offsets; TF-IDF emits exact integer counts and
+a double computed identically from them by both engines; the streaming
+dedup projects only the dedup key so row identity is engine-independent.
+
+Reference parity: the reference has no text layer at all (its transform
+is a fixed 53-column aggregate, transform.py:57-115) — these extend the
+declared-query surface per SURVEY.md §2.12's north-star scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark.sources import read_table
+
+
+# ------------------------------------------------------------- chunking
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (operators/chunking.py):
+    500-char windows every 400 chars (100 overlap). Shuffle-free explode
+    of a codegen'd sequence(); at 100 TB the operator is a pure narrow
+    map whose only cost is the intended ~len/stride output amplification.
+    """
+    from nbi_oedi_etl_spark.operators import chunking
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs, chunk_chars=500, overlap_chars=100)
+
+
+CHUNKING_ORACLE = """
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(1, length(text) - 100), 400)) AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // 400 AS BIGINT) AS chunk_id,
+       CAST(s AS INTEGER) AS chunk_start,
+       substring(text, CAST(s AS INTEGER), 500) AS chunk_text,
+       CAST(length(substring(text, CAST(s AS INTEGER), 500)) AS INTEGER) AS chunk_len
+FROM starts
+"""
+
+
+# --------------------------------------------------------------- tf-idf
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-3 terms per document: tokenize → per-(doc,term)
+    counts → document-frequency join → smooth-idf score → window top-k.
+
+    Plan shape at scale: ONE shuffle builds (doc,term) counts; document
+    frequency re-aggregates that result (no second corpus scan, Catalyst
+    reuses nothing here but the input is already the small aggregate);
+    the df side is |vocab| rows — broadcast back. Ties are broken by term
+    so the top-3 is total-ordered and oracle-stable.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()  # tiny scalar; at scale a cached one-row agg
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_ORACLE = """
+WITH terms AS (
+  SELECT d.doc_id, t.term
+  FROM documents d,
+       LATERAL unnest(list_filter(string_split_regex(lower(d.text), '[^a-z]+'),
+                                  x -> x != '')) AS t(term)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------- streaming watermark dedup
+
+def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` on the events stream: exactly-once
+    event-id delivery where duplicates are only ever near-in-time
+    (retries, at-least-once sources) — state holds one entry per key seen
+    within the watermark delay and EVICTS it after, unlike global
+    streaming dropDuplicates whose state never shrinks. That eviction is
+    the 100 TB/day design point: state ~ rate x delay, not stream length.
+
+    With the delay set past the drained data's span nothing is evicted
+    early, so the availableNow drain equals batch DISTINCT — the oracle.
+    Projects only (event_id, event_type): dedup-key-only output is what
+    makes "which duplicate survived" invisible and the result exact.
+    """
+    import tempfile
+
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_id", "event_type", "ts")
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id", "event_type"])
+        .select("event_id", "event_type")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = ingest.run_available_now(
+            stream,
+            tempfile.mkdtemp(),
+            queue_name="stream_wm_dedup",
+            output_mode="append",
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_wm_dedup")
+
+
+WM_DEDUP_ORACLE = """
+SELECT DISTINCT event_id, event_type FROM events
+"""

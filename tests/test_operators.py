@@ -452,3 +452,30 @@ def test_scd2_and_cascade_single_event(spark, tmp_path):
     assert len(r) == 1 and r[0].is_current and r[0].valid_to is None and r[0].version == 1
     c = ext2.cascade_daily_rollup(spark, str(tmp_path)).collect()
     assert len(c) == 1 and c[0].value_mean == 1.5 and c[0].n_events == 1
+
+
+def test_chunk_documents_edges(spark):
+    """Window arithmetic: exact-fit text yields one chunk; one char past
+    the no-new-coverage bound yields two; empty text still yields its one
+    (empty) chunk; degenerate overlap is rejected."""
+    import pytest as _pytest
+
+    from nbi_oedi_etl_spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 500), (2, "b" * 501), (3, ""), (4, "c" * 900), (5, "d" * 901)],
+        "doc_id long, text string",
+    )
+    out = chunking.chunk_documents(docs, chunk_chars=500, overlap_chars=100)
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_start"], r["chunk_len"])
+        for r in out.collect()
+    }
+    per_doc = {d: sorted(k[1] for k in rows if k[0] == d) for d in (1, 2, 3, 4, 5)}
+    assert per_doc[1] == [0]  # 500 chars: one exact-fit chunk
+    assert per_doc[2] == [0, 1] and rows[(2, 1)] == (401, 101)
+    assert per_doc[3] == [0] and rows[(3, 0)] == (1, 0)  # empty text
+    assert per_doc[4] == [0, 1] and rows[(4, 1)] == (401, 500)  # 900 = covered
+    assert per_doc[5] == [0, 1, 2] and rows[(5, 2)] == (801, 101)
+    with _pytest.raises(ValueError):
+        chunking.chunk_documents(docs, chunk_chars=100, overlap_chars=100)

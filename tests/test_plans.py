@@ -357,3 +357,22 @@ def test_shingle_novelty_codegen_shingling(spark):
     final = physical_plan(df).split("== Initial Plan ==")[0]
     assert "Generate posexplode" in final or "posexplode" in final
     assert "transform" not in final and "aggregate(" not in final
+
+
+def test_doc_chunking_no_shuffle_no_udf(spark):
+    """Chunking is a narrow map (sequence + explode + substring, all
+    codegen): an Exchange would mean the output amplification got paid
+    for with a shuffle; a python eval node would mean the slow path."""
+    df = _plan(spark, "doc_chunking")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+    assert "Generate" in final  # the explode
+    assert "Python" not in final
+
+
+def test_doc_tfidf_single_fact_shuffle_broadcast_df(spark):
+    """TF-IDF: the (doc,term) aggregate is the ONE fact shuffle; the
+    document-frequency side (|vocab| rows) must come back as a broadcast,
+    not a second sort-merge shuffle of the big exploded side."""
+    df = _plan(spark, "doc_tfidf_top_terms")
+    assert has_broadcast_join(df)
