@@ -68,6 +68,8 @@ HEADLINE = [
     # round-2 continuation #3 (workload_ext4.py)
     "doc_chunking",
     "doc_tfidf_top_terms",
+    "events_hourly_gapfill",
+    "part_name_fuzzy_pairs",
 ]
 
 

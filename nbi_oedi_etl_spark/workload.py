@@ -1603,6 +1603,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("doc_word_repetition", ext3.doc_word_repetition, ext3.WORD_REPETITION_ORACLE),
     QuerySpec("doc_chunking", ext4.doc_chunking, ext4.CHUNKING_ORACLE),
     QuerySpec("doc_tfidf_top_terms", ext4.doc_tfidf_top_terms, ext4.TFIDF_ORACLE),
+    QuerySpec("events_hourly_gapfill", ext4.events_hourly_gapfill, ext4.GAPFILL_ORACLE),
+    QuerySpec("order_price_histogram", ext4.order_price_histogram, ext4.HISTOGRAM_ORACLE),
+    QuerySpec("part_name_fuzzy_pairs", ext4.part_name_fuzzy_pairs, ext4.FUZZY_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

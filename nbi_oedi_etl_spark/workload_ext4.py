@@ -175,3 +175,117 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WM_DEDUP_ORACLE = """
 SELECT DISTINCT event_id, event_type FROM events
 """
+
+
+# ------------------------------------------------------------- gap-fill
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dense hourly series with LOCF forward-fill
+    (operators/gapfill.py) — time_bucket_gapfill + locf semantics. The
+    reference's resample drops empty hours (transform.py:53 groups only
+    observed keys); ML feature windows need the dense grid.
+    """
+    from nbi_oedi_etl_spark.operators import gapfill
+
+    ev = read_table(spark, sf_dir, "events")
+    out = gapfill.hourly_gapfill_locf(ev, "event_type", "ts", "value")
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        "n_events",
+        "value_mean",
+        "value_filled",
+    )
+
+
+GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS value_mean
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT g.event_type, g.hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       h.value_mean,
+       last_value(h.value_mean IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled
+FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+"""
+
+
+# ------------------------------------------------------------ histogram
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: integer bucket arithmetic on
+    a codegen'd expression, one hash aggregate — the profiling primitive
+    behind every "distribution of X" dashboard. Bucket = floor(price/30k);
+    floor of an IEEE divide is bit-identical across engines.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(30000.0)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .withColumn("bucket_low", (F.col("bucket") * 30000.0))
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       CAST(floor(o_totalprice / 30000.0) AS BIGINT) * 30000.0 AS bucket_low
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------- fuzzy match
+
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked levenshtein self-join on part names (operators/fuzzy.py):
+    block on the first name token, score pairs inside blocks only —
+    n² → b·s² comparisons, all JVM-side. The record-linkage / fuzzy-dedup
+    primitive for short strings.
+    """
+    from nbi_oedi_etl_spark.operators import fuzzy
+
+    p = read_table(spark, sf_dir, "part")
+    return fuzzy.blocked_fuzzy_self_join(
+        p,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_expr=F.substring_index(F.col("p_name"), " ", 1),
+        max_distance=12,
+    ).select(
+        F.col("id_a").alias("partkey_a"),
+        F.col("id_b").alias("partkey_b"),
+        "distance",
+    )
+
+
+FUZZY_ORACLE = """
+SELECT a.p_partkey AS partkey_a,
+       b.p_partkey AS partkey_b,
+       levenshtein(a.p_name, b.p_name) AS distance
+FROM part a
+JOIN part b
+  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 12
+"""

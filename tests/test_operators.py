@@ -479,3 +479,59 @@ def test_chunk_documents_edges(spark):
     assert per_doc[5] == [0, 1, 2] and rows[(5, 2)] == (801, 101)
     with _pytest.raises(ValueError):
         chunking.chunk_documents(docs, chunk_chars=100, overlap_chars=100)
+
+
+def test_hourly_gapfill_locf_fills_gaps(spark):
+    """Known 3-hour gap: generated rows get n_events=0, NULL mean, and the
+    last observed mean carried forward; the first hour has no fill."""
+    import datetime as dt
+
+    from nbi_oedi_etl_spark.operators import gapfill
+
+    t0 = dt.datetime(2024, 1, 1, 10, 30)
+    rows = [
+        ("a", t0, 2.0),
+        ("a", t0.replace(minute=45), 4.0),           # 10:xx mean 3.0
+        ("a", t0 + dt.timedelta(hours=4), 7.0),      # 14:xx mean 7.0
+        ("b", t0 + dt.timedelta(hours=1), 1.0),      # single hour
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp_ntz, value double")
+    out = gapfill.hourly_gapfill_locf(df, "key", "ts", "value")
+    got = {
+        (r["key"], r["hour"].hour): (r["n_events"], r["value_mean"], r["value_filled"])
+        for r in out.collect()
+    }
+    assert len(got) == 6  # a: 10..14 dense (5 rows), b: 1 row
+    assert got[("a", 10)] == (2, 3.0, 3.0)
+    assert got[("a", 11)] == (0, None, 3.0)  # generated, LOCF
+    assert got[("a", 12)] == (0, None, 3.0)
+    assert got[("a", 13)] == (0, None, 3.0)
+    assert got[("a", 14)] == (1, 7.0, 7.0)
+    assert got[("b", 11)] == (1, 1.0, 1.0)
+
+
+def test_blocked_fuzzy_self_join_blocks_and_threshold(spark):
+    """Pairs only form inside a block; distance respects the threshold;
+    cross-block near-identical strings are (by design) not compared."""
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators import fuzzy
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamm"),    # dist 1 to id1, same block
+            (3, "alpha delta gamma"),  # dist 4 to id1, same block
+            (4, "omega beta gamma"),   # other block though close to id1
+            (5, "alpha " + "z" * 40),  # same block, far beyond threshold
+        ],
+        "id long, name string",
+    )
+    out = fuzzy.blocked_fuzzy_self_join(
+        df, "id", "name", F.substring_index(F.col("name"), " ", 1), max_distance=4
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
+    # "beta"→"gamm" trims 1; "beta"→"delta" edits 2; 2↔3 differs by both
+    assert pairs == {(1, 2): 1, (1, 3): 2, (2, 3): 3}
+    assert (1, 4) not in pairs  # different block despite distance 4
+    assert not any(5 in p for p in pairs)  # beyond threshold
