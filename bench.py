@@ -70,6 +70,7 @@ HEADLINE = [
     "doc_tfidf_top_terms",
     "events_hourly_gapfill",
     "part_name_fuzzy_pairs",
+    "kmeans_assign_embeddings",
 ]
 
 

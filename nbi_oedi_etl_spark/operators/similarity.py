@@ -306,3 +306,60 @@ def ivf_topk(
         ),
         k,
     )
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    """Euclidean distance with the same sequential fold DuckDB's
+    list_distance uses (index order), so results are oracle-comparable."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def kmeans_assignment_step(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """One Lloyd-iteration ASSIGNMENT step: each vector to its nearest
+    centroid (argmin L2, ties to the lowest centroid id).
+
+    This is the inner loop of k-means / IVF training at scale: centroids
+    (k rows) broadcast; the corpus never shuffles — the argmin is a
+    per-row reduction over the broadcast side, here expressed as a
+    cross-join + WindowGroupLimit-pruned rank so the whole step is
+    JVM-side. The UPDATE step (new centroid = per-cluster mean) is one
+    groupBy over this output; iterating the pair is driver-side control
+    flow, the idiomatic Spark shape for bounded-iteration refinement.
+
+    Output: (vec_id, centroid_id, distance) — distance rounded to 6.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    cent = centroids.select(
+        F.col(centroid_id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("c_emb"),
+    )
+    dists = (
+        ensure_parallelism(c)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "centroid_id",
+            l2_distance(F.col("emb"), F.col("c_emb")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.round("dist", 6).alias("distance"))
+    )

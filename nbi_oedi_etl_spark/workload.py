@@ -1606,6 +1606,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_hourly_gapfill", ext4.events_hourly_gapfill, ext4.GAPFILL_ORACLE),
     QuerySpec("order_price_histogram", ext4.order_price_histogram, ext4.HISTOGRAM_ORACLE),
     QuerySpec("part_name_fuzzy_pairs", ext4.part_name_fuzzy_pairs, ext4.FUZZY_ORACLE),
+    QuerySpec("kmeans_assign_embeddings", ext4.kmeans_assign_embeddings, ext4.KMEANS_ASSIGN_ORACLE),
+    QuerySpec("order_price_deciles", ext4.order_price_deciles, ext4.DECILES_ORACLE),
+    QuerySpec("monthly_revenue_growth", ext4.monthly_revenue_growth, ext4.MOM_GROWTH_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -289,3 +289,123 @@ JOIN part b
  AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 12
 """
+
+
+# ------------------------------------------------------- k-means assign
+
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means (Lloyd) ASSIGNMENT step over the embeddings corpus with
+    deterministic init (centroids = the 5 lowest vec_ids) —
+    operators/similarity.py::kmeans_assignment_step. The iterative-
+    refinement inner loop of IVF/k-means training: broadcast centroids,
+    shuffle-free per-row argmin; the update step is one groupBy away and
+    the loop is driver-side control flow.
+    """
+    from nbi_oedi_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    return similarity.kmeans_assignment_step(emb, cents)
+
+
+KMEANS_ASSIGN_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 5),
+d AS (
+  SELECT e.vec_id, c.centroid_id, list_distance(e.emb, c.c_emb) AS dist
+  FROM e CROSS JOIN c
+), r AS (
+  SELECT vec_id, centroid_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+  FROM d
+)
+SELECT vec_id, centroid_id, round(dist, 6) AS distance
+FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------- equi-depth deciles
+
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (ntile) decile stats over order totals — the quantile-
+    bucket complement of the equi-width histogram. The total order is
+    pinned by (price, orderkey) so tile boundaries are engine-independent;
+    sums go through DECIMAL.
+    """
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+DECILES_ORACLE = """
+SELECT decile,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+  FROM orders
+)
+GROUP BY decile
+"""
+
+
+# -------------------------------------------------------- MoM growth
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly DECIMAL-exact sums, lag()
+    window for the previous month, one IEEE double division for the
+    growth rate — the standard trend query. One shuffle (monthly agg);
+    the lag window runs on |months| rows.
+    """
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_dec", F.lag("rev_dec").over(w))
+        .select(
+            F.col("month").cast("timestamp_ntz").alias("month"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (
+                (F.col("rev_dec").cast("double") - F.col("prev_dec").cast("double"))
+                / F.col("prev_dec").cast("double")
+            ).alias("mom_growth"),
+        )
+    )
+
+
+MOM_GROWTH_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       (CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE))
+         / CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE) AS mom_growth
+FROM monthly
+"""

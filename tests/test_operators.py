@@ -535,3 +535,49 @@ def test_blocked_fuzzy_self_join_blocks_and_threshold(spark):
     assert pairs == {(1, 2): 1, (1, 3): 2, (2, 3): 3}
     assert (1, 4) not in pairs  # different block despite distance 4
     assert not any(5 in p for p in pairs)  # beyond threshold
+
+
+def test_kmeans_lloyd_iteration_converges(spark):
+    """Two crafted 2-D clusters, adversarial init (both centroids inside
+    cluster A): one assignment+update round must already separate them,
+    and a second round must converge to the true cluster means."""
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators import similarity
+
+    pts = [(i, [0.0 + i * 0.01, 0.0]) for i in range(4)] + [
+        (10 + i, [10.0 + i * 0.01, 10.0]) for i in range(4)
+    ]
+    corpus = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.05, 0.0])], "centroid_id long, embedding array<double>"
+    )
+
+    def update(assigned):
+        return (
+            assigned.join(corpus, "vec_id")
+            .select("centroid_id", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select(
+                "centroid_id",
+                F.transform("s", lambda e: e["m"]).alias("embedding"),
+            )
+        )
+
+    for _ in range(2):
+        assigned = similarity.kmeans_assignment_step(corpus, cents)
+        cents = update(assigned)
+
+    got = {r["centroid_id"]: r["embedding"] for r in cents.collect()}
+    flat = [x for v in sorted(tuple(v) for v in got.values()) for x in v]
+    assert flat == pytest.approx([0.015, 0.0, 10.015, 10.0])
+    final = similarity.kmeans_assignment_step(corpus, cents)
+    clusters = {
+        r["vec_id"]: r["centroid_id"] for r in final.collect()
+    }
+    assert len({clusters[i] for i in range(4)}) == 1
+    assert len({clusters[10 + i] for i in range(4)}) == 1
+    assert clusters[0] != clusters[10]
