@@ -71,6 +71,7 @@ HEADLINE = [
     "events_hourly_gapfill",
     "part_name_fuzzy_pairs",
     "kmeans_assign_embeddings",
+    "corpus_prep_pipeline",
 ]
 
 

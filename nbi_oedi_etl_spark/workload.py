@@ -1609,6 +1609,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("kmeans_assign_embeddings", ext4.kmeans_assign_embeddings, ext4.KMEANS_ASSIGN_ORACLE),
     QuerySpec("order_price_deciles", ext4.order_price_deciles, ext4.DECILES_ORACLE),
     QuerySpec("monthly_revenue_growth", ext4.monthly_revenue_growth, ext4.MOM_GROWTH_ORACLE),
+    QuerySpec("corpus_prep_pipeline", ext4.corpus_prep_pipeline, ext4.CORPUS_PREP_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

