@@ -72,6 +72,7 @@ HEADLINE = [
     "part_name_fuzzy_pairs",
     "kmeans_assign_embeddings",
     "corpus_prep_pipeline",
+    "variant_props_surface",
 ]
 
 

@@ -1610,6 +1610,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("order_price_deciles", ext4.order_price_deciles, ext4.DECILES_ORACLE),
     QuerySpec("monthly_revenue_growth", ext4.monthly_revenue_growth, ext4.MOM_GROWTH_ORACLE),
     QuerySpec("corpus_prep_pipeline", ext4.corpus_prep_pipeline, ext4.CORPUS_PREP_ORACLE),
+    QuerySpec("near_dup_clusters_recursive_sql", ext4.near_dup_clusters_recursive_sql, ext4.RECURSIVE_CLUSTERS_ORACLE),
+    QuerySpec("python_datasource_resample", ext4.python_datasource_resample, ext4.PY_DATASOURCE_ORACLE),
+    QuerySpec("variant_props_surface", ext4.variant_props_surface, ext4.VARIANT_ORACLE),
     # oracle-backed but slower (streaming drains a microbatch pipeline)
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

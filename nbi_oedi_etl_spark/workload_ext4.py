@@ -481,3 +481,214 @@ SELECT doc_id,
        CAST(length(substring(text, CAST(s AS INTEGER), 500)) AS INTEGER) AS chunk_len
 FROM starts
 """
+
+
+# ------------------------------------------- recursive-CTE closure
+
+_RECURSIVE_CLOSURE_SQL = """
+WITH RECURSIVE e AS (
+  SELECT u, v FROM {pairs} UNION SELECT v, u FROM {pairs}
+), reach(u, v, d) AS (
+  SELECT u, v, 1 FROM e
+  UNION ALL
+  SELECT r.u, e.v, r.d + 1 FROM reach r JOIN e ON r.v = e.u WHERE r.d < 6
+)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       min(node) AS canonical_doc_id
+FROM (
+  SELECT u AS node, least(u, min(v)) AS component
+  FROM (SELECT DISTINCT u, v FROM reach)
+  GROUP BY u
+)
+GROUP BY component
+HAVING count(*) > 1
+"""
+
+
+def near_dup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters via Spark 4's native ``WITH RECURSIVE`` — the
+    SQL-standard shape of the transitive closure, over the same portable
+    MinHash candidate pairs as `near_dup_clusters_portable` (whose closure
+    is the engine's driver-loop min-label propagation,
+    operators/dedup.py). Three interchangeable closure strategies now
+    oracle-agree: Spark iterative, Spark recursive CTE, DuckDB recursive
+    CTE.
+
+    The walk depth is capped at 6 hops (both engines run the SAME bounded
+    recursion): near-dup pair graphs are band-collision near-cliques with
+    tiny diameters, and a bound turns the worst case from "recursion
+    limit" into "exact on every component with diameter <= 6". The
+    UNION-distinct base edge set plus the final DISTINCT keep the
+    UNION ALL walk from exploding on cycles.
+    """
+    from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _portable_minhash_pairs(docs).selectExpr(
+        "doc_id_a AS u", "doc_id_b AS v"
+    )
+    # The recursive step re-evaluates its source once PER ITERATION —
+    # without materialization the whole MinHash pipeline would run ~depth
+    # times. Caching the (tiny: candidate pairs) edge set makes each
+    # iteration a lookup; the same move a cluster job makes before any
+    # iterative refinement over a derived edge list.
+    pairs.cache()
+    pairs.createOrReplaceTempView("recursive_pairs_v")
+    # Each recursive round is a sequential shuffle job over a tiny edge
+    # set — iteration-count, not data volume, is the cost driver, so
+    # 32-way shuffles are pure per-round overhead (same reasoning as the
+    # stateful streaming queries). The conf only applies at execution
+    # time, so the (cluster-summary-sized) result is materialized eagerly
+    # under it — the iterative-algorithm queries' established shape.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = spark.sql(_RECURSIVE_CLOSURE_SQL.format(pairs="recursive_pairs_v"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+RECURSIVE_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+  FROM d
+), hs AS (
+  SELECT doc_id, seed,
+         min(('0x' || substring(md5(seed::VARCHAR || '|' || s), 1, 15))::BIGINT) AS m
+  FROM sh, range(8) t(seed) GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(m ORDER BY seed) AS sig FROM hs GROUP BY doc_id
+), bnd AS (
+  SELECT doc_id, band, sig[2*band+1] AS v1, sig[2*band+2] AS v2
+  FROM sig, range(4) t(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.v1 = b2.v1 AND a.v2 = b2.v2
+                         AND a.doc_id < b2.doc_id
+), e AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(u, v, dd) AS (
+  SELECT u, v, 1 FROM e
+  UNION ALL
+  SELECT r.u, e.v, r.dd + 1 FROM reach r JOIN e ON r.v = e.u WHERE r.dd < 6
+)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       min(node) AS canonical_doc_id
+FROM (
+  SELECT u AS node, least(u, min(v)) AS component
+  FROM (SELECT DISTINCT u, v FROM reach)
+  GROUP BY u
+)
+GROUP BY component
+HAVING count(*) > 1
+"""
+
+
+# ------------------------------------- Python DataSource API source
+
+def python_datasource_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship hourly resample fed from a CUSTOM Python DataSource
+    (sources/python_datasource.py, Spark 4 DataSource API) instead of
+    parquet — the reference's "fetch workers → transform" pipeline
+    (fetch.py:40-249 feeding transform.py) as a pluggable source + the
+    same downstream operator graph. The source's rows are deterministic
+    integer arithmetic, so DuckDB regenerates them exactly and the whole
+    path stays value-hash-checked. (sf_dir is unused: the source IS the
+    data; 8 buildings x 96 slots.)
+
+    Sums go through DECIMAL; the per-group count is exact — no
+    fold-order-dependent double math anywhere.
+    """
+    from nbi_oedi_etl_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    df = spark.read.format("synthetic_buildings").option("buildings", 8).load()
+    return (
+        df.groupBy("bldg_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        .select(
+            "bldg_id",
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            "n_readings",
+            "value_sum",
+            "value_min",
+            "value_max",
+        )
+    )
+
+
+PY_DATASOURCE_ORACLE = """
+WITH slots AS (
+  SELECT b.bldg_id, s.slot
+  FROM (SELECT unnest(generate_series(0, 7)) AS bldg_id) b,
+       (SELECT unnest(generate_series(0, 95)) AS slot) s
+), feed AS (
+  SELECT CAST(bldg_id AS INTEGER) AS bldg_id,
+         TIMESTAMP '2024-01-01' + slot * INTERVAL 15 MINUTE AS ts,
+         ((bldg_id * 96 + slot) % 1000) / 10.0 AS value
+  FROM slots
+)
+SELECT bldg_id,
+       date_trunc('hour', ts) AS hour,
+       count(*) AS n_readings,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM feed
+GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------- VARIANT surface
+
+def variant_props_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse_json once,
+    typed variant_get extraction after — the schema-on-read path for
+    ragged JSON where from_json's fixed struct (json_props_stats) is too
+    rigid. At scale VARIANT's binary encoding is parsed once at ingest
+    and every downstream extraction is a cheap typed probe, vs
+    get_json_object re-parsing the string per expression.
+
+    Aggregates the extracted int per event_type: counts + min/max/sum —
+    all integer-exact.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum(F.col("k").cast("long")).alias("k_sum"),
+    )
+
+
+VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max,
+       sum(CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS BIGINT)) AS k_sum
+FROM events
+GROUP BY event_type
+"""

@@ -241,3 +241,22 @@ def test_write_zordered_narrows_both_dimensions(spark, tmp_path):
     ry = mean_span(str(tmp_path / "r"), "event_id", wy)
     assert ry > 0.8, f"control layout unexpectedly tight on event_id: {ry}"
     assert zy < ry / 2, f"z-order event_id span ({zy}) not better than range ({ry})"
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """Spark 4 Python DataSource: one input partition per building (the
+    parallelism contract), deterministic regenerable values, exact row
+    count, and pushed projection doesn't break the reader."""
+    from nbi_oedi_etl_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    df = spark.read.format("synthetic_buildings").option("buildings", 5).load()
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 5 * python_datasource.READINGS_PER_DAY
+    row = df.where("bldg_id = 3").orderBy("ts").first()
+    assert row["value"] == python_datasource.reading_value(3, 0)
+    import datetime as dt
+
+    assert row["ts"] == python_datasource.BASE_DAY
+    # projection-only read still yields full cardinality
+    assert df.select("value").count() == 480
