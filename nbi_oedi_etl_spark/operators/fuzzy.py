@@ -22,6 +22,45 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def blocked_fuzzy_distinct_pairs(
+    df: DataFrame,
+    text_col: str,
+    block_expr: Column,
+    max_distance: int,
+) -> DataFrame:
+    """Blocked edit-distance pairs over the DISTINCT values of ``text_col``.
+
+    The scale-correct shape for fuzzy matching over a corpus with repeated
+    strings: dedupe first (one shuffle; the distinct set is usually orders
+    of magnitude smaller than the corpus), compare distinct strings inside
+    blocks, and only then — if the caller needs it — map matches back to
+    row ids with an equi-join. Comparing at the id level instead multiplies
+    every string-pair comparison by dup_count² — on data where a name
+    repeats k times that is a k² pair explosion for identical outputs.
+
+    Returns (text_a, text_b, distance, n_a, n_b) where n_* are the
+    duplication counts of each string (the map-back cardinalities).
+    """
+    names = (
+        df.select(F.col(text_col).alias("txt"), block_expr.alias("block"))
+        .groupBy("txt", "block")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = names.select(
+        F.col("txt").alias("text_a"), "block", F.col("n").alias("n_a")
+    )
+    b = names.select(
+        F.col("txt").alias("text_b"), "block", F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("text_a") < F.col("text_b"))
+        .withColumn("distance", F.levenshtein("text_a", "text_b"))
+        .where(F.col("distance") <= max_distance)
+        .select("text_a", "text_b", "distance", "n_a", "n_b")
+    )
+
+
 def blocked_fuzzy_self_join(
     df: DataFrame,
     id_col: str,

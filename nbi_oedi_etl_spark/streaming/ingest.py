@@ -43,6 +43,42 @@ def read_file_stream(
     return reader.parquet(path)
 
 
+def events_file_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``sources.parquet.read_table(spark, sf_dir,
+    "events")`` with ``ts`` normalized to TimestampType (callers pin the
+    session timezone to UTC, so NTZ→TZ casts are value-preserving and
+    watermarks/windows line up with the batch oracle's naive timestamps).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); what Spark infers for it
+    varies by version/conf: BIGINT when ``legacy.parquet.nanosAsLong``
+    applies, TIMESTAMP_NTZ otherwise (Spark 4.1 reads nanos natively and
+    ignores the legacy conf). Branching on the *inferred* dtype — instead
+    of assuming one — is what keeps every streaming query runnable in
+    both worlds.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
+        # ns-as-long: truncate to µs exactly like DuckDB/pyarrow.
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if ts_dtype == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def streaming_hourly_resample(
     stream: DataFrame,
     ts_col: str = "timestamp",

@@ -725,15 +725,8 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
 
     from nbi_oedi_etl_spark.streaming import ingest
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = ingest.events_file_stream(spark, sf_dir)
     agg = stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).alias("n_events")
     )

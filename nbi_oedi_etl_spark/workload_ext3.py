@@ -292,16 +292,11 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from nbi_oedi_etl_spark.streaming import ingest
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            ingest.events_file_stream(spark, sf_dir)
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
