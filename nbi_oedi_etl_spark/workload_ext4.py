@@ -499,7 +499,7 @@ WITH RECURSIVE e AS (
 ), reach(u, v, d) AS (
   SELECT u, v, 1 FROM e
   UNION ALL
-  SELECT r.u, e.v, r.d + 1 FROM reach r JOIN e ON r.v = e.u WHERE r.d < 6
+  SELECT DISTINCT r.u, e.v, r.d + 1 FROM reach r JOIN e ON r.v = e.u WHERE r.d < 6
 )
 SELECT component,
        CAST(count(*) AS BIGINT) AS cluster_size,
@@ -527,8 +527,11 @@ def near_dup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFra
     recursion): near-dup pair graphs are band-collision near-cliques with
     tiny diameters, and a bound turns the worst case from "recursion
     limit" into "exact on every component with diameter <= 6". The
-    UNION-distinct base edge set plus the final DISTINCT keep the
-    UNION ALL walk from exploding on cycles.
+    recursive term dedups each level (SELECT DISTINCT), bounding every
+    round at the reachable-pair set — without it the UNION ALL walk
+    enumerates raw paths, which is exponential inside the near-clique
+    components LSH collisions produce (measured: minutes at sf0.1 vs
+    seconds with per-level dedup).
     """
     from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
 
@@ -544,19 +547,12 @@ def near_dup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFra
     pairs.cache()
     pairs.createOrReplaceTempView("recursive_pairs_v")
     # Each recursive round is a sequential shuffle job over a tiny edge
-    # set — iteration-count, not data volume, is the cost driver, so
-    # 32-way shuffles are pure per-round overhead (same reasoning as the
-    # stateful streaming queries). The conf only applies at execution
-    # time, so the (cluster-summary-sized) result is materialized eagerly
-    # under it — the iterative-algorithm queries' established shape.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = spark.sql(_RECURSIVE_CLOSURE_SQL.format(pairs="recursive_pairs_v"))
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # set — iteration-count, not data volume, is the cost driver. AQE
+    # (adaptive.coalescePartitions, on in the canonical session) collapses
+    # each round's shuffle to a handful of partitions at runtime, so no
+    # session-conf pinning is needed and the plan stays LAZY — at 100 TB
+    # the cluster table is O(docs) and must never pass through the driver.
+    return spark.sql(_RECURSIVE_CLOSURE_SQL.format(pairs="recursive_pairs_v"))
 
 
 RECURSIVE_CLUSTERS_ORACLE = r"""
@@ -586,7 +582,7 @@ WITH RECURSIVE d AS (
 ), reach(u, v, dd) AS (
   SELECT u, v, 1 FROM e
   UNION ALL
-  SELECT r.u, e.v, r.dd + 1 FROM reach r JOIN e ON r.v = e.u WHERE r.dd < 6
+  SELECT DISTINCT r.u, e.v, r.dd + 1 FROM reach r JOIN e ON r.v = e.u WHERE r.dd < 6
 )
 SELECT component,
        CAST(count(*) AS BIGINT) AS cluster_size,
