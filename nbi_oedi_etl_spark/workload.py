@@ -1460,6 +1460,41 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_image_features(multimodal.with_binary_payload(docs))
 
 
+def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-backed: build a genuine uncompressed
+    24-bpp BMP per document (dimensions from doc_id, pixels = md5(text)
+    digest cycled — operators/multimodal.py encode_bmp), then decode it
+    with the pure-Python BMP parser (header fields, 4-byte row padding,
+    bottom-up row order) and emit (width, height, channels,
+    pixel_byte_sum). The construction is closed-form, so DuckDB computes
+    the expected features analytically without touching a codec — a
+    value-hash check that fails if the decoder miscounts stride, padding,
+    or header offsets."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.extract_bmp_features(multimodal.with_bmp_payload(docs))
+
+
+_BMP_ROUNDTRIP_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 13 AS INTEGER) AS width,
+         CAST(1 + doc_id % 7 AS INTEGER) AS height,
+         md5(text) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, width, height,
+         width * height * 3 AS n,
+         list_transform(range(16),
+             i -> ('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2))::BIGINT) AS db
+  FROM d
+)
+SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
+       CAST((n // 16) * list_sum(db)
+            + coalesce(list_sum(db[1:(n % 16)]), 0) AS BIGINT) AS pixel_byte_sum
+FROM b
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame-sampling shape over binary payloads (rows-only)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -1537,6 +1572,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("stratified_sample_documents", ext.stratified_sample_documents, ext.STRATIFIED_SAMPLE_ORACLE),
     QuerySpec("char_stats_udtf", ext.char_stats_udtf, ext.CHAR_STATS_ORACLE),
     QuerySpec("corpus_prep_pipeline", ext4.corpus_prep_pipeline, ext4.CORPUS_PREP_ORACLE),
+    QuerySpec("multimodal_bmp_roundtrip", multimodal_bmp_roundtrip, _BMP_ROUNDTRIP_ORACLE),
     # round-2 SQL-surface / windowing / layout extensions
     QuerySpec("idle_rich_customers", ext.idle_rich_customers, ext.IDLE_RICH_ORACLE),
     QuerySpec("window_rank_suite", ext.window_rank_suite, ext.WINDOW_RANK_ORACLE),

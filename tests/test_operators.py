@@ -581,3 +581,58 @@ def test_kmeans_lloyd_iteration_converges(spark):
     assert len({clusters[i] for i in range(4)}) == 1
     assert len({clusters[10 + i] for i in range(4)}) == 1
     assert clusters[0] != clusters[10]
+
+
+# ------------------------------------------------------------ BMP codec
+
+
+def test_bmp_encode_decode_roundtrip_exact_pixels():
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    # width 3 → row 9 bytes → 3 pad bytes; height 2 exercises row order
+    pixels = bytes(range(3 * 2 * 3))
+    data = multimodal.encode_bmp(3, 2, pixels)
+    w, h, c, out = multimodal.decode_bmp(data)
+    assert (w, h, c) == (3, 2, 3)
+    assert out == pixels
+
+
+def test_bmp_all_padding_widths_roundtrip():
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    for width in range(1, 14):  # covers every (-3w) % 4 padding case
+        pixels = bytes((i * 7 + 3) % 256 for i in range(width * 3 * 3))
+        data = multimodal.encode_bmp(width, 3, pixels)
+        w, h, c, out = multimodal.decode_bmp(data)
+        assert (w, h, c) == (width, 3, 3)
+        assert out == pixels, f"pixel mismatch at width={width}"
+
+
+def test_bmp_decode_top_down_negative_height():
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    pixels = bytes(range(2 * 2 * 3))
+    data = bytearray(multimodal.encode_bmp(2, 2, pixels))
+    # rewrite height to -2 (top-down) and swap the two stored rows so the
+    # decoded image is unchanged
+    data[22:26] = (-2).to_bytes(4, "little", signed=True)
+    off = 54
+    stride = 8  # 2*3 rounded up to 4-byte boundary
+    r0, r1 = bytes(data[off : off + stride]), bytes(data[off + stride : off + 2 * stride])
+    data[off : off + stride], data[off + stride : off + 2 * stride] = r1, r0
+    w, h, c, out = multimodal.decode_bmp(bytes(data))
+    assert (w, h, c) == (2, 2, 3)
+    assert out == pixels
+
+
+def test_bmp_decode_rejects_non_bmp_and_unsupported():
+    import pytest as _pytest
+
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_bmp(b"PNG....")
+    data = bytearray(multimodal.encode_bmp(1, 1, b"\x01\x02\x03"))
+    data[28:30] = (8).to_bytes(2, "little")  # 8 bpp unsupported
+    with _pytest.raises(ValueError):
+        multimodal.decode_bmp(bytes(data))
