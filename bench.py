@@ -73,6 +73,9 @@ HEADLINE = [
     "kmeans_assign_embeddings",
     "corpus_prep_pipeline",
     "variant_props_surface",
+    # round-3 additions
+    "multimodal_bmp_roundtrip",
+    "corpus_shard_assignment",
 ]
 
 

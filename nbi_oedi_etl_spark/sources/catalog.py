@@ -10,6 +10,7 @@ README.md:370-372). In Spark the equivalent is explicit and deterministic:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 
 
@@ -22,8 +23,9 @@ def register_parquet_table(
     if recover_partitions:
         try:
             spark.catalog.recoverPartitions(name)
-        except Exception:
-            # Unpartitioned layout — nothing to recover.
+        except AnalysisException:
+            # Unpartitioned layout — nothing to recover. Anything else
+            # (permissions, bad location, catalog failure) propagates.
             pass
 
 

@@ -1520,6 +1520,7 @@ from nbi_oedi_etl_spark import workload_ext as ext
 from nbi_oedi_etl_spark import workload_ext2 as ext2
 from nbi_oedi_etl_spark import workload_ext3 as ext3
 from nbi_oedi_etl_spark import workload_ext4 as ext4
+from nbi_oedi_etl_spark import workload_ext5 as ext5
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1596,6 +1597,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("string_function_suite", ext.string_function_suite, ext.STRING_SUITE_ORACLE),
     QuerySpec("date_function_suite", ext.date_function_suite, ext.DATE_SUITE_ORACLE),
     QuerySpec("event_bitwise_aggregates", ext.event_bitwise_aggregates, ext.EVENT_BITWISE_ORACLE),
+    # round-3 additions (workload_ext5.py): training-pipeline write side
+    QuerySpec("corpus_shard_assignment", ext5.corpus_shard_assignment, ext5.SHARD_ASSIGNMENT_ORACLE),
+    QuerySpec("leakage_safe_splits", ext5.leakage_safe_splits, ext5.LEAKAGE_SPLITS_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02 ----
     QuerySpec("flagship_hourly_resample", flagship_hourly_resample, _FLAGSHIP_ORACLE),
     QuerySpec("ref_q1_count_distinct", ref_q1_count_distinct, _Q1_ORACLE),

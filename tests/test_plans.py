@@ -376,3 +376,16 @@ def test_doc_tfidf_single_fact_shuffle_broadcast_df(spark):
     not a second sort-merge shuffle of the big exploded side."""
     df = _plan(spark, "doc_tfidf_top_terms")
     assert has_broadcast_join(df)
+
+
+def test_corpus_sharding_distributed_prefix_sum(spark):
+    """The global token cumsum must be the two-pass decomposition: the
+    corpus-sized window runs partitioned by the id bucket (hash exchange
+    on bucket), with the per-bucket offsets coming back as a BROADCAST —
+    a single-partition window over the corpus (the naive
+    Window.orderBy-with-no-partition shape) would serialize 100 TB
+    through one task."""
+    df = _plan(spark, "corpus_shard_assignment")
+    plan = physical_plan(df)
+    assert "hashpartitioning(bucket" in plan, "corpus window not bucket-partitioned"
+    assert has_broadcast_join(df), "bucket offsets must broadcast, not shuffle"
