@@ -149,10 +149,15 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Built codegen-friendly: posexplode words, window lead ×4 to form
     shingles (no interpreted higher-order functions — see
-    operators/similarity.py shingles()), then two hash aggregates. At
-    corpus scale the groupBy key would be xxhash64(shingle) (8-byte
-    shuffle keys instead of strings, collision odds ~n²/2⁶⁵); the string
-    key is kept here so the DuckDB oracle can reproduce values exactly.
+    operators/similarity.py shingles()), then ONE window count over the
+    shingle key: because the (doc_id, shingle) set is distinct, the plain
+    COUNT over a shingle partition IS the distinct-document count, so the
+    round-2 shape (groupBy(shingle) agg + join back — two extra wide
+    shuffles of the full shingle relation) collapses to a single
+    hash-repartition on shingle. At corpus scale the shuffle key would be
+    xxhash64(shingle) (8-byte keys instead of strings, collision odds
+    ~n²/2⁶⁵); the string key is kept here so the DuckDB oracle can
+    reproduce values exactly.
     """
     docs = read_table(spark, sf_dir, "documents")
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -176,11 +181,9 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingle")
         .distinct()
     )
-    cross = sh.groupBy("shingle").agg(
-        (F.count_distinct("doc_id") > 1).alias("shared")
-    )
+    wsh = Window.partitionBy("shingle")
     return (
-        sh.join(cross, "shingle")
+        sh.withColumn("shared", F.count(F.lit(1)).over(wsh) > 1)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
