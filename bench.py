@@ -76,6 +76,10 @@ HEADLINE = [
     # round-3 additions
     "multimodal_bmp_roundtrip",
     "corpus_shard_assignment",
+    "cross_source_contamination",
+    "user_event_sequences",
+    "weighted_mixture_sample",
+    "label_centroid_quality",
 ]
 
 

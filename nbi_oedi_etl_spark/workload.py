@@ -1521,6 +1521,7 @@ from nbi_oedi_etl_spark import workload_ext2 as ext2
 from nbi_oedi_etl_spark import workload_ext3 as ext3
 from nbi_oedi_etl_spark import workload_ext4 as ext4
 from nbi_oedi_etl_spark import workload_ext5 as ext5
+from nbi_oedi_etl_spark import workload_ext6 as ext6
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1591,6 +1592,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("monthly_revenue_growth", ext4.monthly_revenue_growth, ext4.MOM_GROWTH_ORACLE),
     QuerySpec("python_datasource_resample", ext4.python_datasource_resample, ext4.PY_DATASOURCE_ORACLE),
     QuerySpec("variant_props_surface", ext4.variant_props_surface, ext4.VARIANT_ORACLE),
+    # round-3 additions (workload_ext6.py) — after the 50-spec rotation
+    # prefix; locally parity-verified this round, rotate into the driver
+    # window next round.
+    QuerySpec("cross_source_contamination", ext6.cross_source_contamination, ext6.CONTAMINATION_ORACLE),
+    QuerySpec("user_event_sequences", ext6.user_event_sequences, ext6.EVENT_SEQUENCES_ORACLE),
+    QuerySpec("weighted_mixture_sample", ext6.weighted_mixture_sample, ext6.MIXTURE_SAMPLE_ORACLE),
+    QuerySpec("label_centroid_quality", ext6.label_centroid_quality, ext6.LABEL_CENTROID_ORACLE),
     # ---- position 51+: never-externally-verified function-surface specs
     # (lowest-risk leftovers of the 54; rotate into the window in round 4)
     QuerySpec("map_props_surface", ext.map_props_surface, ext.MAP_PROPS_ORACLE),

@@ -1,0 +1,282 @@
+"""Round-3 extension queries: training-data curation operators that close
+the remaining pipeline gaps — benchmark decontamination, training-example
+sequence assembly, deterministic mixture sampling, and embedding label
+audit. Oracle convention identical to workload.py: every query has a
+DuckDB twin with column names aliased identically on both sides.
+
+Scale posture (SCALE.md): all four are single-wide-shuffle or map-only
+shapes; the one join (contamination) broadcasts the benchmark side, which
+is the realistic asymmetry — eval benchmarks are MBs, the corpus is TBs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark.operators.similarity import cosine
+from nbi_oedi_etl_spark.sources.parquet import read_table
+
+# The held-out "benchmark" slice of the documents table: contamination is
+# always measured against a designated eval set; src0 stands in for it.
+_BENCHMARK_SOURCE = "src0"
+
+
+# ------------------------------------------ benchmark decontamination
+
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination signal: for every document OUTSIDE the
+    benchmark source, the fraction of its distinct word 3-grams that also
+    occur in ANY benchmark document. Training pipelines drop or flag docs
+    above a contamination threshold before training so eval numbers stay
+    honest (the cross-dataset counterpart of shingle_novelty's intra-corpus
+    overlap).
+
+    Plan: codegen shingling (posexplode + lead — same shape as
+    workload_ext3.shingle_novelty), one distinct, then a LEFT join whose
+    build side is the distinct benchmark shingle set — broadcast, because
+    the benchmark is small by construction (an eval suite is MBs even when
+    the corpus is 100 TB), so the corpus side never reshuffles on the
+    string key. Aggregation is a single hash agg on doc_id.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w0")
+    )
+    sh = (
+        words.select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ", "w0", F.lead("w0", 1).over(w), F.lead("w0", 2).over(w)
+            ).alias("shingle"),
+            F.lead("w0", 2).over(w).isNotNull().alias("full"),
+        )
+        .where("full")
+        .select("doc_id", "source", "shingle")
+        .distinct()
+    )
+    bench = (
+        sh.where(F.col("source") == _BENCHMARK_SOURCE)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    rest = sh.where(F.col("source") != _BENCHMARK_SOURCE)
+    return (
+        rest.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination_frac"
+            ),
+        )
+    )
+
+
+CONTAMINATION_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+  FROM d
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+), rest AS (
+  SELECT * FROM sh WHERE source <> 'src0'
+)
+SELECT r.doc_id, r.source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS contamination_frac
+FROM rest r LEFT JOIN bench b USING (shingle)
+GROUP BY r.doc_id, r.source
+"""
+
+
+# ------------------------------------------ training-example assembly
+
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example assembly from an event stream: one row per user
+    with the time-ordered sequence of their event types plus span/volume
+    stats — the sequence-modeling shape (next-event prediction, session
+    LMs) built from raw logs.
+
+    Plan: ONE shuffle (groupBy user_id); the ordered sequence comes from
+    array_sort over collected (ts, event_id, type) structs — struct
+    comparison is field-order lexicographic, so ties on ts break on the
+    unique event_id and the result is deterministic without a window sort.
+    All JVM built-ins; at 100 TB the only concern is a degenerate user
+    (bot) whose collect_list exceeds memory — production would cap with a
+    slice() after sort or pre-filter on a per-user count.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        seq.alias("event_seq"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+EVENT_SEQUENCES_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS event_seq,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+# ------------------------------------------ deterministic mixture sampling
+
+def weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / mixture sampling: keep each document with a per-source
+    probability (the data-mixture knob of a pretraining run — upsample
+    curated sources, downsample crawl), decided by a DETERMINISTIC uniform
+    draw u = md5(doc_id)/2^32 so the sample is reproducible across runs
+    and engines — no rand(), no seed plumbing, and re-runs touch identical
+    rows (resumable at 100 TB).
+
+    Weights here derive from the source index (src<i> → ((i % 4)+1)/5,
+    i.e. 0.2/0.4/0.6/0.8); production would broadcast-join a weights dim
+    table. Map-only: no shuffle, fully pushed-down scan, embarrassingly
+    parallel at any scale. The integer-hex → /2^32 draw is exact in double
+    on both engines, so the Spark/DuckDB comparison is bit-identical.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    weight = ((F.substring("source", 4, 10).cast("int") % 4 + 1) / F.lit(5.0))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            weight.alias("w"),
+            u.alias("u"),
+        )
+        .where(F.col("u") < F.col("w"))
+        .select(
+            "doc_id",
+            "source",
+            F.round("w", 1).alias("sample_weight"),
+            F.round("u", 6).alias("sample_u"),
+        )
+    )
+
+
+MIXTURE_SAMPLE_ORACLE = """
+WITH s AS (
+  SELECT doc_id, source,
+         ((CAST(substr(source, 4) AS INT) % 4) + 1) / 5.0 AS w,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, round(w, 1) AS sample_weight, round(u, 6) AS sample_u
+FROM s WHERE u < w
+"""
+
+
+# ------------------------------------------ embedding label audit
+
+def label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label audit: per label, the member count, the
+    centroid's norm, and the mean cosine of members to their own label
+    centroid — the cohesion check run over classifier training data to
+    catch mislabeled or collapsed classes before training.
+
+    Plan: centroids via posexplode → (label, pos) avg → re-assembled with
+    array_sort(collect_list(struct)) — two narrow-keyed hash aggs whose
+    output is O(labels × dim), then BROADCAST back onto the corpus (the
+    centroid table is tiny at any corpus scale) for a shuffle-free cosine
+    pass; final per-label agg is the only corpus-wide shuffle, on a
+    low-cardinality key with map-side partial aggregation.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pos = emb.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
+            ).alias("centroid")
+        )
+        .select(
+            "label",
+            "centroid",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                ),
+                6,
+            ).alias("centroid_norm"),
+        )
+    )
+    per = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "centroid_norm",
+        cosine(F.col("emb"), F.col("centroid")).alias("cos"),
+    )
+    return per.groupBy("label", "centroid_norm").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+    ).select("label", "n_vecs", "centroid_norm", "mean_cos")
+
+
+LABEL_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), p AS (
+  SELECT label, unnest(range(1, len(emb) + 1)) AS i, unnest(emb) AS v FROM e
+), c AS (
+  SELECT label, i, avg(v) AS cv FROM p GROUP BY label, i
+), cent AS (
+  SELECT label, list(cv ORDER BY i) AS centroid FROM c GROUP BY label
+), m AS (
+  SELECT e.label,
+         round(sqrt(list_sum(list_transform(cent.centroid, x -> x * x))), 6)
+           AS centroid_norm,
+         list_cosine_similarity(e.emb, cent.centroid) AS cos
+  FROM e JOIN cent USING (label)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, centroid_norm,
+       round(avg(cos), 6) AS mean_cos
+FROM m
+GROUP BY label, centroid_norm
+"""
