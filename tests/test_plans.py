@@ -389,3 +389,44 @@ def test_corpus_sharding_distributed_prefix_sum(spark):
     plan = physical_plan(df)
     assert "hashpartitioning(bucket" in plan, "corpus window not bucket-partitioned"
     assert has_broadcast_join(df), "bucket offsets must broadcast, not shuffle"
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """cross_source_contamination: the benchmark shingle set must be the
+    broadcast build side — the corpus-side shingle relation must never
+    hash-exchange on the string shingle key for the join."""
+    df = _plan(spark, "cross_source_contamination")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    # the words exchange is computed once and shared by both branches
+    assert "ReusedExchange" in plan
+    # only the SMALL benchmark side may shuffle on the string shingle key
+    # (its own distinct); the corpus side must not
+    assert plan.count("Exchange hashpartitioning(shingle") == 1
+
+
+def test_mixture_sample_map_only(spark):
+    """weighted_mixture_sample is a pushed-down scan + filter: zero
+    exchanges of any kind."""
+    df = _plan(spark, "weighted_mixture_sample")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # single whole-stage-codegen span
+
+
+def test_label_centroid_broadcast_back(spark):
+    """label_centroid_quality: the O(labels×dim) centroid table broadcasts
+    onto the corpus; the corpus side must not re-exchange for that join."""
+    df = _plan(spark, "label_centroid_quality")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_event_sequences_single_shuffle(spark):
+    """user_event_sequences: exactly one hash exchange (groupBy user_id) —
+    the ordered sequence comes from array_sort after collection, not a
+    window sort pass."""
+    df = _plan(spark, "user_event_sequences")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
