@@ -80,6 +80,7 @@ HEADLINE = [
     "user_event_sequences",
     "weighted_mixture_sample",
     "label_centroid_quality",
+    "multimodal_bmp_resize",
 ]
 
 

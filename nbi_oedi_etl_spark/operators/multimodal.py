@@ -306,6 +306,43 @@ def resize_images(payloads: DataFrame, width: int = 32, height: int = 32) -> Dat
     return payloads.mapInPandas(_resize, RESIZED_SCHEMA)
 
 
+def resize_bmp_images(payloads: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize (binary → binary, 1→1): decode the BMP, resample
+    with nearest-neighbor (src index = floor(dst·src_dim/dst_dim), the
+    standard NN mapping), re-encode as BMP. No codec library — the whole
+    path is the pure-Python BMP codec above, so unlike ``resize_images``
+    (stubbed general-format path) this one is value-checkable end-to-end:
+    an external oracle can predict every output pixel analytically when
+    the input construction is closed-form (``with_bmp_payload``).
+
+    Same scale posture as every multimodal op: Arrow-batched mapInPandas,
+    one narrow stage, no shuffle."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, pix = decode_bmp(bytes(payload))
+                out = bytearray()
+                for y2 in range(height):
+                    ys = y2 * h // height
+                    for x2 in range(width):
+                        base = 3 * (ys * w + x2 * w // width)
+                        out += pix[base : base + 3]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "payload": encode_bmp(width, height, bytes(out)),
+                        "width": width,
+                        "height": height,
+                        "channels": 3,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return payloads.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def sample_frames(payloads: DataFrame, n_frames: int = 3) -> DataFrame:
     """Frame sampling shape (video → N rows per payload): demonstrates
     1→many mapInPandas output with bounded fan-out."""

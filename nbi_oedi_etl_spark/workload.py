@@ -1495,6 +1495,46 @@ FROM b
 """
 
 
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → nearest-neighbor resize → re-encode → decode again,
+    oracle-backed end-to-end: the closed-form BMP construction
+    (operators/multimodal.py with_bmp_payload) lets DuckDB predict the
+    resized image's pixel-byte sum analytically — src pixel byte p is
+    digest[p mod 16], dst (x2,y2) maps to src (x2·w//W2, y2·h//H2) — so a
+    resampler that misindexes rows, channels, or the NN mapping
+    hash-mismatches. Three chained mapInPandas stages, still one narrow
+    no-shuffle pipeline."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.extract_bmp_features(
+        multimodal.resize_bmp_images(multimodal.with_bmp_payload(docs), 8, 4)
+    )
+
+
+_BMP_RESIZE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 13 AS INTEGER) AS w,
+         CAST(1 + doc_id % 7 AS INTEGER) AS h,
+         md5(text) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, w, h,
+         list_transform(range(16),
+             i -> ('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2))::BIGINT) AS db
+  FROM d
+)
+SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(list_sum(flatten(list_transform(range(4), y2 ->
+           list_transform(range(8), x2 ->
+               db[(3*((y2*h//4)*w + (x2*w//8))) % 16 + 1]
+             + db[(3*((y2*h//4)*w + (x2*w//8)) + 1) % 16 + 1]
+             + db[(3*((y2*h//4)*w + (x2*w//8)) + 2) % 16 + 1]
+           )))) AS BIGINT) AS pixel_byte_sum
+FROM b
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame-sampling shape over binary payloads (rows-only)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -1599,6 +1639,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("user_event_sequences", ext6.user_event_sequences, ext6.EVENT_SEQUENCES_ORACLE),
     QuerySpec("weighted_mixture_sample", ext6.weighted_mixture_sample, ext6.MIXTURE_SAMPLE_ORACLE),
     QuerySpec("label_centroid_quality", ext6.label_centroid_quality, ext6.LABEL_CENTROID_ORACLE),
+    QuerySpec("multimodal_bmp_resize", multimodal_bmp_resize, _BMP_RESIZE_ORACLE),
     # ---- position 51+: never-externally-verified function-surface specs
     # (lowest-risk leftovers of the 54; rotate into the window in round 4)
     QuerySpec("map_props_surface", ext.map_props_surface, ext.MAP_PROPS_ORACLE),

@@ -597,6 +597,23 @@ def test_bmp_encode_decode_roundtrip_exact_pixels():
     assert out == pixels
 
 
+def test_bmp_nearest_neighbor_resize_hand_computed(spark):
+    """resize_bmp_images on a crafted 4x2 image downsampled to 2x1: NN
+    mapping picks src (0,0) and (2,0) — verified byte-for-byte."""
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    # src pixels (top-down BGR): pixel (x,y) = [10*(y*4+x)]*3
+    pixels = bytes(b for i in range(8) for b in [10 * i] * 3)
+    payload = multimodal.encode_bmp(4, 2, pixels)
+    df = spark.createDataFrame([(1, payload, "image/bmp")], "doc_id long, payload binary, mime string")
+    out = multimodal.resize_bmp_images(df, 2, 1).collect()
+    assert len(out) == 1
+    w, h, c, pix = multimodal.decode_bmp(bytes(out[0]["payload"]))
+    assert (w, h, c) == (2, 1, 3)
+    # dst (0,0) <- src (0*4//2, 0*2//1) = (0,0) -> 0; dst (1,0) <- (2,0) -> 20
+    assert pix == bytes([0, 0, 0, 20, 20, 20])
+
+
 def test_bmp_all_padding_widths_roundtrip():
     from nbi_oedi_etl_spark.operators import multimodal
 
