@@ -81,6 +81,7 @@ HEADLINE = [
     "weighted_mixture_sample",
     "label_centroid_quality",
     "multimodal_bmp_resize",
+    "multimodal_wav_features",
 ]
 
 

@@ -306,6 +306,142 @@ def resize_images(payloads: DataFrame, width: int = 32, height: int = 32) -> Dat
     return payloads.mapInPandas(_resize, RESIZED_SCHEMA)
 
 
+# ------------------------------------------------------------ real WAV codec
+#
+# RIFF/WAVE, PCM (format 1), 16-bit mono — the canonical uncompressed audio
+# container; format is public. Chunk layout: "RIFF" <size> "WAVE" then a
+# sequence of (<4-char id> <u32 size> <body>) chunks, odd-sized bodies padded
+# one byte; "fmt " carries (format, channels, sample_rate, byte_rate,
+# block_align, bits); "data" carries little-endian int16 samples.
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Encode 16-bit mono PCM samples into a real RIFF/WAVE file."""
+    body = b"".join(
+        int(s).to_bytes(2, "little", signed=True) for s in samples
+    )
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    data = b"data" + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) % 2 else b"")
+    riff_len = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_len.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode RIFF/WAVE PCM-16 mono: returns (sample_rate, n_channels,
+    samples). Walks the chunk sequence properly (fmt need not precede data
+    at a fixed offset; unknown chunks are skipped, odd sizes padded)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, channels, bits, samples = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+        elif cid == b"data":
+            samples = [
+                int.from_bytes(body[i : i + 2], "little", signed=True)
+                for i in range(0, len(body) - 1, 2)
+            ]
+        pos += 8 + size + (size % 2)  # odd chunk bodies are padded
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return sample_rate, channels, samples
+
+
+#: Output schema of the REAL WAV decode path (oracle-checkable).
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_abs_amplitude", LongType()),
+    ]
+)
+
+
+def with_wav_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL PCM WAV payload per row, closed-form like
+    ``with_bmp_payload``: sample count and rate from the id, int16 sample i
+    = little-endian pair (digest[2i mod 16], digest[2i+1 mod 16]) of the
+    text's md5 — analytically reproducible by a SQL oracle."""
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                n = 16 + i % 48
+                rate = 8000 + (i % 3) * 4000
+                d = hashlib.md5(str(text).encode("utf-8")).digest()
+                samples = [
+                    int.from_bytes(
+                        bytes([d[(2 * j) % 16], d[(2 * j + 1) % 16]]),
+                        "little",
+                        signed=True,
+                    )
+                    for j in range(n)
+                ]
+                rows.append(
+                    {"doc_id": i, "payload": encode_wav(rate, samples), "mime": "audio/wav"}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime"])
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("mime", StringType()),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
+        _mk, schema
+    )
+
+
+def extract_wav_features(payloads: DataFrame) -> DataFrame:
+    """REAL audio decode over WAV binary payloads: chunk-walk the RIFF
+    container, parse PCM-16 samples, reduce to integer features (sum of
+    absolute amplitudes — exact, so value-hash-checkable). Arrow-batched
+    mapInPandas, narrow stage, no shuffle."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sample_rate": rate,
+                        "n_channels": ch,
+                        "n_samples": len(samples),
+                        "sum_abs_amplitude": sum(abs(s) for s in samples),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_FEATURES_SCHEMA.fields])
+
+    return payloads.mapInPandas(_extract, WAV_FEATURES_SCHEMA)
+
+
 def resize_bmp_images(payloads: DataFrame, width: int, height: int) -> DataFrame:
     """REAL image resize (binary → binary, 1→1): decode the BMP, resample
     with nearest-neighbor (src index = floor(dst·src_dim/dst_dim), the

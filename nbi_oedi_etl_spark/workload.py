@@ -1535,6 +1535,46 @@ FROM b
 """
 
 
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-backed: build a genuine RIFF/WAVE PCM-16
+    payload per document (closed-form samples from md5(text) —
+    operators/multimodal.py with_wav_payload), chunk-walk and decode it for
+    real, and emit integer amplitude features that DuckDB predicts
+    analytically — a parser that misreads chunk sizes, sample signedness,
+    or little-endian order hash-mismatches."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.extract_wav_features(multimodal.with_wav_payload(docs))
+
+
+_WAV_FEATURES_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+         16 + doc_id % 48 AS n,
+         md5(text) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, sample_rate, n,
+         list_transform(range(16),
+             i -> ('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2))::BIGINT) AS db
+  FROM d
+), s AS (
+  SELECT doc_id, sample_rate, n,
+         list_transform(range(n), j ->
+             CASE WHEN db[(2*j) % 16 + 1] + 256 * db[(2*j+1) % 16 + 1] >= 32768
+                  THEN db[(2*j) % 16 + 1] + 256 * db[(2*j+1) % 16 + 1] - 65536
+                  ELSE db[(2*j) % 16 + 1] + 256 * db[(2*j+1) % 16 + 1]
+             END) AS vals
+  FROM b
+)
+SELECT doc_id, sample_rate, CAST(1 AS INTEGER) AS n_channels,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(list_sum(list_transform(vals, v -> abs(v))) AS BIGINT)
+         AS sum_abs_amplitude
+FROM s
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame-sampling shape over binary payloads (rows-only)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -1640,6 +1680,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("weighted_mixture_sample", ext6.weighted_mixture_sample, ext6.MIXTURE_SAMPLE_ORACLE),
     QuerySpec("label_centroid_quality", ext6.label_centroid_quality, ext6.LABEL_CENTROID_ORACLE),
     QuerySpec("multimodal_bmp_resize", multimodal_bmp_resize, _BMP_RESIZE_ORACLE),
+    QuerySpec("multimodal_wav_features", multimodal_wav_features, _WAV_FEATURES_ORACLE),
     # ---- position 51+: never-externally-verified function-surface specs
     # (lowest-risk leftovers of the 54; rotate into the window in round 4)
     QuerySpec("map_props_surface", ext.map_props_surface, ext.MAP_PROPS_ORACLE),

@@ -614,6 +614,31 @@ def test_bmp_nearest_neighbor_resize_hand_computed(spark):
     assert pix == bytes([0, 0, 0, 20, 20, 20])
 
 
+def test_wav_encode_decode_roundtrip():
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    data = multimodal.encode_wav(16000, samples)
+    rate, ch, out = multimodal.decode_wav(data)
+    assert (rate, ch) == (16000, 1)
+    assert out == samples
+
+
+def test_wav_decode_walks_unknown_and_odd_chunks():
+    """The parser must skip unknown chunks (with odd-size padding) placed
+    BEFORE fmt/data — real WAV files carry LIST/INFO chunks."""
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    samples = [100, -200, 300]
+    data = multimodal.encode_wav(8000, samples)
+    # splice an odd-sized unknown chunk right after the WAVE tag
+    junk = b"LIST" + (5).to_bytes(4, "little") + b"junk!" + b"\x00"  # padded
+    spliced = data[:12] + junk + data[12:]
+    spliced = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    rate, ch, out = multimodal.decode_wav(spliced)
+    assert (rate, ch, out) == (8000, 1, samples)
+
+
 def test_bmp_all_padding_widths_roundtrip():
     from nbi_oedi_etl_spark.operators import multimodal
 
