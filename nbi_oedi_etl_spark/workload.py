@@ -1576,9 +1576,33 @@ FROM s
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N frame-sampling shape over binary payloads (rows-only)."""
+    """1→N frame sampling over binary payloads, oracle-backed: the
+    synthetic "video" payload is the text's md5 hex repeated 8× (256
+    ASCII bytes, built with JVM expressions — no UDF), so the byte slices
+    the sampler hashes are predictable by DuckDB VARCHAR substring
+    arithmetic (ASCII ⇒ char offsets == byte offsets). The sampler itself
+    (operators/multimodal.py sample_frames) still treats the payload as
+    opaque bytes — equal-stride slicing + per-frame digest, the
+    keyframe-extraction shape."""
     docs = read_table(spark, sf_dir, "documents")
-    return multimodal.sample_frames(multimodal.with_binary_payload(docs), n_frames=3)
+    vid = docs.select(
+        "doc_id",
+        F.encode(F.repeat(F.md5(F.encode("text", "utf-8")), 8), "utf-8").alias(
+            "payload"
+        ),
+        F.lit("video/x-synthetic").alias("mime"),
+    )
+    return multimodal.sample_frames(vid, n_frames=3)
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH v AS (
+  SELECT doc_id, repeat(md5(text), 8) AS vid FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(substring(vid, CAST(i*85+1 AS BIGINT), 85)) AS frame_hash
+FROM v, range(3) t(i)
+"""
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1681,6 +1705,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("label_centroid_quality", ext6.label_centroid_quality, ext6.LABEL_CENTROID_ORACLE),
     QuerySpec("multimodal_bmp_resize", multimodal_bmp_resize, _BMP_RESIZE_ORACLE),
     QuerySpec("multimodal_wav_features", multimodal_wav_features, _WAV_FEATURES_ORACLE),
+    QuerySpec("multimodal_frame_sample", multimodal_frame_sample, _FRAME_SAMPLE_ORACLE),
     # ---- position 51+: never-externally-verified function-surface specs
     # (lowest-risk leftovers of the 54; rotate into the window in round 4)
     QuerySpec("map_props_surface", ext.map_props_surface, ext.MAP_PROPS_ORACLE),
@@ -1761,7 +1786,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("near_dup_clusters", near_dup_clusters, None),
     QuerySpec("stateful_session_stats", stateful_session_stats, None),
     QuerySpec("multimodal_image_features", multimodal_image_features, None),
-    QuerySpec("multimodal_frame_sample", multimodal_frame_sample, None),
     QuerySpec("multimodal_resize", multimodal_resize, None),
 ]
 
