@@ -82,6 +82,8 @@ HEADLINE = [
     "label_centroid_quality",
     "multimodal_bmp_resize",
     "multimodal_wav_features",
+    "cms_token_topk",
+    "hll_distinct_tokens",
 ]
 
 

@@ -1,0 +1,162 @@
+"""Mergeable sketch operators with PORTABLE hash families (Count-Min,
+HyperLogLog) — the "approximate but verifiable" tier of the engine.
+
+The usual objection to oracle-checking approximate operators is that the
+estimate is engine-defined. Both sketches here sidestep that: given a
+deterministic hash family (md5-derived, available identically in Spark and
+DuckDB), the sketch content — and therefore the estimate — is a pure
+function of the data, so an external SQL oracle reproduces it EXACTLY.
+What stays approximate is the relationship to ground truth, which the
+bundled queries also surface (true count next to estimate).
+
+Scale posture: both sketches are classic distributive aggregates —
+  - CMS build: groupBy over (depth × width) cells; map-side partial
+    aggregation collapses any token volume to ≤ cells·n_partitions rows
+    before the shuffle. The 100 TB corpus shuffles ~KBs.
+  - HLL build: groupBy over m registers with max() partials — same story.
+    No distinct, no dedup shuffle: duplicate inserts cannot change a
+    register max, which is the entire point of the sketch.
+Merging shards/streams = elementwise sum (CMS) / max (HLL) of the same
+cells — the groupBy IS the merge.
+
+References: Cormode & Muthukrishnan (CMS, 2005); Flajolet et al. (HLL,
+2007). Formulas follow the published papers (alpha_64 = 0.709, linear
+counting below 2.5·m with empty registers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _portable_hash(col, seed: int | None = None, hex_chars: int = 15):
+    """md5-derived BIGINT hash, reproducible in any engine with md5():
+    first ``hex_chars`` hex digits (≤15 keeps it under 2^60, exact in
+    BIGINT and DOUBLE)."""
+    keyed = col if seed is None else F.concat(F.lit(f"{seed}|"), col)
+    return F.conv(F.substring(F.md5(keyed), 1, hex_chars), 16, 10).cast("bigint")
+
+
+def tokens_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, lowercased; the shared input shape for both
+    sketches (single-space split to stay in lockstep with SQL twins)."""
+    return docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+
+def cms_topk_estimates(
+    docs: DataFrame, depth: int = 4, width: int = 256, k: int = 20
+) -> DataFrame:
+    """Count-Min sketch over document tokens, read back for the top-k
+    true-frequent tokens: (token, true_count, cms_estimate).
+
+    Build: every token increments cell (seed, md5(seed|tok) % width) for
+    each of ``depth`` seeds; the build aggregate's key space is
+    depth×width cells, so partial aggregation makes the shuffle O(cells),
+    not O(tokens). Read: estimate(t) = min over seeds of its cell — the
+    classic upper-bound guarantee (estimate ≥ true, with overcount ≤
+    εN at probability 1-δ for width=e/ε, depth=ln(1/δ)).
+
+    The true counts (one vocab-wide shuffle) are computed only to pick
+    the read-back keys and expose estimation error next to truth.
+    """
+    toks = tokens_of(docs)
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
+    cells = toks.select("tok", seeds).select(
+        "seed",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("tok"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("bucket"),
+    )
+    sketch = cells.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+
+    true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    w = Window.orderBy(F.desc("true_count"), F.asc("tok"))
+    topk = true_counts.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    probes = topk.select("tok", "true_count", seeds).select(
+        "tok",
+        "true_count",
+        "seed",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("tok"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .select(F.col("tok").alias("token"), "true_count", "cms_estimate")
+    )
+
+
+def hll_distinct_estimate(docs: DataFrame, m: int = 64) -> DataFrame:
+    """HyperLogLog distinct-token estimate with m=64 registers
+    (alpha_64 = 0.709), next to the exact distinct count.
+
+    h = 60-bit md5 hash; register j = h mod m; rho = leading-zero count
+    of the remaining 54 bits + 1 (via string length of bin(w) — portable);
+    register value = max(rho). The register table is the ONLY state —
+    the build shuffles m rows with max() partials regardless of corpus
+    size, and never dedups. Linear counting (m·ln(m/V)) kicks in below
+    2.5·m when V registers are empty, per the paper.
+
+    Both the registers and the final double arithmetic are deterministic
+    given the hash family, so the estimate is value-hash-checkable; the
+    integer rounding removes any cross-engine libm ulp concern.
+    """
+    toks = tokens_of(docs)
+    h = _portable_hash(F.col("tok"), hex_chars=15)
+    base = toks.select(
+        (h % m).alias("j"),
+        F.floor(h / m).cast("bigint").alias("w"),
+    ).select(
+        "j",
+        F.when(F.col("w") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(F.col("w"))))
+        .alias("rho"),
+    )
+    regs = base.groupBy("j").agg(F.max("rho").alias("reg"))
+    full = (
+        docs.sparkSession.range(m)
+        .withColumnRenamed("id", "j")
+        .join(regs, "j", "left")
+        .select("j", F.coalesce("reg", F.lit(0)).alias("reg"))
+    )
+    packed = full.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "reg"))), lambda x: x["reg"]
+        ).alias("regs")
+    )
+    raw = (F.lit(0.709 * m * m)) / F.aggregate(
+        F.transform(F.col("regs"), lambda r: F.pow(F.lit(2.0), -r)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    v_empty = F.size(F.filter(F.col("regs"), lambda r: r == 0))
+    est = F.when(
+        (raw <= 2.5 * m) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw)
+    estimates = packed.select(
+        F.round(est).cast("bigint").alias("hll_estimate"),
+        v_empty.alias("v_empty"),
+        F.lit(m).cast("int").alias("n_registers"),
+    )
+    truth = toks.agg(F.count_distinct("tok").alias("true_distinct"))
+    return truth.crossJoin(estimates).select(
+        "true_distinct", "hll_estimate", "n_registers", "v_empty"
+    )

@@ -280,3 +280,88 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, centroid_norm,
 FROM m
 GROUP BY label, centroid_norm
 """
+
+
+# ------------------------------------------ portable sketches
+
+def cms_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketches.py) over document tokens, read
+    back at the top-20 true-frequent tokens. The md5 hash family makes the
+    sketch content — not just its contract — reproducible by the DuckDB
+    twin, so this approximate operator is value-hash-checked exactly."""
+    from nbi_oedi_etl_spark.operators import sketches
+
+    return sketches.cms_topk_estimates(
+        read_table(spark, sf_dir, "documents"), depth=4, width=256, k=20
+    )
+
+
+CMS_TOPK_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents
+), t AS (
+  SELECT tok FROM toks WHERE tok <> ''
+), cells AS (
+  SELECT seed, ('0x' || substring(md5(seed::VARCHAR || '|' || tok), 1, 8))::BIGINT % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cell
+  FROM t, range(4) s(seed)
+  GROUP BY 1, 2
+), true_counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS true_count FROM t GROUP BY tok
+), topk AS (
+  SELECT tok, true_count FROM true_counts
+  ORDER BY true_count DESC, tok LIMIT 20
+), probes AS (
+  SELECT k.tok, k.true_count, s.seed,
+         ('0x' || substring(md5(s.seed::VARCHAR || '|' || k.tok), 1, 8))::BIGINT % 256 AS bucket
+  FROM topk k, range(4) s(seed)
+)
+SELECT p.tok AS token, p.true_count, min(c.cell) AS cms_estimate
+FROM probes p JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+GROUP BY p.tok, p.true_count
+"""
+
+
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (operators/sketches.py) distinct-token estimate beside
+    the exact count — the md5-60-bit hash family and integer-rounded
+    estimate make the whole sketch pipeline cross-engine exact."""
+    from nbi_oedi_etl_spark.operators import sketches
+
+    return sketches.hll_distinct_estimate(
+        read_table(spark, sf_dir, "documents"), m=64
+    )
+
+
+HLL_DISTINCT_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents
+), t AS (
+  SELECT tok FROM toks WHERE tok <> ''
+), h AS (
+  SELECT tok, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv FROM t
+), r AS (
+  SELECT hv % 64 AS j,
+         CASE WHEN hv // 64 = 0 THEN 55
+              ELSE 55 - length(bin(hv // 64)) END AS rho
+  FROM h
+), regs AS (
+  SELECT j, max(rho) AS reg FROM r GROUP BY j
+), filled AS (
+  SELECT g.j, coalesce(regs.reg, 0) AS reg
+  FROM range(64) g(j) LEFT JOIN regs ON g.j = regs.j
+), packed AS (
+  SELECT list(reg ORDER BY j) AS rs FROM filled
+), est AS (
+  SELECT 0.709 * 64 * 64 / list_sum(list_transform(rs, x -> pow(2.0, -x))) AS raw,
+         len(list_filter(rs, x -> x = 0)) AS v_empty
+  FROM packed
+)
+SELECT (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM t) AS true_distinct,
+       CAST(round(CASE WHEN raw <= 160 AND v_empty > 0
+                       THEN 64 * ln(64.0 / v_empty) ELSE raw END)
+            AS BIGINT) AS hll_estimate,
+       CAST(64 AS INTEGER) AS n_registers,
+       CAST(v_empty AS INTEGER) AS v_empty
+FROM est
+"""

@@ -678,3 +678,31 @@ def test_bmp_decode_rejects_non_bmp_and_unsupported():
     data[28:30] = (8).to_bytes(2, "little")  # 8 bpp unsupported
     with _pytest.raises(ValueError):
         multimodal.decode_bmp(bytes(data))
+
+
+# ------------------------------------------------------------ sketches
+
+
+def test_cms_upper_bound_and_hll_accuracy_large_vocab(spark):
+    """On a 2000-token vocabulary (unlike the tiny testdata pool): CMS
+    estimates must upper-bound true counts (the paper guarantee — min of
+    d counters can only overcount), and the HLL estimate must land within
+    the ~1.3/sqrt(64) ≈ 16% band (25% asserted for slack). This exercises
+    the harmonic-mean branch, which the 31-token testdata (linear-counting
+    regime) never reaches."""
+    from nbi_oedi_etl_spark.operators import sketches
+
+    docs = spark.range(2000).selectExpr(
+        "id as doc_id",
+        # doc i: tokens w<i> and w<i%97> — zipf-ish repetition, 2000 vocab
+        "concat('w', id, ' w', id % 97, ' w', id % 97) as text",
+    )
+    cms = sketches.cms_topk_estimates(docs, depth=4, width=256, k=20).collect()
+    assert len(cms) == 20
+    for r in cms:
+        assert r["cms_estimate"] >= r["true_count"], r
+
+    hll = sketches.hll_distinct_estimate(docs, m=64).collect()[0]
+    true, est = hll["true_distinct"], hll["hll_estimate"]
+    assert true == 2000
+    assert abs(est - true) / true < 0.25, (true, est)
