@@ -84,6 +84,7 @@ HEADLINE = [
     "multimodal_wav_features",
     "cms_token_topk",
     "hll_distinct_tokens",
+    "bloom_decontamination",
 ]
 
 

@@ -160,3 +160,74 @@ def hll_distinct_estimate(docs: DataFrame, m: int = 64) -> DataFrame:
     return truth.crossJoin(estimates).select(
         "true_distinct", "hll_estimate", "n_registers", "v_empty"
     )
+
+
+def bloom_bit_positions(items: DataFrame, col: str, m: int, k: int) -> DataFrame:
+    """Bloom-filter BUILD: the distinct bit positions set by hashing each
+    item k times into an m-bit domain (portable md5 family). The result —
+    at most m rows of a single int column — IS the filter; at 100 TB it is
+    dimension-table-sized by construction (≤ m rows no matter how many
+    items were inserted), so it broadcasts."""
+    pos = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{i}|"), F.col(col))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m
+        ).alias("p")
+        for i in range(k)
+    ]
+    return (
+        items.select(F.explode(F.array(*pos)).alias("bit_pos")).distinct()
+    )
+
+
+def bloom_probe_counts(
+    probes: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    group_cols: list[str],
+    m: int,
+    k: int,
+) -> DataFrame:
+    """Bloom-filter PROBE: an item is maybe-member iff ALL k of its bit
+    positions are set. Mechanism: explode each probe item to its k
+    positions, broadcast-join the (≤ m row) filter, and require k hits —
+    a shuffle-free membership test over the probe side (the per-group
+    count agg is the only wide stage). Guarantees mirror the paper: no
+    false negatives; false-positive rate ≈ (1-e^{-kn/m})^k.
+
+    Output: group_cols + (n_items, n_maybe_member)."""
+    pos = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{i}|"), F.col(col))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m
+        ).alias(f"p{i}")
+        for i in range(k)
+    ]
+    exploded = probes.select(
+        *group_cols, F.col(col).alias("_item"), F.posexplode(F.array(*pos)).alias("_i", "bit_pos")
+    )
+    hits = (
+        exploded.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit_pos", "left")
+        .groupBy(*group_cols, "_item")
+        .agg(
+            (F.sum(F.coalesce("_set", F.lit(0))) == k).alias("maybe_member")
+        )
+    )
+    return hits.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_maybe_member"),
+    )

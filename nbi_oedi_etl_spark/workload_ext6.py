@@ -365,3 +365,84 @@ SELECT (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM t) AS true_distinct,
        CAST(v_empty AS INTEGER) AS v_empty
 FROM est
 """
+
+
+# ------------------------------------------ Bloom-filter decontamination
+
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale variant of cross_source_contamination: instead of
+    broadcasting the benchmark's raw shingle SET (O(benchmark bytes)), a
+    Bloom filter caps the broadcast at m bits regardless of benchmark size
+    (operators/sketches.py). Per doc: how many of its 3-gram shingles are
+    MAYBE in the benchmark (upper bound — no false negatives; false
+    positives at the (1-e^{-kn/m})^k paper rate, m=4096, k=2). The md5
+    bit positions are engine-portable so even this approximate membership
+    test is value-hash-checked exactly."""
+    from nbi_oedi_etl_spark.operators import sketches
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w0")
+    )
+    sh = (
+        words.select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ", "w0", F.lead("w0", 1).over(w), F.lead("w0", 2).over(w)
+            ).alias("shingle"),
+            F.lead("w0", 2).over(w).isNotNull().alias("full"),
+        )
+        .where("full")
+        .select("doc_id", "source", "shingle")
+        .distinct()
+    )
+    bench = sh.where(F.col("source") == _BENCHMARK_SOURCE).select("shingle")
+    bloom = sketches.bloom_bit_positions(bench, "shingle", m=4096, k=2)
+    rest = sh.where(F.col("source") != _BENCHMARK_SOURCE)
+    return sketches.bloom_probe_counts(
+        rest, bloom, "shingle", ["doc_id", "source"], m=4096, k=2
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_items").alias("n_shingles"),
+        F.col("n_maybe_member").alias("n_maybe_contaminated"),
+    )
+
+
+BLOOM_DECONTAMINATION_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+  FROM d
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+), bloom AS (
+  SELECT DISTINCT
+         ('0x' || substring(md5('b' || i || '|' || shingle), 1, 8))::BIGINT % 4096
+           AS bit_pos
+  FROM bench, range(2) t(i)
+), rest AS (
+  SELECT doc_id, source, shingle FROM sh WHERE source <> 'src0'
+), probe AS (
+  SELECT doc_id, source, shingle, i,
+         ('0x' || substring(md5('b' || i || '|' || shingle), 1, 8))::BIGINT % 4096
+           AS bit_pos
+  FROM rest, range(2) t(i)
+), hit AS (
+  SELECT doc_id, source, shingle,
+         sum(CASE WHEN b.bit_pos IS NOT NULL THEN 1 ELSE 0 END) = 2 AS maybe
+  FROM probe p LEFT JOIN bloom b USING (bit_pos)
+  GROUP BY doc_id, source, shingle
+)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_maybe_contaminated
+FROM hit
+GROUP BY doc_id, source
+"""

@@ -706,3 +706,22 @@ def test_cms_upper_bound_and_hll_accuracy_large_vocab(spark):
     true, est = hll["true_distinct"], hll["hll_estimate"]
     assert true == 2000
     assert abs(est - true) / true < 0.25, (true, est)
+
+
+def test_bloom_decontamination_upper_bounds_exact(spark):
+    """Bloom membership has NO false negatives: per doc, the maybe-count
+    must be >= the exact contamination count from the set-based query
+    (and equal for most docs at this m/n ratio)."""
+    from nbi_oedi_etl_spark import workload_ext6 as e6
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["doc_id"]): r["n_contaminated"]
+        for r in e6.cross_source_contamination(spark, sf).collect()
+    }
+    bloom = {
+        (r["doc_id"]): r["n_maybe_contaminated"]
+        for r in e6.bloom_decontamination(spark, sf).collect()
+    }
+    assert set(exact) == set(bloom)
+    assert all(bloom[d] >= exact[d] for d in exact)
