@@ -46,6 +46,60 @@ def tokens_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).where(F.col("tok") != "")
 
 
+def cms_cells(toks: DataFrame, depth: int, width: int) -> DataFrame:
+    """CMS build aggregate: (seed, bucket, cell) counts — the mergeable
+    sketch state (merge = sum of cells with the same key). Shared by the
+    batch query and streaming foreachBatch accumulation."""
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
+    return (
+        toks.select("tok", seeds)
+        .select(
+            "seed",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("tok"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+
+def hll_registers(toks: DataFrame, m: int) -> DataFrame:
+    """HLL build aggregate: (j, reg) register maxima — the mergeable
+    sketch state (merge = max of registers with the same j). ``m`` must
+    be a power of two; the remainder w = h // m carries 60 - log2(m)
+    bits, so rho (leading-zero count + 1) is computed against THAT width
+    — a fixed 54-bit assumption silently corrupts registers for any
+    other m (caught by the micro-batch merge test at m=16). Register
+    values are always ≥ 1; 0 is reserved for "never touched"."""
+    import math
+
+    p = round(math.log2(m))
+    if 2**p != m:
+        raise ValueError(f"m must be a power of two, got {m}")
+    w_bits = 60 - p
+    h = _portable_hash(F.col("tok"), hex_chars=15)
+    base = toks.select(
+        (h % m).alias("j"),
+        F.floor(h / m).cast("bigint").alias("w"),
+    ).select(
+        "j",
+        F.when(F.col("w") == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(F.col("w"))))
+        .alias("rho"),
+    )
+    return base.groupBy("j").agg(F.max("rho").alias("reg"))
+
+
 def cms_topk_estimates(
     docs: DataFrame, depth: int = 4, width: int = 256, k: int = 20
 ) -> DataFrame:
@@ -64,18 +118,7 @@ def cms_topk_estimates(
     """
     toks = tokens_of(docs)
     seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
-    cells = toks.select("tok", seeds).select(
-        "seed",
-        (
-            F.conv(
-                F.substring(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("tok"))), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % width
-        ).alias("bucket"),
-    )
-    sketch = cells.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    sketch = cms_cells(toks, depth, width)
 
     true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
     w = Window.orderBy(F.desc("true_count"), F.asc("tok"))
@@ -119,17 +162,7 @@ def hll_distinct_estimate(docs: DataFrame, m: int = 64) -> DataFrame:
     integer rounding removes any cross-engine libm ulp concern.
     """
     toks = tokens_of(docs)
-    h = _portable_hash(F.col("tok"), hex_chars=15)
-    base = toks.select(
-        (h % m).alias("j"),
-        F.floor(h / m).cast("bigint").alias("w"),
-    ).select(
-        "j",
-        F.when(F.col("w") == 0, F.lit(55))
-        .otherwise(F.lit(55) - F.length(F.bin(F.col("w"))))
-        .alias("rho"),
-    )
-    regs = base.groupBy("j").agg(F.max("rho").alias("reg"))
+    regs = hll_registers(toks, m)
     full = (
         docs.sparkSession.range(m)
         .withColumnRenamed("id", "j")

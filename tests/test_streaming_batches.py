@@ -184,3 +184,57 @@ def test_foreach_batch_ledger_skips_replayed_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == 5
     sink(df, 1)
     assert spark.read.parquet(out).count() == 10
+
+
+def test_sketches_merge_across_microbatches(spark, tmp_path):
+    """CMS cells (sum-merge) and HLL registers (max-merge) accumulated
+    over per-file micro-batches must equal the one-shot batch sketch over
+    the union — the mergeable-monoid property that makes the sketches
+    usable in foreachBatch / cross-shard union at scale."""
+    from collections import defaultdict
+
+    from nbi_oedi_etl_spark.operators import sketches
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    t1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": ["alpha beta gamma", "beta gamma delta"]})
+    t2 = pa.table({"doc_id": pa.array([3, 4], pa.int64()),
+                   "text": ["gamma delta epsilon", "zeta alpha alpha"]})
+    pq.write_table(t1, d / "a.parquet")
+    pq.write_table(t2, d / "b.parquet")
+    os.utime(d / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(d / "b.parquet", (2_000_000, 2_000_000))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    cms_state: dict = defaultdict(int)
+    hll_state: dict = defaultdict(int)
+    n_batches = []
+
+    def merge(batch_df, batch_id):
+        toks = sketches.tokens_of(batch_df)
+        for r in sketches.cms_cells(toks, depth=4, width=64).collect():
+            cms_state[(r["seed"], r["bucket"])] += r["cell"]
+        for r in sketches.hll_registers(toks, m=16).collect():
+            hll_state[r["j"]] = max(hll_state[r["j"]], r["reg"])
+        n_batches.append(batch_id)
+
+    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert len(n_batches) == 2, "expected one micro-batch per file"
+
+    batch_toks = sketches.tokens_of(spark.read.parquet(str(d)))
+    ref_cms = {
+        (r["seed"], r["bucket"]): r["cell"]
+        for r in sketches.cms_cells(batch_toks, depth=4, width=64).collect()
+    }
+    ref_hll = {
+        r["j"]: r["reg"] for r in sketches.hll_registers(batch_toks, m=16).collect()
+    }
+    assert dict(cms_state) == ref_cms
+    assert dict(hll_state) == ref_hll
