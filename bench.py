@@ -85,6 +85,7 @@ HEADLINE = [
     "cms_token_topk",
     "hll_distinct_tokens",
     "bloom_decontamination",
+    "near_dup_keep_best",
 ]
 
 

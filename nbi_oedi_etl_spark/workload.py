@@ -1709,6 +1709,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("cms_token_topk", ext6.cms_token_topk, ext6.CMS_TOPK_ORACLE),
     QuerySpec("hll_distinct_tokens", ext6.hll_distinct_tokens, ext6.HLL_DISTINCT_ORACLE),
     QuerySpec("bloom_decontamination", ext6.bloom_decontamination, ext6.BLOOM_DECONTAMINATION_ORACLE),
+    QuerySpec("near_dup_keep_best", ext6.near_dup_keep_best, ext6.KEEP_BEST_ORACLE),
     # ---- position 51+: never-externally-verified function-surface specs
     # (lowest-risk leftovers of the 54; rotate into the window in round 4)
     QuerySpec("map_props_surface", ext.map_props_surface, ext.MAP_PROPS_ORACLE),

@@ -446,3 +446,86 @@ SELECT doc_id, source,
 FROM hit
 GROUP BY doc_id, source
 """
+
+
+# ------------------------------------------ dedup representative selection
+
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION table — the step between clustering and row
+    dropping that every pipeline materializes: for each near-dup cluster
+    (portable MinHash pairs → connected components), keep exactly one
+    representative — the LONGEST member (ties to the lowest doc_id), the
+    usual keep-the-most-complete-variant policy. Output one row per doc:
+    (doc_id, cluster_id, cluster_size, kept) — downstream training reads
+    WHERE kept.
+
+    Plan: the component table is bounded by the candidate-pair node set
+    (≪ corpus), so it broadcasts onto the full doc list; cluster_size and
+    the keep rank share ONE window shuffle on cluster_id. Value-hash-
+    checked against DuckDB's recursive-CTE closure + window twin."""
+    from nbi_oedi_etl_spark.operators import dedup
+    from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    comp = dedup.connected_components(_portable_minhash_pairs(docs))
+    joined = docs.select("doc_id", "n_chars").join(
+        F.broadcast(comp), docs.doc_id == comp.node, "left"
+    )
+    labeled = joined.select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.row_number().over(wr) == 1).alias("kept"),
+    )
+
+
+KEEP_BEST_ORACLE = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+  FROM d
+), hs AS (
+  SELECT doc_id, seed,
+         min(('0x' || substring(md5(seed::VARCHAR || '|' || s), 1, 15))::BIGINT) AS m
+  FROM sh, range(8) t(seed) GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(m ORDER BY seed) AS sig FROM hs GROUP BY doc_id
+), bnd AS (
+  SELECT doc_id, band, sig[2*band+1] AS v1, sig[2*band+2] AS v2
+  FROM sig, range(4) t(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.v1 = b2.v1 AND a.v2 = b2.v2
+                         AND a.doc_id < b2.doc_id
+), e AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(u, v, dd) AS (
+  SELECT u, v, 1 FROM e
+  UNION ALL
+  SELECT DISTINCT r.u, e.v, r.dd + 1 FROM reach r JOIN e ON r.v = e.u WHERE r.dd < 6
+), comp AS (
+  SELECT u AS node, least(u, min(v)) AS component
+  FROM (SELECT DISTINCT u, v FROM reach)
+  GROUP BY u
+), labeled AS (
+  SELECT doc.doc_id, doc.n_chars,
+         coalesce(c.component, doc.doc_id) AS cluster_id
+  FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+            ORDER BY n_chars DESC, doc_id) = 1) AS kept
+FROM labeled
+"""
