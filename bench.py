@@ -1,7 +1,12 @@
 """Benchmark harness (driver contract): run the engine's headline queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and print ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output: a detail JSON line (with per-query timings, also written to
+BENCH_DETAIL.json), followed by the FINAL short JSON line the driver parses:
+  {"metric": "headline_queries_total_wall", "value": N, "unit": "sec",
+   "sf": ..., "n_queries": K}
+The final line is kept under 200 chars because the driver captures only a
+bounded tail of stdout (round 3's 2.5 KB single line -> "parsed": null).
 
 Each query is executed to completion via .collect() (results are small —
 aggregations / bounded top-k / per-doc stats).
@@ -73,6 +78,10 @@ HEADLINE = [
     "kmeans_assign_embeddings",
     "corpus_prep_pipeline",
     "variant_props_surface",
+    # streaming family (availableNow micro-batch execution, r4 addition —
+    # regressions in trigger/state handling must show up in wall-clock)
+    "streaming_hourly_resample",
+    "streaming_watermark_dedup",
     # round-3 additions
     "multimodal_bmp_roundtrip",
     "corpus_shard_assignment",
@@ -124,14 +133,27 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    # Per-query detail goes to a file + an early stdout line; the FINAL stdout
+    # line is a short (<200 char) summary. Round 3's single ~2.5 KB JSON line
+    # outgrew the driver's captured output tail -> BENCH_r03 "parsed": null.
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), flush=True)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
             }
         ),
         flush=True,

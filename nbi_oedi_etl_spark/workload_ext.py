@@ -821,13 +821,16 @@ def order_rollup_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     list (sort_array makes collect_list deterministic — raw collect order is
     partition-dependent), its CSV form, and max_by/min_by keyed on a
     strictly-unique decimal ordering value (price ties broken by orderkey,
-    exactly — a raw max_by on price alone would be engine-defined on ties)."""
+    exactly — a raw max_by on price alone would be engine-defined on ties).
+
+    The sorted collect_list is surfaced only in its string form (orderkeys_csv)
+    because the driver's pandas canonicalizer cannot sort raw array columns
+    (unhashable type: list) — every declared output column must be scalar."""
     o = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
     ordv = (
         F.col("o_totalprice").cast("decimal(18,2)") * 1000000 + F.col("o_orderkey")
     )
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
         F.array_join(
             F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"), ","
         ).alias("orderkeys_csv"),
@@ -839,7 +842,6 @@ def order_rollup_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDER_ROLLUP_ORACLE = """
 SELECT o_custkey,
-       list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
        string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS orderkeys_csv,
        arg_max(o_orderkey,
                CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 + o_orderkey)

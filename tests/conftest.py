@@ -47,9 +47,29 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
+def assert_scalar_schema(spark_df, name: str = "") -> None:
+    """Driver-canonicalizer contract: every declared output column must be
+    scalar-typed. The driver sorts rows with pandas ``sort_values``, which
+    raises ``unhashable type: 'list'`` on array/map/struct columns (the sole
+    red row in CORRECTNESS_r03 was exactly this: order_rollup_per_customer
+    exposed a raw ``array<long>`` column)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name or 'query'} declares non-scalar output columns {complex_cols}; "
+        "the driver's pandas canonicalizer cannot sort these"
+    )
+
+
 def assert_oracle_match(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Driver-gate replica: exact value match after column-name sort +
     row sort. Floats must be bit-comparable (queries are written so)."""
+    assert_scalar_schema(spark_df)
     got = _normalize(spark_df.toPandas())
     want = _normalize(con.sql(sql).df())
     assert list(got.columns) == list(want.columns), (

@@ -27,8 +27,9 @@ SF_DIR = "/root/testdata/sf0.01"
 # bounded by the largest per-row surface (per-lineitem windows ~60k rows,
 # doc chunking ~O(docs × chunks)); anything past this smells quadratic.
 MAX_ROWS = 200_000
-# Per-query budget, generous for shared-host noise: headline queries run
-# sub-second at this SF; streaming-style drains aren't in the headline set.
+# Per-query budget, generous for shared-host noise: batch headline queries
+# run sub-second at this SF; the two streaming entries (availableNow drains)
+# take a few seconds of fixed micro-batch overhead and still fit easily.
 MAX_SECONDS = 60.0
 
 

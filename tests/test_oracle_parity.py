@@ -9,7 +9,7 @@ import pytest
 
 from nbi_oedi_etl_spark import workload
 
-from .conftest import SF_ORACLE, assert_oracle_match
+from .conftest import SF_ORACLE, assert_oracle_match, assert_scalar_schema
 
 _ORACLE_SPECS = [s for s in workload.SPECS if s.oracle is not None]
 _ROWS_ONLY_SPECS = [s for s in workload.SPECS if s.oracle is None]
@@ -25,6 +25,7 @@ def test_oracle_parity(spark, oracle_con, spec):
 def test_rows_only_queries_run(spark, spec):
     df = spec.fn(spark, SF_ORACLE)
     assert len(df.schema.fields) > 0
+    assert_scalar_schema(df, spec.name)
     assert df.count() >= 0
 
 
