@@ -314,12 +314,17 @@ def connected_components(
 
 
 def dedup_clusters(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster summary over the components of ``pairs``: one row per
     duplicate cluster with its canonical (minimum) doc id and size. The
-    keep-list at scale is ``docs`` anti-joined to members minus canonicals."""
-    comp = connected_components(pairs)
+    keep-list at scale is ``docs`` anti-joined to members minus canonicals.
+    Pass a precomputed ``components`` (node, component) table to reuse a
+    shared closure stage instead of re-running the propagation."""
+    comp = components if components is not None else connected_components(pairs)
     return (
         comp.groupBy("component")
         .agg(

@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 
 def _portable_hash(col, seed: int | None = None, hex_chars: int = 15):
     """md5-derived BIGINT hash, reproducible in any engine with md5():
-    first ``hex_chars`` hex digits (≤15 keeps it under 2^60, exact in
-    BIGINT and DOUBLE)."""
+    first ``hex_chars`` hex digits. ≤15 hex chars keeps the value under
+    2^60 — exact in BIGINT, but NOT in DOUBLE (doubles are exact only to
+    2^53), so derived quantities must use integer/bit arithmetic
+    (shiftright, %), never float division."""
     keyed = col if seed is None else F.concat(F.lit(f"{seed}|"), col)
     return F.conv(F.substring(F.md5(keyed), 1, hex_chars), 16, 10).cast("bigint")
 
@@ -88,9 +90,13 @@ def hll_registers(toks: DataFrame, m: int) -> DataFrame:
         raise ValueError(f"m must be a power of two, got {m}")
     w_bits = 60 - p
     h = _portable_hash(F.col("tok"), hex_chars=15)
+    # w via bit shift, not F.floor(h / m): h carries 60 bits and doubles are
+    # exact only to 2^53, so float division disagrees with the oracle's
+    # integer h // m for ~40% of large hashes. m is a power of two, so
+    # shiftright(h, p) IS exact integer division (and h % m stays exact).
     base = toks.select(
         (h % m).alias("j"),
-        F.floor(h / m).cast("bigint").alias("w"),
+        F.shiftright(h, p).alias("w"),
     ).select(
         "j",
         F.when(F.col("w") == 0, F.lit(w_bits + 1))
@@ -234,7 +240,11 @@ def bloom_probe_counts(
     count agg is the only wide stage). Guarantees mirror the paper: no
     false negatives; false-positive rate ≈ (1-e^{-kn/m})^k.
 
-    Output: group_cols + (n_items, n_maybe_member)."""
+    Output: group_cols + (n_items, n_maybe_member). NOTE: probes are
+    grouped by (group_cols, item) before counting, so duplicate (group,
+    item) probe ROWS are collapsed — n_items counts DISTINCT items per
+    group, not probe rows. If row multiplicity ever matters, pre-aggregate
+    a count column and sum it instead of relying on row counts here."""
     pos = [
         (
             F.conv(

@@ -29,6 +29,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def scoped_streaming_session(
+    spark: SparkSession, shuffle_partitions: int = 8
+) -> SparkSession:
+    """A cloned session (``newSession``: shared SparkContext + cached data,
+    ISOLATED SQLConf) for running one availableNow drain.
+
+    Stateful streaming cost at drain scale is per-partition state-store
+    commits × micro-batches, not data volume, so drains pin a small
+    ``spark.sql.shuffle.partitions`` (measured 65 s → seconds at 8 for the
+    applyInPandasWithState sessionizer). Mutating the CALLER's session for
+    that — the round-2/3 pattern, ``conf.set`` + restore in ``finally`` —
+    serializes concurrent use of the session and leaks the pin if the
+    restore is skipped (interrupt mid-drain). A cloned session makes the
+    pin scoped by construction: set once, never restored, invisible to the
+    caller. At real scale pass state partitions ≈ cluster parallelism.
+
+    The session timezone is re-pinned to UTC because watermarks require
+    TIMESTAMP (with local tz): NTZ→TZ casts are then value-preserving and
+    windows line up with batch/oracle naive timestamps."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    return s
+
+
 def read_file_stream(
     spark: SparkSession,
     path: str,

@@ -1351,11 +1351,11 @@ def streaming_hourly_resample_events(spark: SparkSession, sf_dir: str) -> DataFr
 
     from nbi_oedi_etl_spark.streaming import ingest
 
-    # Watermarks require TIMESTAMP (with local tz), not NTZ — pin the
-    # session to UTC and cast the outputs back to NTZ so the values equal
-    # the batch/oracle naive timestamps.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = ingest.events_file_stream(spark, sf_dir)
+    # Scoped clone: pins UTC (watermarks require TIMESTAMP with local tz;
+    # outputs cast back to NTZ below) and small state-partition count
+    # without mutating the caller's session.
+    s = ingest.scoped_streaming_session(spark)
+    stream = ingest.events_file_stream(s, sf_dir)
     agg = ingest.streaming_hourly_resample(
         stream,
         ts_col="ts",
@@ -1364,16 +1364,9 @@ def streaming_hourly_resample_events(spark: SparkSession, sf_dir: str) -> DataFr
         mean_cols=("value",),
         round_means=6,
     )
-    # Same state-partition economics as stateful_session_stats: streaming
-    # agg cost here is state-store commits per partition per microbatch.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = ingest.run_available_now(agg, tempfile.mkdtemp(), queue_name="stream_hourly")
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stream_hourly").select(
+    q = ingest.run_available_now(agg, tempfile.mkdtemp(), queue_name="stream_hourly")
+    q.awaitTermination()
+    return s.table("stream_hourly").select(
         F.col("event_id_min"),
         F.col("ts_min").cast("timestamp_ntz").alias("ts_min"),
         F.col("value_mean"),
@@ -1393,9 +1386,10 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nbi_oedi_etl_spark.streaming import ingest
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    s = ingest.scoped_streaming_session(spark)
+    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
-        spark.readStream.schema(raw_schema)
+        s.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
@@ -1403,14 +1397,9 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("dup_count"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = ingest.run_available_now(agg, tempfile.mkdtemp(), queue_name="stream_dedup")
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stream_dedup")
+    q = ingest.run_available_now(agg, tempfile.mkdtemp(), queue_name="stream_dedup")
+    q.awaitTermination()
+    return s.table("stream_dedup")
 
 
 def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,28 +1412,19 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nbi_oedi_etl_spark.streaming import ingest, stateful
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = ingest.events_file_stream(spark, sf_dir).select("user_id", "ts")
+    s = ingest.scoped_streaming_session(spark)
+    stream = ingest.events_file_stream(s, sf_dir).select("user_id", "ts")
     sess = stateful.stateful_user_sessions(stream, gap_seconds=1800)
-    # Stateful streaming cost is dominated by per-partition state-store
-    # commits × microbatches × python workers, not data volume — at this SF
-    # 32 state partitions is pure overhead (measured 65 s → seconds at 8).
-    # At real scale state partitions should match cluster parallelism.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            sess.writeStream.format("memory")
-            .queryName("stateful_sessions")
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp())
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stateful_sessions").select(
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return s.table("stateful_sessions").select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),

@@ -537,6 +537,32 @@ def _portable_minhash_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+_PORTABLE_COMPONENTS_CACHE: dict = {}
+
+
+def portable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (node, component) table over the portable-MinHash candidate
+    pairs — the pair-generation + iterative-closure stages are shared by
+    ``near_dup_clusters_portable``, ``near_dup_keep_best`` and the split/
+    leakage queries, so recomputing them per query would run the same
+    multi-round join four times in one bench/driver session.
+
+    ``connected_components`` returns a ``localCheckpoint``-backed frame
+    (materialized once, lineage truncated), so caching the DataFrame object
+    is full reuse: later actions read the checkpointed partitions instead of
+    re-running the propagation loop. Keyed by (session, sf_dir); testdata
+    directories are immutable so entries never go stale."""
+    from nbi_oedi_etl_spark.operators import dedup
+
+    key = (id(spark), sf_dir)
+    comp = _PORTABLE_COMPONENTS_CACHE.get(key)
+    if comp is None:
+        docs = read_table(spark, sf_dir, "documents")
+        comp = dedup.connected_components(_portable_minhash_pairs(docs))
+        _PORTABLE_COMPONENTS_CACHE[key] = comp
+    return comp
+
+
 def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with a CROSS-ENGINE-PORTABLE hash
     family (md5 hex → bigint), value-hash-checked against a DuckDB twin —
@@ -588,7 +614,11 @@ def near_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nbi_oedi_etl_spark.operators import dedup
 
     docs = read_table(spark, sf_dir, "documents")
-    return dedup.dedup_clusters(docs, _portable_minhash_pairs(docs))
+    return dedup.dedup_clusters(
+        docs,
+        _portable_minhash_pairs(docs),
+        components=portable_components(spark, sf_dir),
+    )
 
 
 CLUSTERS_PORTABLE_ORACLE = r"""
@@ -725,21 +755,14 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
 
     from nbi_oedi_etl_spark.streaming import ingest
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = ingest.events_file_stream(spark, sf_dir)
+    s = ingest.scoped_streaming_session(spark)
+    stream = ingest.events_file_stream(s, sf_dir)
     agg = stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = ingest.run_available_now(
-            agg, tempfile.mkdtemp(), queue_name="stream_sliding"
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stream_sliding").select(
+    q = ingest.run_available_now(agg, tempfile.mkdtemp(), queue_name="stream_sliding")
+    q.awaitTermination()
+    return s.table("stream_sliding").select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n_events"
     )
 

@@ -295,11 +295,11 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from nbi_oedi_etl_spark.streaming import ingest
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = ingest.scoped_streaming_session(spark)
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
-            ingest.events_file_stream(spark, sf_dir)
+            ingest.events_file_stream(s, sf_dir)
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
@@ -319,19 +319,14 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
         "inner",
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = ingest.run_available_now(
-            joined,
-            tempfile.mkdtemp(),
-            queue_name="stream_click_purchase",
-            output_mode="append",
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stream_click_purchase").select(
+    q = ingest.run_available_now(
+        joined,
+        tempfile.mkdtemp(),
+        queue_name="stream_click_purchase",
+        output_mode="append",
+    )
+    q.awaitTermination()
+    return s.table("stream_click_purchase").select(
         F.col("click_id"),
         F.col("purchase_id"),
         F.col("click_user").alias("user_id"),
@@ -380,33 +375,30 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nbi_oedi_etl_spark.streaming import ingest, transform_state
 
+    s = ingest.scoped_streaming_session(spark)
     # transformWithState requires the RocksDB state store (named state
-    # variables + TTL live outside the HDFS-backed provider's model).
-    spark.conf.set(
+    # variables + TTL live outside the HDFS-backed provider's model);
+    # set on the scoped clone so the caller's provider is untouched.
+    s.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = s.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(raw_schema)
+        s.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     running = transform_state.running_user_totals(stream)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = ingest.run_available_now(
-            running,
-            tempfile.mkdtemp(),
-            queue_name="stream_running_totals",
-            output_mode="update",
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = ingest.run_available_now(
+        running,
+        tempfile.mkdtemp(),
+        queue_name="stream_running_totals",
+        output_mode="update",
+    )
+    q.awaitTermination()
     return (
-        spark.table("stream_running_totals")
+        s.table("stream_running_totals")
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),

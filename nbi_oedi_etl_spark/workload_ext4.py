@@ -144,27 +144,22 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nbi_oedi_etl_spark.streaming import ingest
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = ingest.scoped_streaming_session(spark)
     stream = (
-        ingest.events_file_stream(spark, sf_dir)
+        ingest.events_file_stream(s, sf_dir)
         .select("event_id", "event_type", "ts")
         .withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark(["event_id", "event_type"])
         .select("event_id", "event_type")
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = ingest.run_available_now(
-            stream,
-            tempfile.mkdtemp(),
-            queue_name="stream_wm_dedup",
-            output_mode="append",
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stream_wm_dedup")
+    q = ingest.run_available_now(
+        stream,
+        tempfile.mkdtemp(),
+        queue_name="stream_wm_dedup",
+        output_mode="append",
+    )
+    q.awaitTermination()
+    return s.table("stream_wm_dedup")
 
 
 WM_DEDUP_ORACLE = """

@@ -57,12 +57,10 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the split-governance step of a training pipeline: dedup
     without split-awareness still leaks eval data through surviving
     near-dups; hashing the cluster canonical closes that hole."""
-    from nbi_oedi_etl_spark.operators import dedup
-    from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
+    from nbi_oedi_etl_spark.workload_ext import portable_components
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = _portable_minhash_pairs(docs)
-    comp = dedup.connected_components(pairs)  # (node, component)
+    comp = portable_components(spark, sf_dir)  # (node, component), memoized
     joined = docs.select("doc_id").join(
         comp, docs.doc_id == comp.node, "left"
     )
@@ -106,13 +104,16 @@ WITH RECURSIVE d AS (
                          AND a.doc_id < b2.doc_id
 ), e AS (
   SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
-), reach(u, v, dd) AS (
-  SELECT u, v, 1 FROM e
-  UNION ALL
-  SELECT DISTINCT r.u, e.v, r.dd + 1 FROM reach r JOIN e ON r.v = e.u WHERE r.dd < 6
+), reach(u, v) AS (
+  -- unbounded closure (UNION dedups per level and terminates at fixpoint):
+  -- the Spark side iterates min-label propagation to convergence, so the
+  -- oracle must be hop-unbounded too or a deep component would diverge
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
 ), comp AS (
   SELECT u AS node, least(u, min(v)) AS component
-  FROM (SELECT DISTINCT u, v FROM reach)
+  FROM reach
   GROUP BY u
 ), assigned AS (
   SELECT doc.doc_id,

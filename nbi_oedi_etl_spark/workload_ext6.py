@@ -459,17 +459,27 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, cluster_id, cluster_size, kept) — downstream training reads
     WHERE kept.
 
-    Plan: the component table is bounded by the candidate-pair node set
-    (≪ corpus), so it broadcasts onto the full doc list; cluster_size and
-    the keep rank share ONE window shuffle on cluster_id. Value-hash-
-    checked against DuckDB's recursive-CTE closure + window twin."""
-    from nbi_oedi_etl_spark.operators import dedup
-    from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
+    Plan: the pair-generation + closure stages come from the memoized
+    ``portable_components`` (shared with the portable-cluster query — the
+    closure is localCheckpoint-backed, so reuse is free). The broadcast of
+    the component table onto the full doc list is SIZE-GATED, not forced:
+    the node set is ≪ corpus on clean corpora but O(corpus) at high
+    duplicate rates — exactly when dedup matters most — and an unconditional
+    broadcast hint would OOM the executors there. comp is checkpoint-
+    materialized, so the gating count is a cheap partition-count sum, not a
+    recompute. Above the gate the hint is omitted and AQE picks the join
+    strategy from runtime sizes. cluster_size and the keep rank share ONE
+    window shuffle on cluster_id. Value-hash-checked against DuckDB's
+    recursive-CTE closure + window twin."""
+    from nbi_oedi_etl_spark.workload_ext import portable_components
 
     docs = read_table(spark, sf_dir, "documents")
-    comp = dedup.connected_components(_portable_minhash_pairs(docs))
+    comp = portable_components(spark, sf_dir)
+    # ~1M (long, long) rows ≈ 16 MB serialized — comfortably broadcastable;
+    # beyond that, let AQE decide from actual sizes.
+    comp_side = F.broadcast(comp) if comp.count() <= 1_000_000 else comp
     joined = docs.select("doc_id", "n_chars").join(
-        F.broadcast(comp), docs.doc_id == comp.node, "left"
+        comp_side, docs.doc_id == comp.node, "left"
     )
     labeled = joined.select(
         "doc_id",
@@ -510,13 +520,16 @@ WITH RECURSIVE d AS (
                          AND a.doc_id < b2.doc_id
 ), e AS (
   SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
-), reach(u, v, dd) AS (
-  SELECT u, v, 1 FROM e
-  UNION ALL
-  SELECT DISTINCT r.u, e.v, r.dd + 1 FROM reach r JOIN e ON r.v = e.u WHERE r.dd < 6
+), reach(u, v) AS (
+  -- unbounded closure: UNION (not UNION ALL) dedups per level, so the
+  -- recursion terminates when no new (u, v) reachability facts appear —
+  -- exact on ANY component diameter, unlike a fixed hop bound
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
 ), comp AS (
   SELECT u AS node, least(u, min(v)) AS component
-  FROM (SELECT DISTINCT u, v FROM reach)
+  FROM reach
   GROUP BY u
 ), labeled AS (
   SELECT doc.doc_id, doc.n_chars,
