@@ -2,16 +2,19 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata; the
 engine provides the Spark-side machinery — schemas, Arrow batch transfer,
-partition-parallel ``mapInPandas`` — while the actual codec calls are
-STUBBED (the container has no image/audio libraries):
+partition-parallel ``mapInPandas`` — AND real, dependency-free codecs for
+the public uncompressed/stdlib-compressible formats:
 
-- ``decode_image_real`` raises NotImplementedError (clearly-marked stub for
-  a PIL/libvips call).
-- ``_fake_decode`` is the deterministic stand-in used by the shipped
-  feature extractor: it derives (width, height, channels) from a stable
-  hash of the payload, so tests are reproducible and the full pipeline
-  (binary column → Arrow batches → pandas → feature rows) is exercised for
-  real.
+- PNG (8-bit truecolor RGB): pure Python over stdlib ``zlib`` — chunk
+  walk + CRC, inflate, and all five scanline unfilters (``decode_png``).
+- BMP (uncompressed 24-bpp BI_RGB): header parse, 4-byte row padding,
+  bottom-up row order (``decode_bmp``).
+- WAV (RIFF PCM-16): proper chunk walking (``decode_wav``).
+
+``decode_image_real`` dispatches on magic bytes and raises only for
+formats whose codecs genuinely need an external library (JPEG/WebP —
+wire PIL/libvips there in an environment that has them). There is no
+fake/stub decode path left; every shipped extractor decodes for real.
 
 Scale: mapInPandas streams Arrow record batches (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``) — a 100 TB corpus of
@@ -21,6 +24,7 @@ payloads never materializes per-partition; one narrow stage, no shuffle.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,15 +41,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Output schema of the image feature extractor (typed, stable).
+#: Output schema of the image feature extractor (typed, stable). The
+#: reduced feature is the pixel-byte sum — exact, codec-independent, and
+#: analytically predictable when the payload construction is closed-form.
 IMAGE_FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("payload_len", IntegerType()),
         StructField("mime", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
+        StructField("pixel_byte_sum", LongType()),
         StructField("decoded_ok", BooleanType()),
     ]
 )
@@ -59,16 +65,167 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """REAL general-purpose image decode — stub for formats that need a
-    codec library (JPEG/PNG/WebP); wire PIL/libvips here in an environment
-    that has them. Uncompressed 24-bpp BMP is decoded for real by
-    ``decode_bmp`` below (pure Python, public format)."""
-    raise NotImplementedError(
-        "general image codecs not available in this environment; BMP is "
-        "supported natively (decode_bmp) — use the deterministic fake "
-        "decode path (extract_image_features) for other formats"
+def decode_image_real(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL image decode, dispatched on magic bytes: PNG and BMP are
+    decoded by the pure-Python codecs in this module; formats that need an
+    external codec library (JPEG/WebP) raise NotImplementedError — wire
+    PIL/libvips here in an environment that has them. Returns (width,
+    height, channels, pixels) with pixels row-major top-down."""
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG needs an external codec (PIL/libvips)")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        raise NotImplementedError("WebP needs an external codec (PIL/libvips)")
+    raise ValueError("unrecognized image payload")
+
+
+# ------------------------------------------------------------ real PNG codec
+#
+# PNG (ISO/IEC 15948, public specification), restricted to the canonical
+# web-safe subset: 8-bit truecolor (color type 2), no interlace. Pure
+# Python over stdlib zlib. Layout: 8-byte signature, then chunks of
+# (u32 length, 4-char type, body, u32 CRC32 over type+body); IHDR carries
+# (width, height, bit depth, color type, compression, filter, interlace);
+# IDAT (possibly split across chunks) deflate-compresses the scanline
+# stream, where each scanline is 1 filter-type byte + filtered RGB bytes.
+# The five scanline filters (none/sub/up/average/paeth) predict each byte
+# from its left/above/upper-left neighbors; decoding must invert them
+# byte-sequentially per row.
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
     )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG filter 4): the neighbor (left a, above b,
+    upper-left c) closest to the linear gradient a + b - c, ties broken
+    left → above → upper-left, exactly as specified."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, pixels_rgb: bytes) -> bytes:
+    """Encode a real PNG (8-bit truecolor, no interlace) from row-major
+    top-down RGB bytes (len == width*height*3).
+
+    The filter type CYCLES per row (y % 5: none, sub, up, average, paeth)
+    — every decoder unfilter path is exercised by any image ≥ 5 rows
+    tall, instead of the all-zeros filter column a minimal encoder would
+    emit. Filtering is lossless, so decoded pixels are independent of
+    this choice (which is what keeps closed-form oracles possible)."""
+    if len(pixels_rgb) != width * height * 3:
+        raise ValueError("pixels_rgb must be width*height*3 bytes")
+    bpp = 3
+    stride = width * bpp
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = pixels_rgb[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        out.append(ftype)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0  # left
+            b = prior[i]  # above
+            c = prior[i - bpp] if i >= bpp else 0  # upper-left
+            if ftype == 0:
+                f = x
+            elif ftype == 1:
+                f = x - a
+            elif ftype == 2:
+                f = x - b
+            elif ftype == 3:
+                f = x - (a + b) // 2
+            else:
+                f = x - _paeth(a, b, c)
+            out.append(f & 0xFF)
+        prior = row
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, none
+    )
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG (8-bit truecolor, no interlace): chunk-walk with CRC
+    verification, concatenate IDAT segments (the spec allows any split),
+    inflate, and invert the per-row filter — all five types. Returns
+    (width, height, channels, pixels) row-major top-down RGB."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 12 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        crc = int.from_bytes(data[pos + 8 + length : pos + 12 + length], "big")
+        if (zlib.crc32(ctype + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            depth, color, interlace = body[8], body[9], body[12]
+            if depth != 8 or color != 2 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG variant: depth={depth} color={color} "
+                    f"interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("scanline stream length mismatch")
+    pixels = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype > 4:
+            raise ValueError(f"bad filter type {ftype}")
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ftype == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif ftype == 3:
+                row[i] = (row[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+        pixels += row
+        prior = bytes(row)
+    return width, height, 3, bytes(pixels)
 
 
 # ------------------------------------------------------------ real BMP codec
@@ -132,16 +289,6 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         start = offset + y * stride
         rows.append(data[start : start + row_len])
     return width, height, 3, b"".join(rows)
-
-
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for a codec: stable pseudo-dimensions derived
-    from the payload digest."""
-    d = hashlib.md5(payload).digest()
-    width = 64 + d[0] % 192
-    height = 64 + d[1] % 192
-    channels = 1 + d[2] % 4
-    return width, height, channels
 
 
 def with_binary_payload(
@@ -233,8 +380,49 @@ def extract_bmp_features(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(_extract, BMP_FEATURES_SCHEMA)
 
 
+def with_png_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL PNG binary payload per row, closed-form like
+    ``with_bmp_payload``: dimensions from the id (w = 1 + id % 13,
+    h = 1 + id % 7), pixel bytes = the row text's md5 digest cycled over
+    width*height*3 RGB bytes. The encoder cycles all five PNG filter
+    types, but filtering is lossless — decoded features stay analytically
+    computable by an external SQL oracle that never inflates a byte."""
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w, h = 1 + i % 13, 1 + i % 7
+                n = w * h * 3
+                d = hashlib.md5(str(text).encode("utf-8")).digest()
+                pixels = (d * (n // len(d) + 1))[:n]
+                rows.append(
+                    {"doc_id": i, "payload": encode_png(w, h, pixels), "mime": "image/png"}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime"])
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("mime", StringType()),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
+        _mk, schema
+    )
+
+
 def extract_image_features(payloads: DataFrame) -> DataFrame:
-    """Partition-parallel feature extraction over binary payloads.
+    """Partition-parallel REAL feature extraction over binary payloads:
+    ``decode_image_real`` dispatches on magic bytes (PNG/BMP decoded for
+    real) and the pixel array reduces to an exact integer sum. Payloads no
+    codec can handle yield decoded_ok=False with null features — the
+    log-and-drop posture of the reference's quarantine path
+    (etl/oedi_etl/transform.py error handling), not a job abort.
 
     Input: (doc_id long, payload binary, mime string). Output:
     IMAGE_FEATURES_SCHEMA. Arrow-batched; no shuffle."""
@@ -243,19 +431,24 @@ def extract_image_features(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
-                data = bytes(payload)
-                w, h, c = _fake_decode(data)
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "payload_len": len(data),
-                        "mime": mime,
+                try:
+                    w, h, c, pixels = decode_image_real(bytes(payload))
+                    feat = {
                         "width": w,
                         "height": h,
                         "channels": c,
+                        "pixel_byte_sum": sum(pixels),
                         "decoded_ok": True,
                     }
-                )
+                except (ValueError, NotImplementedError):
+                    feat = {
+                        "width": None,
+                        "height": None,
+                        "channels": None,
+                        "pixel_byte_sum": None,
+                        "decoded_ok": False,
+                    }
+                rows.append({"doc_id": int(doc_id), "mime": mime, **feat})
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
     return payloads.mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
@@ -273,32 +466,31 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(payloads: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize shape (binary → binary, 1→1): decode → resample → re-encode.
-
-    The codec is stubbed (deterministic fake: the output buffer is the
-    payload digest cycled to exactly width×height×channels bytes) but the
-    Spark contract is real — binary in, binary out, stable typed metadata,
-    Arrow-batched, no shuffle. In production swap ``_fake_resize`` for a
-    PIL/libvips call; nothing else changes."""
-
-    def _fake_resize(data: bytes, w: int, h: int, c: int) -> bytes:
-        d = hashlib.md5(data).digest()
-        n = w * h * c
-        return (d * (n // len(d) + 1))[:n]
+    """REAL resize (binary → binary, 1→1): decode via magic-byte dispatch
+    (PNG/BMP), nearest-neighbor resample (src index = dst·src_dim//dst_dim,
+    the standard NN mapping), re-encode as PNG. Binary in, binary out,
+    stable typed metadata, Arrow-batched, no shuffle. In production the
+    decode/encode calls swap for PIL/libvips to cover JPEG/WebP; nothing
+    else changes."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                _, _, c = _fake_decode(data)
+                w, h, _, pix = decode_image_real(bytes(payload))
+                out = bytearray()
+                for y2 in range(height):
+                    ys = y2 * h // height
+                    for x2 in range(width):
+                        base = 3 * (ys * w + x2 * w // width)
+                        out += pix[base : base + 3]
                 rows.append(
                     {
                         "doc_id": int(doc_id),
-                        "payload": _fake_resize(data, width, height, c),
+                        "payload": encode_png(width, height, bytes(out)),
                         "width": width,
                         "height": height,
-                        "channels": c,
+                        "channels": 3,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])

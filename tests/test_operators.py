@@ -205,17 +205,30 @@ def test_reconciliation_report(spark):
 
 # --------------------------------------------------------------- multimodal
 
-def test_multimodal_features_schema_and_determinism(spark):
+def test_multimodal_features_real_decode(spark):
     docs = read_table(spark, SF_SMALL, "documents").limit(20)
-    payloads = multimodal.with_binary_payload(docs)
+    payloads = multimodal.with_png_payload(docs)
     feats = multimodal.extract_image_features(payloads)
     assert [f.name for f in feats.schema.fields] == [
-        "doc_id", "payload_len", "mime", "width", "height", "channels", "decoded_ok",
+        "doc_id", "mime", "width", "height", "channels", "pixel_byte_sum", "decoded_ok",
     ]
-    a = sorted(feats.collect(), key=lambda r: r["doc_id"])
+    rows = sorted(feats.collect(), key=lambda r: r["doc_id"])
+    for r in rows:
+        i = r["doc_id"]
+        assert (r["width"], r["height"], r["channels"]) == (1 + i % 13, 1 + i % 7, 3)
+        assert r["decoded_ok"]
     b = sorted(multimodal.extract_image_features(payloads).collect(), key=lambda r: r["doc_id"])
-    assert a == b  # deterministic fake decode
-    assert all(64 <= r["width"] < 256 and r["decoded_ok"] for r in a)
+    assert rows == b  # deterministic
+
+
+def test_multimodal_features_undecodable_payload_quarantined(spark):
+    docs = read_table(spark, SF_SMALL, "documents").limit(5)
+    # raw UTF-8 text bytes are not an image: must yield decoded_ok=False
+    # rows (log-and-drop posture), never a task failure
+    feats = multimodal.extract_image_features(multimodal.with_binary_payload(docs))
+    rows = feats.collect()
+    assert len(rows) == 5
+    assert all(not r["decoded_ok"] and r["width"] is None for r in rows)
 
 
 def test_multimodal_frame_fanout(spark):
@@ -225,16 +238,17 @@ def test_multimodal_frame_fanout(spark):
     assert frames.groupBy("doc_id").count().where("count != 3").count() == 0
 
 
-def test_multimodal_resize_binary_roundtrip(spark):
+def test_multimodal_resize_real_roundtrip(spark):
     docs = read_table(spark, SF_SMALL, "documents").limit(10)
-    payloads = multimodal.with_binary_payload(docs)
+    payloads = multimodal.with_png_payload(docs)
     resized = multimodal.resize_images(payloads, width=8, height=8)
     rows = sorted(resized.collect(), key=lambda r: r["doc_id"])
     assert len(rows) == 10  # 1→1
     for r in rows:
-        assert isinstance(r["payload"], (bytes, bytearray))
-        assert len(r["payload"]) == 8 * 8 * r["channels"]
-        assert (r["width"], r["height"]) == (8, 8)
+        w, h, c, pix = multimodal.decode_png(bytes(r["payload"]))
+        assert (w, h, c) == (8, 8, 3)
+        assert len(pix) == 8 * 8 * 3
+        assert (r["width"], r["height"], r["channels"]) == (8, 8, 3)
     again = sorted(
         multimodal.resize_images(payloads, width=8, height=8).collect(),
         key=lambda r: r["doc_id"],
@@ -242,9 +256,15 @@ def test_multimodal_resize_binary_roundtrip(spark):
     assert [bytes(r["payload"]) for r in rows] == [bytes(r["payload"]) for r in again]
 
 
-def test_decode_stub_raises():
+def test_decode_dispatch_unavailable_codecs_raise():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(b"\x89PNG")
+        multimodal.decode_image_real(b"\xff\xd8\xff\xe0----")  # JPEG magic
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(ValueError):
+        multimodal.decode_image_real(b"not an image at all")
+    with pytest.raises(ValueError):
+        multimodal.decode_image_real(b"\x89PNG")  # truncated signature
 
 
 def test_stateful_sessions_match_batch_closed_sessions(spark):
@@ -612,6 +632,96 @@ def test_bmp_nearest_neighbor_resize_hand_computed(spark):
     assert (w, h, c) == (2, 1, 3)
     # dst (0,0) <- src (0*4//2, 0*2//1) = (0,0) -> 0; dst (1,0) <- (2,0) -> 20
     assert pix == bytes([0, 0, 0, 20, 20, 20])
+
+
+# ------------------------------------------------------------ PNG codec
+
+
+def test_png_roundtrip_exercises_every_filter_type():
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    # height 7 > 5 rows -> the encoder's y % 5 cycle hits none/sub/up/
+    # average/paeth at least once; a wrong unfilter corrupts pixels
+    pixels = bytes((i * 31 + 7) % 256 for i in range(6 * 7 * 3))
+    data = multimodal.encode_png(6, 7, pixels)
+    w, h, c, out = multimodal.decode_png(data)
+    assert (w, h, c) == (6, 7, 3)
+    assert out == pixels
+
+
+def test_png_decode_independent_construction():
+    """Decode a PNG assembled HERE from the spec (filter-0 scanlines,
+    split IDAT) — independent of encode_png, so a matched encoder/decoder
+    bug can't self-cancel."""
+    import struct
+    import zlib
+
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    w, h = 2, 2
+    pixels = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    raw = b"\x00" + pixels[:6] + b"\x00" + pixels[6:]  # filter 0 per row
+    comp = zlib.compress(raw)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # split the IDAT stream across two chunks (legal per spec)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp[:7])
+        + chunk(b"IDAT", comp[7:])
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal.decode_png(data) == (w, h, 3, pixels)
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import pytest as _pytest
+
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    good = bytearray(multimodal.encode_png(3, 2, bytes(range(18))))
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside a chunk body -> CRC mismatch
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(b"not a png")
+    # unsupported color type (grayscale) must be refused, not misparsed
+    import struct
+    import zlib as _zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_png_all_dimension_cases_roundtrip():
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    for w in range(1, 14):
+        for h in (1, 4, 7):
+            pixels = bytes((i * 13 + w + h) % 256 for i in range(w * h * 3))
+            assert multimodal.decode_png(multimodal.encode_png(w, h, pixels)) == (
+                w,
+                h,
+                3,
+                pixels,
+            ), f"w={w} h={h}"
 
 
 def test_wav_encode_decode_roundtrip():
