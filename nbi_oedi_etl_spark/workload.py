@@ -1715,6 +1715,9 @@ SPECS: list[QuerySpec] = [
     # multimodal specs are now closed-form oracle-backed
     QuerySpec("multimodal_image_features", multimodal_image_features, _PNG_FEATURES_ORACLE),
     QuerySpec("multimodal_resize", multimodal_resize, _PNG_RESIZE_ORACLE),
+    # oracle-backed twin of the xxhash64 near_dup_pipeline: candidate
+    # generation + Jaccard verification value-checked end-to-end
+    QuerySpec("near_dup_pipeline_portable", ext6.near_dup_pipeline_portable, ext6.NEAR_DUP_PIPELINE_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -542,3 +542,67 @@ SELECT doc_id, cluster_id,
             ORDER BY n_chars DESC, doc_id) = 1) AS kept
 FROM labeled
 """
+
+
+# ---------------------------------------- portable end-to-end near-dup
+
+def near_dup_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed near-dedup pipeline END-TO-END on the cross-engine-
+    portable hash family: portable MinHash-LSH candidate generation
+    (workload_ext._portable_minhash_pairs, the oracle-proven banding) →
+    exact 3-gram Jaccard verification on candidates only → verified pairs
+    with jaccard ≥ 0.5. This is the oracle-backed twin of the xxhash64
+    ``near_dup_pipeline`` (rows-only, the fast production path): every
+    stage — banding, candidate join, set intersection/union arithmetic —
+    is value-hash-checked in one query instead of per-stage.
+
+    Scale shape is identical to the production variant: the Jaccard join
+    touches only the bounded candidate set, never all-pairs."""
+    from nbi_oedi_etl_spark.operators import dedup
+    from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _portable_minhash_pairs(docs)
+    scored = dedup.ngram_jaccard(docs, pairs)
+    return scored.where(F.col("jaccard") >= 0.5)
+
+
+NEAR_DUP_PIPELINE_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+  FROM d
+), hs AS (
+  SELECT doc_id, seed,
+         min(('0x' || substring(md5(seed::VARCHAR || '|' || s), 1, 15))::BIGINT) AS m
+  FROM sh, range(8) t(seed) GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(m ORDER BY seed) AS sig FROM hs GROUP BY doc_id
+), bnd AS (
+  SELECT doc_id, band, sig[2*band+1] AS v1, sig[2*band+2] AS v2
+  FROM sig, range(4) t(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.v1 = b2.v1 AND a.v2 = b2.v2
+                         AND a.doc_id < b2.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_id_a, p.doc_id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_id_a
+  JOIN sh b ON b.doc_id = p.doc_id_b AND b.s = a.s
+  GROUP BY p.doc_id_a, p.doc_id_b
+), scored AS (
+  SELECT i.doc_id_a, i.doc_id_b,
+         round(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_id_a
+  JOIN sizes nb ON nb.doc_id = i.doc_id_b
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""

@@ -29,6 +29,19 @@ def test_rows_only_queries_run(spark, spec):
     assert df.count() >= 0
 
 
+def test_approx_count_distinct_within_hll_bound(spark):
+    """Value-pins the rows-only ref_q1_approx_count_distinct: Spark's
+    approx_count_distinct is HyperLogLog++ with default rsd = 0.05, so the
+    estimate must land within 4·rsd of the exact count (4 standard errors;
+    and the estimate is DETERMINISTIC for fixed input — same hash, no
+    seed — so this is a stable gate, not a flaky probabilistic one)."""
+    qs = workload.queries()
+    exact = qs["ref_q1_count_distinct"](spark, SF_ORACLE).collect()[0][0]
+    approx = qs["ref_q1_approx_count_distinct"](spark, SF_ORACLE).collect()[0][0]
+    assert exact > 0
+    assert abs(approx - exact) <= max(1, 4 * 0.05 * exact), (approx, exact)
+
+
 def test_entry_smoke(spark):
     import importlib.util
 
