@@ -282,9 +282,10 @@ def connected_components(
     driver sees only a 1-row convergence probe). ``localCheckpoint``
     truncates the plan lineage per round — without it the DAG doubles every
     iteration. Dedup graphs are cliques/short chains, so rounds ≈ 2-4; at
-    100 TB with adversarial long chains, swap the body for the
-    large-star/small-star rewrite (Kiveris et al., "Connected Components in
-    MapReduce and Beyond") — same (node, component) contract."""
+    100 TB with adversarial long chains, use
+    :func:`connected_components_star` (O(log diameter) rounds) — same
+    (node, component) contract, property-tested to agree on random
+    graphs."""
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -311,6 +312,100 @@ def connected_components(
         if staged.where("changed").limit(1).count() == 0:
             break
     return comp
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm). Same (node, component) contract as
+    :func:`connected_components`, different convergence economics: each
+    operation halves tree heights, so rounds are O(log diameter) instead
+    of the O(diameter) of min-label propagation — the fallback for
+    adversarial chain-shaped duplicate graphs (serial plagiarism, boiler-
+    plate drift) where a 10⁶-hop chain would take 10⁶ label rounds but
+    ~20 star rounds.
+
+    large-star: every node u links each STRICTLY GREATER neighbor to the
+    minimum m(u) of its closed neighborhood; small-star: edges oriented
+    high→low, every node links its not-greater neighbors (and itself) to
+    m(u). Both are one groupBy + one join per round — shuffle volume
+    O(edges), no driver-side data beyond the convergence probe (a
+    checksum-stability check, order-insensitive). Fixpoint = a star
+    forest: every node points at its component minimum directly."""
+    sym = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _closed_min(e: DataFrame) -> DataFrame:
+        # m(u) = min of the CLOSED neighborhood (neighbors ∪ {u})
+        return e.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+
+    def _checksum(e: DataFrame):
+        # order-insensitive edge-set signature: (count, sum of row hashes);
+        # the sum accumulates in decimal(38,0) — a long sum of 64-bit
+        # hashes overflows (and ANSI mode makes that an error, correctly)
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    small = edges
+    prev_sig = None
+    for _ in range(max_iterations):
+        # ---- large-star: (v, m(u)) for each v ∈ N(u) with v > u
+        m = _closed_min(edges)
+        large = (
+            edges.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star over high→low oriented edges: (v, m(u)) for each
+        # v ∈ N(u) ∪ {u} − {m(u)}
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m2 = _closed_min(oriented)
+        small = (
+            oriented.join(m2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .union(m2.select(F.col("u").alias("n"), F.col("m")))
+            .where(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = _checksum(small)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        # re-symmetrize for the next large-star round
+        edges = (
+            small.union(small.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+    # At the fixpoint ``small`` IS the star forest (node → component min);
+    # add the centers' self-rows so the output matches min-label
+    # propagation's contract exactly (every node of ``pairs`` appears).
+    stars = small.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    centers = stars.select("component").distinct().select(
+        F.col("component").alias("node"), "component"
+    )
+    return stars.union(centers)
 
 
 def dedup_clusters(

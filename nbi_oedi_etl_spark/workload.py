@@ -1718,6 +1718,9 @@ SPECS: list[QuerySpec] = [
     # oracle-backed twin of the xxhash64 near_dup_pipeline: candidate
     # generation + Jaccard verification value-checked end-to-end
     QuerySpec("near_dup_pipeline_portable", ext6.near_dup_pipeline_portable, ext6.NEAR_DUP_PIPELINE_ORACLE),
+    # third closure strategy (large-star/small-star, O(log d) rounds)
+    # against the SAME oracle as min-label + recursive-SQL
+    QuerySpec("near_dup_clusters_star", ext.near_dup_clusters_star, ext.CLUSTERS_PORTABLE_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

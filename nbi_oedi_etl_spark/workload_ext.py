@@ -621,6 +621,24 @@ def near_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters over the portable MinHash pairs via the THIRD closure
+    strategy: alternating large-star/small-star (operators/dedup.py
+    connected_components_star, Kiveris et al. SoCC'14) — O(log diameter)
+    rounds vs min-label propagation's O(diameter), the 100 TB fallback for
+    adversarial chain-shaped duplicate graphs. Shares
+    CLUSTERS_PORTABLE_ORACLE with the min-label and recursive-SQL variants:
+    three independent distributed algorithms, one value-hash-checked
+    answer."""
+    from nbi_oedi_etl_spark.operators import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _portable_minhash_pairs(docs)
+    return dedup.dedup_clusters(
+        docs, pairs, components=dedup.connected_components_star(pairs)
+    )
+
+
 CLUSTERS_PORTABLE_ORACLE = r"""
 WITH RECURSIVE d AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

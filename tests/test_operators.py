@@ -425,6 +425,56 @@ def test_connected_components_long_chain_converges(spark):
     assert len(rows) == n
 
 
+def test_connected_components_star_known_graphs(spark):
+    """large-star/small-star must produce the identical (node, component)
+    table as min-label propagation on chain + pair + triple components."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id_a": [1, 2, 3, 10, 8, 7], "doc_id_b": [2, 3, 4, 11, 9, 8]}
+        )
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_star_agrees_with_min_label(spark):
+    """Adversarial shapes where the two algorithms' round counts diverge
+    most: a 40-node chain (min-label: ~39 rounds if not capped; star:
+    ~log₂ 40 ≈ 6), a clique, a star, and shuffled random unions — the
+    (node, component) tables must match exactly."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(40)]
+    clique = [(a, b) for a in range(100, 106) for b in range(100, 106) if a < b]
+    star_g = [(200, v) for v in range(201, 210)]
+    rnd = [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(45)]
+    rnd = [(a, b) for a, b in rnd if a != b]
+    edges = chain + clique + star_g + rnd
+    rng.shuffle(edges)
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id_a": [a for a, _ in edges], "doc_id_b": [b for _, b in edges]}
+        )
+    )
+    got_star = sorted(
+        (r["node"], r["component"])
+        for r in dedup.connected_components_star(pairs, max_iterations=12).collect()
+    )
+    got_label = sorted(
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs, max_iterations=60).collect()
+    )
+    assert got_star == got_label
+
+
 def test_dedup_clusters_canonicals(spark):
     """dedup_clusters: exact-duplicate docs in the testdata must land in the
     same cluster with the smallest id as canonical."""
