@@ -95,6 +95,12 @@ HEADLINE = [
     "hll_distinct_tokens",
     "bloom_decontamination",
     "near_dup_keep_best",
+    # round-4 additions
+    "multimodal_image_features",
+    "near_dup_pipeline_portable",
+    "doc_bm25_top_terms",
+    "embedding_int8_quantization",
+    "doc_unicode_normalize",
 ]
 
 

@@ -1672,6 +1672,7 @@ from nbi_oedi_etl_spark import workload_ext3 as ext3
 from nbi_oedi_etl_spark import workload_ext4 as ext4
 from nbi_oedi_etl_spark import workload_ext5 as ext5
 from nbi_oedi_etl_spark import workload_ext6 as ext6
+from nbi_oedi_etl_spark import workload_ext7 as ext7
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1721,6 +1722,10 @@ SPECS: list[QuerySpec] = [
     # third closure strategy (large-star/small-star, O(log d) rounds)
     # against the SAME oracle as min-label + recursive-SQL
     QuerySpec("near_dup_clusters_star", ext.near_dup_clusters_star, ext.CLUSTERS_PORTABLE_ORACLE),
+    # retrieval scoring / embedding compression / unicode normalization
+    QuerySpec("doc_bm25_top_terms", ext7.doc_bm25_top_terms, ext7.BM25_ORACLE),
+    QuerySpec("embedding_int8_quantization", ext7.embedding_int8_quantization, ext7.INT8_QUANT_ORACLE),
+    QuerySpec("doc_unicode_normalize", ext7.doc_unicode_normalize, ext7.UNICODE_NORMALIZE_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -430,3 +430,35 @@ def test_event_sequences_single_shuffle(spark):
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan
+
+
+def test_multimodal_png_queries_no_shuffle(spark):
+    """Both PNG queries are pure mapInPandas chains: encode → (resize →)
+    decode → features. ZERO exchanges — a shuffle appearing here means a
+    codec stage stopped being a narrow map, which at 100 TB of payloads is
+    the difference between linear and impossible."""
+    for name in ("multimodal_image_features", "multimodal_resize"):
+        df = _plan(spark, name)
+        plan = physical_plan(df).split("== Initial Plan ==")[0]
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" in plan, name
+
+
+def test_near_dup_pipeline_portable_bounded_verification(spark):
+    """The composed portable pipeline must verify Jaccard on the CANDIDATE
+    pair table, never all-pairs: the plan joins the pair table to the
+    per-doc shingle arrays (two joins), with no cartesian/nested-loop
+    product anywhere."""
+    df = _plan(spark, "near_dup_pipeline_portable")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_star_closure_output_matches_contract(spark):
+    """near_dup_clusters_star executes the log-round closure; its final
+    plan (cluster summary) is one hash aggregate over the star forest —
+    and the driver never sees more than the convergence probes."""
+    df = _plan(spark, "near_dup_clusters_star")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "HashAggregate" in plan
