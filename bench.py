@@ -101,6 +101,13 @@ HEADLINE = [
     "doc_bm25_top_terms",
     "embedding_int8_quantization",
     "doc_unicode_normalize",
+    # round-4 wave 2 (workload_ext8.py): curation / graph / maintenance
+    "doc_boilerplate_ngrams",
+    "char_bigram_lm_score",
+    "nation_trade_pagerank",
+    "scd1_merge_orders",
+    "doc_containment_pairs",
+    "event_funnel_conversion",
 ]
 
 

@@ -1673,6 +1673,7 @@ from nbi_oedi_etl_spark import workload_ext4 as ext4
 from nbi_oedi_etl_spark import workload_ext5 as ext5
 from nbi_oedi_etl_spark import workload_ext6 as ext6
 from nbi_oedi_etl_spark import workload_ext7 as ext7
+from nbi_oedi_etl_spark import workload_ext8 as ext8
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1726,6 +1727,18 @@ SPECS: list[QuerySpec] = [
     QuerySpec("doc_bm25_top_terms", ext7.doc_bm25_top_terms, ext7.BM25_ORACLE),
     QuerySpec("embedding_int8_quantization", ext7.embedding_int8_quantization, ext7.INT8_QUANT_ORACLE),
     QuerySpec("doc_unicode_normalize", ext7.doc_unicode_normalize, ext7.UNICODE_NORMALIZE_ORACLE),
+    # curation / graph / maintenance wave (workload_ext8): boilerplate
+    # detection, reservoir sampling, char-bigram LM scoring, PageRank,
+    # SCD1 merge, funnel, retention cohorts, containment dedup, Zipf fit
+    QuerySpec("doc_boilerplate_ngrams", ext8.doc_boilerplate_ngrams, ext8.BOILERPLATE_ORACLE),
+    QuerySpec("reservoir_sample_per_source", ext8.reservoir_sample_per_source, ext8.RESERVOIR_ORACLE),
+    QuerySpec("char_bigram_lm_score", ext8.char_bigram_lm_score, ext8.CHAR_BIGRAM_LM_ORACLE),
+    QuerySpec("nation_trade_pagerank", ext8.nation_trade_pagerank, ext8.PAGERANK_ORACLE),
+    QuerySpec("scd1_merge_orders", ext8.scd1_merge_orders, ext8.SCD1_MERGE_ORACLE),
+    QuerySpec("event_funnel_conversion", ext8.event_funnel_conversion, ext8.FUNNEL_ORACLE),
+    QuerySpec("weekly_retention_cohorts", ext8.weekly_retention_cohorts, ext8.RETENTION_ORACLE),
+    QuerySpec("doc_containment_pairs", ext8.doc_containment_pairs, ext8.CONTAINMENT_ORACLE),
+    QuerySpec("zipf_slope_tokens", ext8.zipf_slope_tokens, ext8.ZIPF_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

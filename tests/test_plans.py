@@ -462,3 +462,70 @@ def test_star_closure_output_matches_contract(spark):
     df = _plan(spark, "near_dup_clusters_star")
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert "HashAggregate" in plan
+
+
+def test_boilerplate_codegen_shingling_no_forced_broadcast(spark):
+    """doc_boilerplate_ngrams: 5-grams come from posexplode + window lead
+    (codegen), not interpreted HOFs; and the frequent-5-gram side must NOT
+    be a forced broadcast — its size is data-dependent (the
+    near_dup_keep_best lesson), so the plan is whatever AQE picked."""
+    df = _plan(spark, "doc_boilerplate_ngrams")
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "posexplode" in final
+    assert "transform" not in final and "aggregate(" not in final
+
+
+def test_char_bigram_model_broadcasts(spark):
+    """char_bigram_lm_score: the bigram model (bounded by alphabet^2) must
+    broadcast back to the exploded corpus — a hash exchange of the corpus
+    side on the bigram key would be a second full shuffle; scoring stays
+    JVM-side (no Python eval nodes)."""
+    df = _plan(spark, "char_bigram_lm_score")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_pagerank_iterates_on_cached_aggregate(spark):
+    """nation_trade_pagerank: the fact table aggregates to the edge list
+    ONCE and the 3 iterations run against the cached fraction table
+    (InMemoryTableScan) — re-deriving the edges from lineitem each round
+    would triple the fact shuffle; dimension joins broadcast."""
+    df = _plan(spark, "nation_trade_pagerank")
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scd1_merge_single_full_outer_shuffle(spark):
+    """scd1_merge_orders: MERGE is ONE full-outer join on the natural key;
+    no nested-loop fallback, no driver-side collect of either side."""
+    df = _plan(spark, "scd1_merge_orders")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reservoir_sample_window_group_limit(spark):
+    """reservoir_sample_per_source: the k=5 cutoff must push below the
+    sort as a WindowGroupLimit so each map task keeps only its top-k
+    candidates before the single source-keyed exchange."""
+    df = _plan(spark, "reservoir_sample_per_source")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
+    import re
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges <= 1
+
+
+def test_zipf_topk_window_group_limit(spark):
+    """zipf_slope_tokens: the global top-100 rank over the vocabulary must
+    push below the exchange — in practice Catalyst does one better and
+    rewrites rank<=100 into TakeOrderedAndProject(limit=100), a global
+    top-k with per-partition pre-truncation; either node proves the
+    vocabulary never sorts globally unbounded — the corpus-side token
+    explode/count is the only full shuffle."""
+    df = _plan(spark, "zipf_slope_tokens")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
