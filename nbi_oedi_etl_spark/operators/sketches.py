@@ -123,9 +123,20 @@ def cms_topk_estimates(
     the read-back keys and expose estimation error next to truth.
     """
     toks = tokens_of(docs)
-    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
     sketch = cms_cells(toks, depth, width)
+    return cms_decode_topk(toks, sketch, depth=depth, width=width, k=k)
 
+
+def cms_decode_topk(
+    toks: DataFrame, sketch: DataFrame, depth: int, width: int, k: int
+) -> DataFrame:
+    """CMS read-back stage, decoupled from the build so it also serves a
+    DRAINED streaming sketch (the build aggregate is mergeable — the
+    streaming groupBy IS the merge, so batch-built and stream-built cells
+    are identical and one decode serves both): probe the top-k
+    true-frequent tokens against the (seed, bucket, cell) table and take
+    the per-token min cell."""
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
     true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
     w = Window.orderBy(F.desc("true_count"), F.asc("tok"))
     topk = true_counts.withColumn("rn", F.row_number().over(w)).where(

@@ -1674,6 +1674,7 @@ from nbi_oedi_etl_spark import workload_ext5 as ext5
 from nbi_oedi_etl_spark import workload_ext6 as ext6
 from nbi_oedi_etl_spark import workload_ext7 as ext7
 from nbi_oedi_etl_spark import workload_ext8 as ext8
+from nbi_oedi_etl_spark import workload_ext9 as ext9
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1739,6 +1740,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("weekly_retention_cohorts", ext8.weekly_retention_cohorts, ext8.RETENTION_ORACLE),
     QuerySpec("doc_containment_pairs", ext8.doc_containment_pairs, ext8.CONTAINMENT_ORACLE),
     QuerySpec("zipf_slope_tokens", ext8.zipf_slope_tokens, ext8.ZIPF_ORACLE),
+    # wave 3 (workload_ext9): streaming sketch, CDC dedup, BPE, DQ report
+    QuerySpec("streaming_cms_token_topk", ext9.streaming_cms_token_topk, ext6.CMS_TOPK_ORACLE),
+    QuerySpec("incremental_dedup_new_docs", ext9.incremental_dedup_new_docs, ext9.INCREMENTAL_DEDUP_ORACLE),
+    QuerySpec("bpe_merge_candidates", ext9.bpe_merge_candidates, ext9.BPE_ORACLE),
+    QuerySpec("data_quality_report", ext9.data_quality_report, ext9.DQ_REPORT_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

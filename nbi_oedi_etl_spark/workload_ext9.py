@@ -1,0 +1,269 @@
+"""Round-4 extension queries, wave 3: streaming sketch maintenance,
+incremental (CDC-style) dedup, tokenizer-training analytics, and
+declarative data-quality checking.
+
+- ``streaming_cms_token_topk`` — the Count-Min sketch maintained as a
+  STREAMING aggregation (the build aggregate is mergeable, so the
+  micro-batch groupBy IS the merge), drained and decoded by the shared
+  batch read-back. Shares the batch CMS oracle: stream-built cells must
+  equal batch-built cells exactly.
+- ``incremental_dedup_new_docs`` — dedup a new ingest batch against the
+  already-ingested corpus: the continuous-crawl posture (dedup against
+  history without rescanning it into the batch) every training-data
+  pipeline runs on each snapshot.
+- ``bpe_merge_candidates`` — the first step of byte-pair-encoding
+  tokenizer training (Sennrich et al. 2016, public): corpus-weighted
+  adjacent-character pair counts over the word vocabulary, top-20 merge
+  candidates.
+- ``data_quality_report`` — Deequ-style declarative constraint metrics
+  (completeness, uniqueness, range, referential integrity) computed in
+  one pass per table + one anti-join, emitted as a tidy (metric, value)
+  report.
+
+Oracle convention identical to workload.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark.sources.parquet import read_table
+
+
+# ------------------------------------------ streaming CMS maintenance
+
+def streaming_cms_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained by Structured Streaming: file source →
+    token explode → the (seed, bucket) cell aggregate as STREAMING state →
+    availableNow drain → shared batch decode (operators/sketches.py
+    cms_decode_topk) over the drained cells.
+
+    Because the CMS build aggregate is distributive (cell = count), the
+    streaming groupBy merges micro-batches into exactly the cells the
+    batch build produces — so this query shares ``cms_token_topk``'s
+    DuckDB oracle verbatim: the STREAM-built sketch content is
+    value-hash-checked, not just its contract. At scale this is the
+    continuous-ingest frequency monitor: state is bounded at depth×width
+    cells regardless of corpus size.
+
+    Reference parity: the reference's monitor keeps running counters over
+    the ingest stream (etl/oedi_etl/monitor.py:87-136); this is the
+    sketch-accurate generalization."""
+    from nbi_oedi_etl_spark.operators import sketches
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    s = ingest.scoped_streaming_session(spark)
+    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        s.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks_stream = stream.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    cells = sketches.cms_cells(toks_stream, depth=4, width=256)
+    q = ingest.run_available_now(cells, tempfile.mkdtemp(), queue_name="stream_cms")
+    q.awaitTermination()
+    sketch = s.table("stream_cms")
+    toks_batch = sketches.tokens_of(read_table(s, sf_dir, "documents"))
+    return sketches.cms_decode_topk(toks_batch, sketch, depth=4, width=256, k=20)
+
+
+# ------------------------------------------- incremental (CDC) dedup
+
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: classify each document of a NEW ingest
+    batch (doc_id % 3 == 0) against the already-ingested history
+    (doc_id % 3 != 0) — ``dup_of_history`` if its content hash exists in
+    history, ``dup_in_batch`` if an earlier new doc has the same hash,
+    ``new`` otherwise. The per-snapshot posture of a continuous crawl:
+    history contributes only its distinct hash set, never a rescan of its
+    text.
+
+    Plan: one shuffle on content hash serves both the within-batch
+    min-id window and the history join (same key → exchange reuse); the
+    history side is a distinct hash projection. No broadcast hint — the
+    history hash set is O(corpus) and must sort-merge."""
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    hist = (
+        docs.where(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+        .withColumn("_in_hist", F.lit(1))
+    )
+    w = Window.partitionBy("content_hash")
+    flagged = (
+        new.join(hist, "content_hash", "left")
+        .withColumn("_min_id", F.min("doc_id").over(w))
+    )
+    return flagged.select(
+        "doc_id",
+        "content_hash",
+        F.when(F.col("_in_hist").isNotNull(), F.lit("dup_of_history"))
+        .when(F.col("doc_id") > F.col("_min_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
+
+
+INCREMENTAL_DEDUP_ORACLE = r"""
+WITH new_docs AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 3 = 0
+), hist AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 3 <> 0
+), flagged AS (
+  SELECT n.doc_id, n.content_hash,
+         h.content_hash IS NOT NULL AS in_hist,
+         min(n.doc_id) OVER (PARTITION BY n.content_hash) AS min_id
+  FROM new_docs n LEFT JOIN hist h ON n.content_hash = h.content_hash
+)
+SELECT doc_id, content_hash,
+       CASE WHEN in_hist THEN 'dup_of_history'
+            WHEN doc_id > min_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM flagged
+"""
+
+
+# --------------------------------------- BPE merge-candidate mining
+
+_BPE_TOPK = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of BPE tokenizer training (Sennrich et al. 2016):
+    corpus-frequency-weighted counts of adjacent character pairs inside
+    words, top-20 merge candidates. The standard trick: aggregate the
+    corpus to its word VOCABULARY first (one token shuffle), then explode
+    characters only over distinct words and weight pair counts by word
+    frequency — character work scales with |vocab|, not corpus size.
+
+    Plan: token count shuffle → per-word char explode (narrow) → one
+    pair-keyed aggregate (exact BIGINT sums) → global top-k
+    (TakeOrderedAndProject, never an unbounded sort)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        words.where(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        pairs.select("pair", "pair_count", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= _BPE_TOPK)
+    )
+
+
+BPE_ORACLE = r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), words AS (
+  SELECT word, count(*) AS freq FROM t WHERE word <> '' GROUP BY word
+), pairs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+        FROM words WHERE length(word) >= 2)
+), counts AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count, rank FROM (
+  SELECT pair, pair_count,
+         row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
+  FROM counts
+) WHERE rank <= 20
+"""
+
+
+# ------------------------------------------- data-quality report
+
+_DQ_DATE_CUTOFF = "1998-08-03"
+
+
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality metrics over the orders table
+    (completeness, uniqueness, value range, recency, referential
+    integrity vs customer), emitted as a tidy (metric, value) report —
+    the validation pass a pipeline runs before promoting a snapshot; the
+    reference's reconciliation check (etl/oedi_etl/monitor.py) is the
+    RI row here, generalized.
+
+    Plan: ALL single-table metrics come from ONE scan/aggregate (count,
+    conditional sums, count-distinct); the RI metric is one left-anti
+    join; the report assembly is a constant-width stack over two 1-row
+    tables. No per-constraint rescans."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    one_pass = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("n_null_custkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_dup_orderkey"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("n_nonpos_price"),
+        F.sum(
+            (F.col("o_orderdate") > F.lit(_DQ_DATE_CUTOFF).cast("timestamp")).cast(
+                "bigint"
+            )
+        ).alias("n_future_dated"),
+    )
+    orphans = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+    )
+    rep = one_pass.crossJoin(orphans)
+    return rep.select(
+        F.expr(
+            "stack(6,"
+            " 'n_rows', n_rows,"
+            " 'n_null_custkey', n_null_custkey,"
+            " 'n_dup_orderkey', n_dup_orderkey,"
+            " 'n_nonpos_price', n_nonpos_price,"
+            " 'n_future_dated', n_future_dated,"
+            " 'n_orphan_orders', n_orphan_orders) AS (metric, value)"
+        )
+    )
+
+
+DQ_REPORT_ORACLE = r"""
+WITH one_pass AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_custkey,
+         count(*) - count(DISTINCT o_orderkey) AS n_dup_orderkey,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonpos_price,
+         CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '1998-08-03' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_future_dated
+  FROM orders
+), orph AS (
+  SELECT count(*) AS n_orphan_orders
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT 'n_rows' AS metric, n_rows AS value FROM one_pass
+UNION ALL SELECT 'n_null_custkey', n_null_custkey FROM one_pass
+UNION ALL SELECT 'n_dup_orderkey', n_dup_orderkey FROM one_pass
+UNION ALL SELECT 'n_nonpos_price', n_nonpos_price FROM one_pass
+UNION ALL SELECT 'n_future_dated', n_future_dated FROM one_pass
+UNION ALL SELECT 'n_orphan_orders', n_orphan_orders FROM orph
+"""
