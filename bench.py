@@ -108,6 +108,11 @@ HEADLINE = [
     "scd1_merge_orders",
     "doc_containment_pairs",
     "event_funnel_conversion",
+    # round-4 wave 3 (workload_ext9.py)
+    "streaming_cms_token_topk",
+    "incremental_dedup_new_docs",
+    "bpe_merge_candidates",
+    "data_quality_report",
 ]
 
 

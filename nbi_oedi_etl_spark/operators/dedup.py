@@ -201,8 +201,21 @@ def ngram_jaccard(
     """Exact n-gram Jaccard similarity for given candidate pairs.
 
     Joins shingle sets onto the (small) candidate-pair table; intersection/
-    union via array built-ins. Never computes all-pairs."""
-    sh = df.select(
+    union via array built-ins. Never computes all-pairs — and never
+    computes shingle ARRAYS for the whole corpus either: the pair table is
+    cached (bounded: it's the LSH candidate set) and its distinct doc ids
+    semi-join the corpus first, so the interpreted-HOF array construction
+    (see :func:`shingles`) runs only on candidate docs. Without the
+    restriction the HOF cost is corpus-wide (measured ~2 s of the 4.2 s
+    near_dup_pipeline_portable total at sf0.1) and grows with corpus, not
+    candidate, size."""
+    pairs = pairs.cache()
+    ids = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = df.join(ids, df[id_col] == ids["doc_id"], "left_semi").select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), shingle_n).alias("sh")
     )
     out = (

@@ -180,31 +180,48 @@ def char_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction sums DECIMAL(18,9) — order-independent — before the final
     divide/round(6).
 
-    Plan: one shuffle on the exploded bigram builds the model (map-side
-    partial count); the model is bounded by alphabet² (<= 729 rows) so it
-    broadcasts back; per-doc scoring is one hash aggregate on doc_id."""
+    Plan: chars explode to (doc_id, pos, ch) rows — NEVER carrying the
+    full document string per exploded row (the first formulation
+    projected `c` beside every position index: O(doc_len²) bytes per doc,
+    6.8 s at sf0.1; this one is 1-char rows + a window lead, the
+    _portable_minhash_pairs posture). The doc_id window shuffle is the
+    ONE wide exchange: the (doc_id, bg) count aggregate and the final
+    per-doc score aggregate both group on supersets/equals of doc_id, so
+    they reuse its partitioning; the model aggregate shuffles only
+    per-doc-distinct bigram counts (≤ alphabet² per doc) and broadcasts
+    back (bounded ≤ 729 rows). Scoring multiplies the decimal lnp by the
+    per-doc count — exact — instead of re-joining raw occurrences."""
     docs = read_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("c"),
     ).where(F.length("c") >= 2)
-    bg = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("c") - 1)).alias("i"),
-        "c",
-    ).select("doc_id", F.col("c").substr(F.col("i"), F.lit(2)).alias("bg"))
-    model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    # the zero-width split leaves one trailing "" element — drop it, or
+    # every doc gains a phantom (last-char + "") bigram
+    chars = d.select(
+        "doc_id", F.posexplode(F.split("c", "(?!^)")).alias("pos", "ch")
+    ).where(F.col("ch") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg_counts = (
+        chars.select(
+            "doc_id", F.concat("ch", F.lead("ch", 1).over(w)).alias("bg")
+        )
+        .where(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    model = bg_counts.groupBy("bg").agg(F.sum("n").alias("cnt"))
     total = model.agg(F.sum("cnt").alias("total"))
     model = model.crossJoin(F.broadcast(total)).select(
         "bg",
         F.round(F.log(F.col("cnt") * F.lit(1.0) / F.col("total")), 9).alias("lnp"),
     )
     scored = (
-        bg.join(F.broadcast(model), "bg")
+        bg_counts.join(F.broadcast(model), "bg")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("lnp").cast("decimal(18,9)")).alias("_s"),
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("lnp").cast("decimal(18,9)") * F.col("n")).alias("_s"),
         )
     )
     return scored.select(
@@ -587,14 +604,23 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus dedup (Broder 1997's containment, public).
 
     Plan: candidates come from the oracle-proven portable MinHash banding
-    (never all-pairs); set arithmetic runs on the bounded candidate set
-    via array built-ins."""
+    (never all-pairs); the pair table is cached (bounded candidate set)
+    and its doc ids semi-join the corpus, so the interpreted-HOF shingle
+    arrays are built only for candidate docs; set arithmetic runs via
+    array built-ins."""
     from nbi_oedi_etl_spark.operators.dedup import shingles
     from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = _portable_minhash_pairs(docs)
-    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    pairs = _portable_minhash_pairs(docs).cache()
+    ids = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(ids, "doc_id", "left_semi").select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    )
     out = (
         pairs.join(sh.withColumnsRenamed({"doc_id": "doc_id_a", "sh": "sh_a"}), "doc_id_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_id_b", "sh": "sh_b"}), "doc_id_b")
