@@ -113,6 +113,7 @@ HEADLINE = [
     "incremental_dedup_new_docs",
     "bpe_merge_candidates",
     "data_quality_report",
+    "embedding_ann_portable",
 ]
 
 

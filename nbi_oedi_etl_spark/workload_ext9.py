@@ -244,6 +244,104 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- portable sign-LSH ANN (oracle)
+
+_ANN_PLANES = 8
+
+
+def embedding_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with a CROSS-ENGINE-REPRODUCIBLE hyperplane family:
+    plane p's d-th component is ±1 by the parity of md5(f"{p}|{d}")'s
+    first hex digit, so the DuckDB twin rebuilds the SAME planes and the
+    whole ANN pipeline — projection, bucketing, candidate join, exact
+    cosine verification — is value-hash-checked end-to-end. This is the
+    oracle twin of the production numpy-matmul sign-LSH
+    (operators/similarity.py lsh_topk, rows-only); same bucketed-join
+    shape, never all-pairs.
+
+    Exactness: the dot product is a sequential left fold
+    (F.aggregate(zip_with(...)) here, list_reduce(list_transform(...))
+    in DuckDB — both evaluate ((0+x₁)+x₂)+… in index order, and
+    0.0+x₁ ≡ x₁ in IEEE), so the sign bits and buckets agree bit-exactly;
+    the verification cosine reuses the fold order proven bit-equal to
+    DuckDB's list_cosine_similarity by embedding_topk_cosine.
+
+    Plan: bucket assignment is map-only (8 folds per row, JVM codegen-
+    adjacent HOFs — the ±1 planes are plan literals, not a join); the
+    candidate join shuffles on bucket only."""
+    import hashlib
+
+    from nbi_oedi_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+
+    def _sign(p: int, d: int) -> float:
+        h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bits = []
+    for p in range(_ANN_PLANES):
+        plane = F.array(*[F.lit(_sign(p, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col("emb"), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    buckets = e.select("vec_id", "emb", bucket.cast("bigint").alias("bucket"))
+    a = buckets.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("ea"), "bucket"
+    )
+    b2 = buckets.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("eb"), "bucket"
+    )
+    cand = a.join(b2, "bucket").where(F.col("vec_id_a") < F.col("vec_id_b"))
+    sim = F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        cand.select("bucket", "vec_id_a", "vec_id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.2)
+    )
+
+
+ANN_PORTABLE_ORACLE = r"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), dim AS (
+  SELECT len(emb) AS n FROM e LIMIT 1
+), signs AS (
+  SELECT p,
+         list(CASE WHEN ('0x' || substring(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1))::BIGINT % 2 = 0
+                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+              ORDER BY d) AS s
+  FROM range(8) t(p), (SELECT unnest(range((SELECT n FROM dim))) AS d)
+  GROUP BY p
+), dots AS (
+  SELECT e.vec_id, s.p,
+         list_reduce(list_transform(e.emb, (x, i) -> x * s.s[i]), (a, b) -> a + b) AS dot
+  FROM e, signs s
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+), cand AS (
+  SELECT a.bucket, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos_sim
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+)
+SELECT bucket, vec_id_a, vec_id_b, cos_sim FROM cand WHERE cos_sim >= 0.2
+"""
+
+
 DQ_REPORT_ORACLE = r"""
 WITH one_pass AS (
   SELECT count(*) AS n_rows,
