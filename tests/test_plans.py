@@ -529,3 +529,49 @@ def test_zipf_topk_window_group_limit(spark):
     df = _plan(spark, "zipf_slope_tokens")
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+
+def test_incremental_dedup_single_hash_shuffle(spark):
+    """incremental_dedup_new_docs: the history hash set is O(corpus), so
+    no HINT may force it broadcast — with the size threshold disabled the
+    plan must degrade to a shuffle join (at sf0.01 the optimizer/AQE
+    rightly broadcasts the tiny history side from size statistics; at
+    100 TB those same statistics pick sort-merge)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _plan(spark, "incremental_dedup_new_docs")
+        plan = physical_plan(df).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan, "hint must not force broadcast"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bpe_vocab_first_topk_bounded(spark):
+    """bpe_merge_candidates: character work happens after the corpus
+    collapses to its word vocabulary (the groupBy(word) aggregate), and
+    the global top-20 is TakeOrderedAndProject, never an unbounded
+    sort."""
+    df = _plan(spark, "bpe_merge_candidates")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+
+def test_dq_report_single_scan_plus_anti_join(spark):
+    """data_quality_report: all single-table metrics share one aggregate
+    over one orders scan; RI adds exactly one (anti) join. Two orders
+    scans total (agg + anti-join side), never one per constraint."""
+    df = _plan(spark, "data_quality_report")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("orders.parquet") <= 2
+
+
+def test_ann_portable_map_only_bucketing(spark):
+    """embedding_ann_portable: bucket assignment must be map-only (planes
+    are plan literals — no join for the sign matrix); the only join is
+    the bucket-keyed candidate join."""
+    df = _plan(spark, "embedding_ann_portable")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
