@@ -114,6 +114,8 @@ HEADLINE = [
     "bpe_merge_candidates",
     "data_quality_report",
     "embedding_ann_portable",
+    "streaming_hll_distinct_tokens",
+    "quantile_sketch_order_price",
 ]
 
 

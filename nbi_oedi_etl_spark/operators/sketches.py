@@ -180,8 +180,17 @@ def hll_distinct_estimate(docs: DataFrame, m: int = 64) -> DataFrame:
     """
     toks = tokens_of(docs)
     regs = hll_registers(toks, m)
+    return hll_decode(toks, regs, m)
+
+
+def hll_decode(toks: DataFrame, regs: DataFrame, m: int) -> DataFrame:
+    """HLL estimate read-back, decoupled from the build so it also serves
+    a DRAINED streaming register table (max() is distributive — the
+    streaming groupBy IS the register merge, so stream-built and
+    batch-built registers are identical and one decode serves both).
+    ``toks`` supplies the exact-truth column shown beside the estimate."""
     full = (
-        docs.sparkSession.range(m)
+        regs.sparkSession.range(m)
         .withColumnRenamed("id", "j")
         .join(regs, "j", "left")
         .select("j", F.coalesce("reg", F.lit(0)).alias("reg"))

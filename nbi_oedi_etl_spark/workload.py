@@ -1746,6 +1746,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("bpe_merge_candidates", ext9.bpe_merge_candidates, ext9.BPE_ORACLE),
     QuerySpec("data_quality_report", ext9.data_quality_report, ext9.DQ_REPORT_ORACLE),
     QuerySpec("embedding_ann_portable", ext9.embedding_ann_portable, ext9.ANN_PORTABLE_ORACLE),
+    QuerySpec("streaming_hll_distinct_tokens", ext9.streaming_hll_distinct_tokens, ext6.HLL_DISTINCT_ORACLE),
+    QuerySpec("quantile_sketch_order_price", ext9.quantile_sketch_order_price, ext9.QUANTILE_SKETCH_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -73,6 +73,109 @@ def streaming_cms_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_decode_topk(toks_batch, sketch, depth=4, width=256, k=20)
 
 
+# ------------------------------------------ streaming HLL maintenance
+
+def streaming_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers maintained by Structured Streaming: token
+    stream → per-register max(rho) as streaming state → availableNow
+    drain → shared decode (operators/sketches.py hll_decode). max() is
+    distributive, so the streaming groupBy merges micro-batches into
+    exactly the registers the batch build produces — shares
+    ``hll_distinct_tokens``'s oracle verbatim. State is m=64 rows
+    regardless of stream volume: the continuous-ingest cardinality
+    monitor."""
+    from nbi_oedi_etl_spark.operators import sketches
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    s = ingest.scoped_streaming_session(spark)
+    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        s.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks_stream = stream.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    regs = sketches.hll_registers(toks_stream, m=64)
+    q = ingest.run_available_now(regs, tempfile.mkdtemp(), queue_name="stream_hll")
+    q.awaitTermination()
+    drained = s.table("stream_hll")
+    toks_batch = sketches.tokens_of(read_table(s, sf_dir, "documents"))
+    return sketches.hll_decode(toks_batch, drained, m=64)
+
+
+# --------------------------------- bottom-k quantile sketch (deciles)
+
+_QSKETCH_K = 500
+
+
+def quantile_sketch_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate deciles of o_totalprice from a DETERMINISTIC bottom-k
+    sketch: the k=500 orders with the smallest md5(o_orderkey) are a
+    uniform random sample (the hash is a fixed random permutation), so
+    sample order statistics estimate population quantiles with standard
+    √k error — and because the sample is hash-deterministic, the WHOLE
+    approximate operator is value-hash-checked by the DuckDB twin (the
+    same trick that made CMS/HLL exactly verifiable). Bottom-k is
+    mergeable: union shards, re-take the k smallest.
+
+    Accuracy vs the exact deciles is pinned in
+    tests/test_quantile_sketch.py; the exact computation needs a total
+    order (global sort) and is deliberately NOT part of this query — at
+    100 TB you run the sketch, not the sort.
+
+    Plan: the bottom-k cut is TakeOrderedAndProject (per-partition
+    top-k before a single ordered gather of k rows); the rank window
+    runs on the k-row sample (bounded single partition, k fixed);
+    decile read-off is a broadcast-size join."""
+    orders = read_table(spark, sf_dir, "orders")
+    sample = (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+        )
+        .orderBy("h", "o_orderkey")
+        .limit(_QSKETCH_K)
+    )
+    n = sample.agg(F.count(F.lit(1)).alias("n_sample"))
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = sample.select(
+        "o_totalprice", F.row_number().over(w).alias("rk")
+    ).crossJoin(F.broadcast(n))
+    qs = spark.range(1, 10).select(F.col("id").cast("int").alias("q"))
+    picked = ranked.join(
+        F.broadcast(qs),
+        F.col("rk")
+        == F.floor((F.col("q") * F.col("n_sample") + 9) / F.lit(10.0)).cast("int"),
+    )
+    return picked.select(
+        "q",
+        F.col("o_totalprice").alias("decile_value"),
+        "n_sample",
+    )
+
+
+QUANTILE_SKETCH_ORACLE = r"""
+WITH sample AS (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+  LIMIT 500
+), n AS (
+  SELECT count(*) AS n_sample FROM sample
+), ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk
+  FROM sample
+)
+SELECT q, o_totalprice AS decile_value, n.n_sample
+FROM ranked, n, (SELECT unnest(range(1, 10)) AS q) qs
+WHERE rk = CAST(floor((q * n.n_sample + 9) / 10.0) AS INTEGER)
+"""
+
+
 # ------------------------------------------- incremental (CDC) dedup
 
 def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
