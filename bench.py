@@ -116,6 +116,8 @@ HEADLINE = [
     "embedding_ann_portable",
     "streaming_hll_distinct_tokens",
     "quantile_sketch_order_price",
+    "hll_tokens_by_source",
+    "session_window_stats",
 ]
 
 

@@ -1748,6 +1748,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("embedding_ann_portable", ext9.embedding_ann_portable, ext9.ANN_PORTABLE_ORACLE),
     QuerySpec("streaming_hll_distinct_tokens", ext9.streaming_hll_distinct_tokens, ext6.HLL_DISTINCT_ORACLE),
     QuerySpec("quantile_sketch_order_price", ext9.quantile_sketch_order_price, ext9.QUANTILE_SKETCH_ORACLE),
+    QuerySpec("hll_tokens_by_source", ext9.hll_tokens_by_source, ext9.HLL_BY_SOURCE_ORACLE),
+    QuerySpec("session_window_stats", ext9.session_window_stats, ext9.SESSION_WINDOW_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

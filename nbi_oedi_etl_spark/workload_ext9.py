@@ -105,6 +105,178 @@ def streaming_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame
     return sketches.hll_decode(toks_batch, drained, m=64)
 
 
+# ---------------------------------------- grouped HLL (per-source)
+
+def hll_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP HyperLogLog: distinct-token estimate for every document
+    source — the "approx distinct per group" shape that replaces
+    COUNT(DISTINCT) when group × key cardinality makes the exact dedup
+    shuffle prohibitive. State is |groups| × m register rows regardless
+    of token volume; the same grouped max() aggregate is the merge, so
+    shards/streams combine for free.
+
+    Exactness: same m=64 md5 register family as the global
+    `hll_distinct_tokens`; the 2^-reg harmonic sum runs as a SORTED
+    ARRAY FOLD per group (registers packed j-ascending) because the
+    registers are powers of two spanning 2^0..2^-55 — an unordered
+    double SUM loses low bits once the partial exceeds 2^53·2^-55 and
+    is not cross-engine stable.
+
+    Plan: one exploded-token shuffle into (source, j) register maxima
+    (map-side partials collapse to |groups|·m rows per task); the
+    grid-fill join and the fold run on the |groups|·m aggregate."""
+    from nbi_oedi_etl_spark.operators.sketches import _portable_hash
+
+    m = 64
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = _portable_hash(F.col("tok"), hex_chars=15)
+    base = toks.select(
+        "source",
+        (h % m).alias("j"),
+        F.shiftright(h, 6).alias("w"),
+    ).select(
+        "source",
+        "j",
+        F.when(F.col("w") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(F.col("w"))))
+        .alias("rho"),
+    )
+    regs = base.groupBy("source", "j").agg(F.max("rho").alias("reg"))
+    grid = (
+        docs.select("source").distinct()
+        .crossJoin(spark.range(m).withColumnRenamed("id", "j"))
+        .join(regs, ["source", "j"], "left")
+        .select("source", "j", F.coalesce("reg", F.lit(0)).alias("reg"))
+    )
+    packed = grid.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "reg"))), lambda x: x["reg"]
+        ).alias("regs")
+    )
+    raw = (F.lit(0.709 * m * m)) / F.aggregate(
+        F.transform(F.col("regs"), lambda r: F.pow(F.lit(2.0), -r)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    v_empty = F.size(F.filter(F.col("regs"), lambda r: r == 0))
+    est = F.when(
+        (raw <= 2.5 * m) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw)
+    estimates = packed.select(
+        "source", F.round(est).cast("bigint").alias("hll_estimate")
+    )
+    truth = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("true_distinct")
+    )
+    return truth.join(estimates, "source").select(
+        "source", "true_distinct", "hll_estimate"
+    )
+
+
+HLL_BY_SOURCE_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+), t AS (
+  SELECT source, tok FROM toks WHERE tok <> ''
+), h AS (
+  SELECT source, tok, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv FROM t
+), r AS (
+  SELECT source, hv % 64 AS j,
+         CASE WHEN hv // 64 = 0 THEN 55
+              ELSE 55 - length(bin(hv // 64)) END AS rho
+  FROM h
+), regs AS (
+  SELECT source, j, max(rho) AS reg FROM r GROUP BY source, j
+), grid AS (
+  SELECT s.source, g.j, coalesce(regs.reg, 0) AS reg
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN range(64) g(j)
+  LEFT JOIN regs ON regs.source = s.source AND regs.j = g.j
+), packed AS (
+  SELECT source, list(reg ORDER BY j) AS rs FROM grid GROUP BY source
+), est AS (
+  SELECT source,
+         0.709 * 64 * 64 / list_sum(list_transform(rs, x -> pow(2.0, -x))) AS raw,
+         len(list_filter(rs, x -> x = 0)) AS v_empty
+  FROM packed
+), truth AS (
+  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS true_distinct
+  FROM t GROUP BY source
+)
+SELECT truth.source, truth.true_distinct,
+       CAST(round(CASE WHEN raw <= 160 AND v_empty > 0
+                       THEN 64 * ln(64.0 / v_empty) ELSE raw END)
+            AS BIGINT) AS hll_estimate
+FROM truth JOIN est ON truth.source = est.source
+"""
+
+
+# ------------------------------------- built-in session windows
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's BUILT-IN session_window
+    (30-minute gap), per user: session start, exclusive end (last event
+    + gap), event count, decimal-exact value sum. The declarative twin of
+    the lag+cumsum `user_sessions` formulation — same semantics, but the
+    merging-window operator is what Structured Streaming uses for
+    streaming sessionization, so this proves the batch surface of that
+    operator against a first-principles SQL oracle (new session when
+    ts >= previous ts + gap, i.e. the window end is exclusive).
+
+    Plan: one shuffle on user_id; session merge happens inside the
+    aggregate (UpdatingSessionsIterator), no self-join."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    g = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum_dec"),
+    )
+    return g.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        F.col("value_sum_dec").cast("double").alias("value_sum"),
+    )
+
+
+SESSION_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, value FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 # --------------------------------- bottom-k quantile sketch (deciles)
 
 _QSKETCH_K = 500
