@@ -178,3 +178,90 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "error",
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files sized
+    near ``target_file_bytes`` (default 128 MB — the HDFS-block-era
+    sweet spot that still holds for S3 range reads). Returns the output
+    file count.
+
+    File count is derived from the dataset's ACTUAL on-disk bytes (the
+    Spark file index's size sum), not row counts — compression ratio is
+    data-dependent and row-based heuristics mis-size by 10×. The rewrite
+    is one round-robin repartition (narrow input scan, no key shuffle
+    semantics to preserve); for sorted/clustered layouts use
+    write_clustered/write_zordered instead, which re-sort.
+
+    At 100 TB this is the maintenance job that keeps scan task counts
+    sane after streaming ingest (availableNow drains produce one file
+    per micro-batch per partition: thousands of KB-sized files)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src)
+    total_bytes = (
+        df.select("_metadata.file_path", "_metadata.file_size")
+        .distinct()
+        .agg(F.sum("file_size"))
+        .first()[0]
+    ) or 0
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df.repartition(n_files).write.mode(mode).parquet(dest)
+    return (
+        spark.read.parquet(dest)
+        .select("_metadata.file_path")
+        .distinct()
+        .count()
+    )
+
+
+def write_audited(
+    df: DataFrame,
+    path: str,
+    constraints: Sequence[tuple[str, str]],
+    mode: str = "error",
+) -> dict[str, int]:
+    """Write-audit-publish: stage the data, run declarative constraints
+    against the STAGED files, and only then move them to the final path —
+    the pattern that keeps a bad batch out of the serving location (the
+    reference uploads then reconciles after the fact,
+    etl/oedi_etl/monitor.py; this gates BEFORE publication instead).
+
+    ``constraints`` are (name, sql_predicate) pairs; each predicate is a
+    boolean expression that must hold for EVERY row (violations are
+    counted in one pass with conditional aggregates — one scan total,
+    like data_quality_report). Raises ValueError listing violation
+    counts if any constraint fails; the staging directory is left for
+    inspection. Returns the per-constraint violation counts (all zero)
+    on success."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    staging = path.rstrip("/") + "._staging"
+    df.write.mode("overwrite").parquet(staging)
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging)
+    aggs = [
+        F.sum((~F.expr(pred)).cast("bigint")).alias(name)
+        for name, pred in constraints
+    ]
+    counts = staged.agg(*aggs).first().asDict()
+    if any(v > 0 for v in counts.values()):
+        bad = {k: v for k, v in counts.items() if v > 0}
+        raise ValueError(f"write_audited: constraint violations {bad}; "
+                         f"staged data left at {staging}")
+    if mode == "error":
+        import os
+
+        if os.path.exists(path):
+            raise FileExistsError(path)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.move(staging, path)
+    return counts
