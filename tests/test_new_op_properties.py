@@ -1,0 +1,158 @@
+"""Property tests for the round-4 operators: independently-computed
+expectations on randomized/crafted inputs (the §5 test-strategy posture —
+the oracle gate proves cross-engine equality; these prove the SEMANTICS).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark import workload
+
+_EPOCH = dt.datetime(2024, 1, 1)
+_GAP_S = 1800
+
+
+# ------------------------------------------------ session_window semantics
+
+_offsets = st.lists(
+    st.integers(min_value=0, max_value=6 * 3600), min_size=1, max_size=40
+)
+
+
+def _ref_sessions(offsets: list[int]) -> list[tuple[int, int, int]]:
+    """Python reference gap sessionizer: (start_off, last_off, n)."""
+    out = []
+    for off in sorted(offsets):
+        if out and off < out[-1][1] + _GAP_S:
+            s, _, n = out[-1]
+            out[-1] = (s, off, n + 1)
+        else:
+            out.append((off, off, 1))
+    return out
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(offsets=_offsets)
+def test_session_window_matches_python_reference(spark, offsets):
+    rows = [
+        (i, _EPOCH + dt.timedelta(seconds=off), 1, "click", 1.0, "{}")
+        for i, off in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = sorted(
+        (r["w"]["start"], r["n"])
+        for r in df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = sorted(
+        (_EPOCH + dt.timedelta(seconds=s), n) for s, _, n in _ref_sessions(offsets)
+    )
+    assert got == want
+    assert sum(n for _, n in got) == len(offsets)
+
+
+# --------------------------------------- incremental dedup vs Python ref
+
+def _write_docs(texts: list[str]) -> str:
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+_texts = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=6), min_size=3, max_size=30
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_incremental_dedup_matches_python_reference(spark, texts):
+    sf_dir = _write_docs(texts)
+    got = {
+        r["doc_id"]: r["status"]
+        for r in workload.queries()["incremental_dedup_new_docs"](
+            spark, sf_dir
+        ).collect()
+    }
+    hist = {t for i, t in enumerate(texts) if i % 3 != 0}
+    first_seen: dict[str, int] = {}
+    want = {}
+    for i, t in enumerate(texts):
+        if i % 3 != 0:
+            continue
+        if t in hist:
+            want[i] = "dup_of_history"
+        elif t in first_seen:
+            want[i] = "dup_in_batch"
+        else:
+            first_seen[t] = i
+            want[i] = "new"
+    assert got == want
+
+
+# ------------------------------------------- bottom-k sketch mergeability
+
+def test_bottom_k_sample_is_mergeable(spark):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    property that lets shards/streams maintain the quantile sketch
+    independently and merge at read time."""
+    from nbi_oedi_etl_spark.sources import read_table
+
+    o = read_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", F.md5(F.col("o_orderkey").cast("string")).alias("h")
+    )
+    k = 200
+
+    def bottom_k(df):
+        return df.orderBy("h", "o_orderkey").limit(k)
+
+    direct = bottom_k(o)
+    a = bottom_k(o.where(F.col("o_orderkey") % 2 == 0))
+    b = bottom_k(o.where(F.col("o_orderkey") % 2 == 1))
+    merged = bottom_k(a.unionByName(b))
+    assert sorted(r["o_orderkey"] for r in direct.collect()) == sorted(
+        r["o_orderkey"] for r in merged.collect()
+    )
+
+
+# --------------------------------------------- grouped HLL error bound
+
+def test_grouped_hll_within_error_bound(spark):
+    """m=64 registers → relative standard error 1.04/sqrt(64) ≈ 13%; every
+    per-source estimate must land within 3.5σ (±45%) of its true
+    distinct count — a broken register partition or rho width shows up as
+    a gross violation, sampling noise does not."""
+    rows = workload.queries()["hll_tokens_by_source"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        rel = abs(r["hll_estimate"] - r["true_distinct"]) / r["true_distinct"]
+        assert rel < 0.45, (
+            f"{r['source']}: est={r['hll_estimate']} true={r['true_distinct']}"
+        )
