@@ -118,6 +118,8 @@ HEADLINE = [
     "quantile_sketch_order_price",
     "hll_tokens_by_source",
     "session_window_stats",
+    "weighted_reservoir_docs",
+    "event_value_anomalies",
 ]
 
 

@@ -1675,6 +1675,7 @@ from nbi_oedi_etl_spark import workload_ext6 as ext6
 from nbi_oedi_etl_spark import workload_ext7 as ext7
 from nbi_oedi_etl_spark import workload_ext8 as ext8
 from nbi_oedi_etl_spark import workload_ext9 as ext9
+from nbi_oedi_etl_spark import workload_ext10 as ext10
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1750,6 +1751,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("quantile_sketch_order_price", ext9.quantile_sketch_order_price, ext9.QUANTILE_SKETCH_ORACLE),
     QuerySpec("hll_tokens_by_source", ext9.hll_tokens_by_source, ext9.HLL_BY_SOURCE_ORACLE),
     QuerySpec("session_window_stats", ext9.session_window_stats, ext9.SESSION_WINDOW_ORACLE),
+    QuerySpec("weighted_reservoir_docs", ext10.weighted_reservoir_docs, ext10.WEIGHTED_RESERVOIR_ORACLE),
+    QuerySpec("event_value_anomalies", ext10.event_value_anomalies, ext10.EVENT_ANOMALY_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -1,0 +1,146 @@
+"""Round-4 extension queries, wave 4: weighted sampling and statistical
+anomaly detection.
+
+- ``weighted_reservoir_docs`` — Efraimidis–Spirakis weighted reservoir
+  sampling (A-Res, 2006, public): top-k documents by u^(1/w) with an
+  md5-deterministic uniform u and weight w = n_chars. The per-ITEM-weight
+  complement of the per-GROUP-weight ``weighted_mixture_sample``; the
+  standard way to oversample long/high-quality documents reproducibly.
+- ``event_value_anomalies`` — per-type daily totals scored by z-score
+  against that type's own daily distribution; |z| > 2 rows flagged. The
+  monitoring staple over ingest volumes (the reference's monitor keeps
+  raw counters; this is the statistical layer above them).
+
+Oracle convention identical to workload.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark.sources.parquet import read_table
+
+
+# ----------------------------------------- weighted reservoir (A-Res)
+
+_WRES_K = 20
+
+
+def weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis A-Res: each item draws uniform u and keeps key
+    u^(1/w); the top-k keys are a weighted sample without replacement
+    (inclusion probability ∝ w). u is md5-deterministic, so the sample is
+    reproducible and the DuckDB twin re-derives it exactly.
+
+    Ranking uses ln(u)/w (monotone in u^(1/w), fewer libm calls); the
+    key is used ONLY for ordering — never output — so cross-engine ulp
+    differences in ln can only matter if two keys collide within 1 ulp,
+    which distinct md5 draws make ~2^-50 improbable (and the doc_id
+    tiebreak would still agree for EQUAL doubles).
+
+    Plan: map-only key computation; global top-k is
+    TakeOrderedAndProject-shaped via the rank window (per-partition
+    partial top-k, one bounded gather) — mergeable the same way bottom-k
+    is: shards keep their top-k, merge re-takes the top-k."""
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**60))
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    r = F.log(u) / w
+    keyed = docs.select("doc_id", "source", "n_chars", r.alias("r"))
+    win = Window.orderBy(F.desc("r"), F.asc("doc_id"))
+    return (
+        keyed.select("doc_id", "source", "n_chars", F.row_number().over(win).alias("rank"))
+        .where(F.col("rank") <= _WRES_K)
+    )
+
+
+WEIGHTED_RESERVOIR_ORACLE = r"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             ::DOUBLE + 1.0) / 1152921504606846976.0)
+           / CAST(greatest(n_chars, 1) AS DOUBLE) AS r
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (ORDER BY r DESC, doc_id) AS rank
+  FROM keyed
+) WHERE rank <= 20
+"""
+
+
+# ------------------------------------------- z-score anomaly detection
+
+_Z_THRESHOLD = 2.0
+
+
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value totals per event type, z-scored against that type's own
+    daily distribution; days with |z| > 2 are flagged anomalies — the
+    statistical monitor over ingest volumes.
+
+    Exactness: daily sums, their squares, Σx and Σx² are ALL exact
+    decimals; mean/variance/sqrt run in double with identical operation
+    order (IEEE sqrt is correctly rounded, hence deterministic), and z is
+    rounded to 6 before the threshold so the flag boundary is
+    engine-stable.
+
+    Plan: one shuffle to (event_type, day) partials; the per-type moment
+    aggregate runs on the tiny daily table and broadcasts back."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("d_sum"))
+    )
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("d_sum").alias("s1"),
+        F.sum(F.col("d_sum") * F.col("d_sum")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    z = (F.col("d_sum").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("d_sum").cast("double").alias("daily_value"),
+            F.round(z, 6).alias("z_score"),
+        )
+        .where(F.abs(F.col("z_score")) > _Z_THRESHOLD)
+    )
+
+
+EVENT_ANOMALY_ORACLE = r"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(18,6))) AS d_sum
+  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+), moments AS (
+  SELECT event_type, count(*) AS n_days,
+         sum(d_sum) AS s1, sum(d_sum * d_sum) AS s2
+  FROM daily GROUP BY event_type
+), scored AS (
+  SELECT d.event_type, d.day, CAST(d.d_sum AS DOUBLE) AS daily_value,
+         round((CAST(d.d_sum AS DOUBLE)
+                - CAST(m.s1 AS DOUBLE) / m.n_days)
+               / sqrt((CAST(m.s2 AS DOUBLE)
+                       - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n_days)
+                      / (m.n_days - 1)), 6) AS z_score
+  FROM daily d JOIN moments m ON d.event_type = m.event_type
+)
+SELECT event_type, day, daily_value, z_score
+FROM scored WHERE abs(z_score) > 2.0
+"""
