@@ -120,6 +120,7 @@ HEADLINE = [
     "session_window_stats",
     "weighted_reservoir_docs",
     "event_value_anomalies",
+    "copurchase_triangles",
 ]
 
 

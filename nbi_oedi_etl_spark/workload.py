@@ -1753,6 +1753,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("session_window_stats", ext9.session_window_stats, ext9.SESSION_WINDOW_ORACLE),
     QuerySpec("weighted_reservoir_docs", ext10.weighted_reservoir_docs, ext10.WEIGHTED_RESERVOIR_ORACLE),
     QuerySpec("event_value_anomalies", ext10.event_value_anomalies, ext10.EVENT_ANOMALY_ORACLE),
+    QuerySpec("copurchase_triangles", ext10.copurchase_triangles, ext10.TRIANGLES_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

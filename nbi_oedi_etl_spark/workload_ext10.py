@@ -123,6 +123,69 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- triangle enumeration
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the part co-purchase graph: edges are
+    part pairs bought together in ≥ 2 distinct orders (the support
+    threshold keeps the graph at signal density); triangles are the
+    classic two-join enumeration over the canonically oriented
+    (pa < pb < pc) edge list. Triangles are the basic cohesion motif —
+    community seeds, recommendation strength, graph health.
+
+    Plan: the pair build is one self-join on l_orderkey (per-order
+    fan-out is C(items, 2) with TPC-H's ≤ 7 items/order — bounded); the
+    enumeration shuffles the EDGE list (3.6k rows at sf0.01 after the
+    support threshold) on its node keys, never the fact table. At true
+    scale the standard degree-orientation trick (orient each edge
+    low-degree → high-degree node) bounds the join fan-out by max-degree
+    √|E|; the a < b < c orientation here is its fixed-order special
+    case."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("pa", "pb")
+        .cache()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("part_a"),
+            F.col("e1.pb").alias("part_b"),
+            F.col("e2.pb").alias("part_c"),
+        )
+    )
+
+
+TRIANGLES_ORACLE = r"""
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
+FROM pairs e1
+JOIN pairs e2 ON e1.pb = e2.pa
+JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
 EVENT_ANOMALY_ORACLE = r"""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
