@@ -575,3 +575,54 @@ def test_ann_portable_map_only_bucketing(spark):
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_window_single_shuffle_no_self_join(spark):
+    """session_window_stats: the merging-window aggregate is ONE exchange
+    on user_id with session merge inside the aggregate — no self-join,
+    no second shuffle."""
+    df = _plan(spark, "session_window_stats")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_anomaly_moments_broadcast_back(spark):
+    """event_value_anomalies: the per-type moment table (|types| rows)
+    must broadcast back onto the daily table — re-shuffling the daily
+    side on event_type for the join would double the wide stages."""
+    df = _plan(spark, "event_value_anomalies")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_reservoir_bounded_topk(spark):
+    """weighted_reservoir_docs: the global top-k must be partial-top-k
+    shaped (TakeOrderedAndProject or WindowGroupLimit) — never an
+    unbounded global sort of the corpus."""
+    df = _plan(spark, "weighted_reservoir_docs")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+
+def test_triangles_enumerate_on_cached_edges(spark):
+    """copurchase_triangles: the fact self-join builds the edge list once
+    (cached — InMemoryTableScan feeds the enumeration joins); the
+    enumeration never touches lineitem again."""
+    df = _plan(spark, "copurchase_triangles")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    # the enumeration joins read the cached edge list; the only lineitem
+    # references in the plan text are INSIDE the InMemoryRelation's stored
+    # build plan (printed as part of the cache node), not live scans
+    assert "InMemoryTableScan" in plan
+    assert "InMemoryRelation" in plan
+
+
+def test_grouped_hll_register_aggregate_shape(spark):
+    """hll_tokens_by_source: the exploded-token relation must collapse to
+    (source, j) register maxima with a map-side partial max before its
+    exchange — the property that keeps the shuffle O(groups×m), not
+    O(tokens)."""
+    df = _plan(spark, "hll_tokens_by_source")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "partial_max" in plan
