@@ -121,6 +121,7 @@ HEADLINE = [
     "weighted_reservoir_docs",
     "event_value_anomalies",
     "copurchase_triangles",
+    "embedding_ivf_portable",
 ]
 
 

@@ -1754,6 +1754,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("weighted_reservoir_docs", ext10.weighted_reservoir_docs, ext10.WEIGHTED_RESERVOIR_ORACLE),
     QuerySpec("event_value_anomalies", ext10.event_value_anomalies, ext10.EVENT_ANOMALY_ORACLE),
     QuerySpec("copurchase_triangles", ext10.copurchase_triangles, ext10.TRIANGLES_ORACLE),
+    # beyond the 50-slot external window this round (locally parity-gated;
+    # rotates into the window next round)
+    QuerySpec("embedding_ivf_portable", ext10.embedding_ivf_portable, ext10.IVF_PORTABLE_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

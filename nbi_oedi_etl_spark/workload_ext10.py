@@ -186,6 +186,95 @@ JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
 """
 
 
+# -------------------------------------------- portable IVF ANN twin
+
+def embedding_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with every stage oracle-checkable: deterministic coarse
+    centroids (the 8 lowest vec_ids), nearest-centroid cell assignment
+    (the oracle-proven kmeans_assignment_step argmin), nprobe=1 probing
+    (each query searches its OWN cell), exact-cosine scoring inside the
+    cell, top-3 per query. The oracle twin of the numpy/collect-based
+    `embedding_ivf_topk` production path — with this, every ANN family
+    (sign-LSH via embedding_ann_portable, IVF here, brute-force via
+    embedding_topk_cosine) has a value-hash-checked twin.
+
+    Plan: assignment is broadcast-centroid argmin (corpus never shuffles
+    for it); the probe join shuffles on the cell id; scoring touches
+    only same-cell pairs — |corpus|/k per query, never all-pairs."""
+    from nbi_oedi_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    assign = similarity.kmeans_assignment_step(emb, cents).select(
+        "vec_id", "centroid_id"
+    )
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).join(assign, "vec_id")
+    q = (
+        e.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("centroid_id").alias("cell"),
+        )
+    )
+    cand = q.join(
+        e.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("centroid_id").alias("cell"),
+        ),
+        "cell",
+    ).where(F.col("cand_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        F.round(similarity.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.select("query_id", "cand_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+IVF_PORTABLE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 8
+), d AS (
+  SELECT e.vec_id, c.centroid_id, list_distance(e.emb, c.c_emb) AS dist
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+), ea AS (
+  SELECT e.vec_id, e.emb, a.centroid_id AS cell
+  FROM e JOIN assign a ON e.vec_id = a.vec_id
+), scored AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS cand_id,
+         round(list_cosine_similarity(q.emb, t.emb), 6) AS cos_sim
+  FROM ea q JOIN ea t ON q.cell = t.cell AND q.vec_id <> t.vec_id
+  WHERE q.vec_id < 20
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 EVENT_ANOMALY_ORACLE = r"""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
