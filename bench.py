@@ -122,6 +122,7 @@ HEADLINE = [
     "event_value_anomalies",
     "copurchase_triangles",
     "embedding_ivf_portable",
+    "ann_recall_portable",
 ]
 
 

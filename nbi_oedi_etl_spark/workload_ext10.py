@@ -275,6 +275,113 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+# ----------------------------------------- ANN recall report (oracle)
+
+def ann_recall_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the portable IVF ANN against the exact brute-force
+    top-3, per query — the QUALITY measurement of an ANN index, itself
+    oracle-checked (both the index and the ground truth are
+    deterministic, so even the recall numbers value-hash-check). The
+    production recall harness this mirrors lives in
+    tests/test_operators.py for the numpy LSH/IVF paths; this query is
+    its cross-engine-verifiable twin.
+
+    Plan: ground truth is the broadcast-queries brute-force shape
+    (corpus never shuffles until the bounded per-query top-k); the IVF
+    side reuses embedding_ivf_portable's plan; the overlap join is on
+    the tiny (queries × 3) result tables."""
+    from nbi_oedi_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(similarity.cosine(F.col("q_emb"), F.col("emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    exact = scored.select(
+        "query_id", "cand_id", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= 3)
+    approx = embedding_ivf_portable(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("_hit")
+    )
+    joined = exact.join(approx, ["query_id", "cand_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_found"),
+        F.round(
+            F.sum(F.coalesce("_hit", F.lit(0))) * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("recall_at_3"),
+    )
+
+
+ANN_RECALL_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         round(list_cosine_similarity(q.q_emb, e.emb), 6) AS cos_sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM scored
+  ) WHERE rank <= 3
+), c AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 8
+), d AS (
+  SELECT e.vec_id, c.centroid_id, list_distance(e.emb, c.c_emb) AS dist
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+), ea AS (
+  SELECT e.vec_id, e.emb, a.centroid_id AS cell
+  FROM e JOIN assign a ON e.vec_id = a.vec_id
+), ivf_scored AS (
+  SELECT qq.vec_id AS query_id, t.vec_id AS cand_id,
+         round(list_cosine_similarity(qq.emb, t.emb), 6) AS cos_sim
+  FROM ea qq JOIN ea t ON qq.cell = t.cell AND qq.vec_id <> t.vec_id
+  WHERE qq.vec_id < 20
+), approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= 3
+)
+SELECT ex.query_id,
+       count(*) AS k,
+       CAST(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       round(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS recall_at_3
+FROM exact ex
+LEFT JOIN approx ap ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
+GROUP BY ex.query_id
+"""
+
+
 EVENT_ANOMALY_ORACLE = r"""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
