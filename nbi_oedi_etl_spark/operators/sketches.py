@@ -40,11 +40,16 @@ def _portable_hash(col, seed: int | None = None, hex_chars: int = 15):
     return F.conv(F.substring(F.md5(keyed), 1, hex_chars), 16, 10).cast("bigint")
 
 
-def tokens_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def tokens_of(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Whitespace tokens, lowercased; the shared input shape for both
-    sketches (single-space split to stay in lockstep with SQL twins)."""
+    sketches (single-space split to stay in lockstep with SQL twins).
+    Works unchanged on a STREAMING DataFrame (narrow ops only).
+    ``keep_cols`` carries grouping columns (e.g. source) through."""
     return docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok")
+        *keep_cols,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok"),
     ).where(F.col("tok") != "")
 
 
@@ -75,14 +80,19 @@ def cms_cells(toks: DataFrame, depth: int, width: int) -> DataFrame:
     )
 
 
-def hll_registers(toks: DataFrame, m: int) -> DataFrame:
-    """HLL build aggregate: (j, reg) register maxima — the mergeable
-    sketch state (merge = max of registers with the same j). ``m`` must
-    be a power of two; the remainder w = h // m carries 60 - log2(m)
-    bits, so rho (leading-zero count + 1) is computed against THAT width
-    — a fixed 54-bit assumption silently corrupts registers for any
-    other m (caught by the micro-batch merge test at m=16). Register
-    values are always ≥ 1; 0 is reserved for "never touched"."""
+def hll_registers(
+    toks: DataFrame, m: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """HLL build aggregate: (group_cols…, j, reg) register maxima — the
+    mergeable sketch state (merge = max of registers with the same key).
+    ``m`` must be a power of two; the remainder w = h // m carries
+    60 - log2(m) bits, so rho (leading-zero count + 1) is computed
+    against THAT width — a fixed 54-bit assumption silently corrupts
+    registers for any other m (caught by the micro-batch merge test at
+    m=16). Register values are always ≥ 1; 0 is reserved for "never
+    touched". With ``group_cols`` the state is |groups|×m rows — the
+    approx-COUNT(DISTINCT)-per-group replacement for the exact dedup
+    shuffle."""
     import math
 
     p = round(math.log2(m))
@@ -95,15 +105,17 @@ def hll_registers(toks: DataFrame, m: int) -> DataFrame:
     # integer h // m for ~40% of large hashes. m is a power of two, so
     # shiftright(h, p) IS exact integer division (and h % m stays exact).
     base = toks.select(
+        *group_cols,
         (h % m).alias("j"),
         F.shiftright(h, p).alias("w"),
     ).select(
+        *group_cols,
         "j",
         F.when(F.col("w") == 0, F.lit(w_bits + 1))
         .otherwise(F.lit(w_bits + 1) - F.length(F.bin(F.col("w"))))
         .alias("rho"),
     )
-    return base.groupBy("j").agg(F.max("rho").alias("reg"))
+    return base.groupBy(*group_cols, "j").agg(F.max("rho").alias("reg"))
 
 
 def cms_topk_estimates(
@@ -183,19 +195,36 @@ def hll_distinct_estimate(docs: DataFrame, m: int = 64) -> DataFrame:
     return hll_decode(toks, regs, m)
 
 
-def hll_decode(toks: DataFrame, regs: DataFrame, m: int) -> DataFrame:
+def hll_decode(
+    toks: DataFrame,
+    regs: DataFrame,
+    m: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """HLL estimate read-back, decoupled from the build so it also serves
     a DRAINED streaming register table (max() is distributive — the
     streaming groupBy IS the register merge, so stream-built and
     batch-built registers are identical and one decode serves both).
-    ``toks`` supplies the exact-truth column shown beside the estimate."""
-    full = (
-        regs.sparkSession.range(m)
-        .withColumnRenamed("id", "j")
-        .join(regs, "j", "left")
-        .select("j", F.coalesce("reg", F.lit(0)).alias("reg"))
-    )
-    packed = full.agg(
+    ``toks`` supplies the exact-truth column shown beside the estimate.
+
+    The 2^-reg harmonic sum runs as a SORTED array fold (registers
+    packed j-ascending) in the global AND grouped cases: the terms are
+    powers of two spanning 2^0..2^-(60-log2(m)), which are not
+    sum-order-safe in double."""
+    gc = list(group_cols)
+    jrange = regs.sparkSession.range(m).withColumnRenamed("id", "j")
+    if gc:
+        grid = regs.select(*gc).distinct().crossJoin(jrange)
+        full = grid.join(regs, [*gc, "j"], "left").select(
+            *gc, "j", F.coalesce("reg", F.lit(0)).alias("reg")
+        )
+        packed = full.groupBy(*gc)
+    else:
+        full = jrange.join(regs, "j", "left").select(
+            "j", F.coalesce("reg", F.lit(0)).alias("reg")
+        )
+        packed = full
+    packed = packed.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("j", "reg"))), lambda x: x["reg"]
         ).alias("regs")
@@ -211,13 +240,17 @@ def hll_decode(toks: DataFrame, regs: DataFrame, m: int) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
     ).otherwise(raw)
     estimates = packed.select(
+        *gc,
         F.round(est).cast("bigint").alias("hll_estimate"),
         v_empty.alias("v_empty"),
         F.lit(m).cast("int").alias("n_registers"),
     )
-    truth = toks.agg(F.count_distinct("tok").alias("true_distinct"))
-    return truth.crossJoin(estimates).select(
-        "true_distinct", "hll_estimate", "n_registers", "v_empty"
+    truth = toks.groupBy(*gc).agg(F.count_distinct("tok").alias("true_distinct")) if gc else toks.agg(
+        F.count_distinct("tok").alias("true_distinct")
+    )
+    joined = truth.join(estimates, gc) if gc else truth.crossJoin(estimates)
+    return joined.select(
+        *gc, "true_distinct", "hll_estimate", "n_registers", "v_empty"
     )
 
 

@@ -101,10 +101,15 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("d_sum"))
     )
+    # re-narrow the sum to (18,6) before squaring: the square of the wide
+    # sum type (28,6) would exceed precision 38 and Spark truncates it to
+    # scale 6 under allowPrecisionLoss, while the oracle's product keeps
+    # scale 12 — (18,6)² = (37,12) is exact and matches DuckDB bit-for-bit
+    d6 = F.col("d_sum").cast("decimal(18,6)")
     moments = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("d_sum").alias("s1"),
-        F.sum(F.col("d_sum") * F.col("d_sum")).alias("s2"),
+        F.sum(d6 * d6).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n_days")
     var = (
@@ -152,7 +157,9 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
-        .agg(F.count(F.lit(1)).alias("n"))
+        # DISTINCT orders, not pair instances: a part repeated within one
+        # order would otherwise satisfy the support threshold alone
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n"))
         .where(F.col("n") >= 2)
         .select("pa", "pb")
         .cache()
@@ -177,7 +184,7 @@ WITH pairs AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb
   FROM lineitem a
   JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= 2
+  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
 )
 SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
 FROM pairs e1
@@ -243,7 +250,10 @@ def embedding_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_PORTABLE_ORACLE = """
+# shared CTE chain of the portable IVF pipeline — composed into BOTH the
+# IVF oracle and the recall oracle so a tweak (centroid rule, tie-break,
+# nprobe) cannot leave the recall report measuring a different index
+_IVF_SHARED_CTES = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), c AS (
@@ -260,19 +270,26 @@ WITH e AS (
 ), ea AS (
   SELECT e.vec_id, e.emb, a.centroid_id AS cell
   FROM e JOIN assign a ON e.vec_id = a.vec_id
-), scored AS (
-  SELECT q.vec_id AS query_id, t.vec_id AS cand_id,
-         round(list_cosine_similarity(q.emb, t.emb), 6) AS cos_sim
-  FROM ea q JOIN ea t ON q.cell = t.cell AND q.vec_id <> t.vec_id
-  WHERE q.vec_id < 20
-)
-SELECT query_id, cand_id, cos_sim, rank FROM (
-  SELECT query_id, cand_id, cos_sim,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos_sim DESC, cand_id) AS rank
-  FROM scored
-) WHERE rank <= 3
+), ivf_scored AS (
+  SELECT qq.vec_id AS query_id, t.vec_id AS cand_id,
+         round(list_cosine_similarity(qq.emb, t.emb), 6) AS cos_sim
+  FROM ea qq JOIN ea t ON qq.cell = t.cell AND qq.vec_id <> t.vec_id
+  WHERE qq.vec_id < 20
+), ivf_topk AS (
+  SELECT query_id, cand_id, cos_sim, rank FROM (
+    SELECT query_id, cand_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= 3
+)"""
+
+IVF_PORTABLE_ORACLE = (
+    _IVF_SHARED_CTES
+    + """
+SELECT query_id, cand_id, cos_sim, rank FROM ivf_topk
 """
+)
 
 
 # ----------------------------------------- ANN recall report (oracle)
@@ -327,12 +344,12 @@ def ann_recall_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_RECALL_ORACLE = """
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-), q AS (
+ANN_RECALL_ORACLE = (
+    _IVF_SHARED_CTES
+    + """,
+q AS (
   SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 20
-), scored AS (
+), bf_scored AS (
   SELECT q.query_id, e.vec_id AS cand_id,
          round(list_cosine_similarity(q.q_emb, e.emb), 6) AS cos_sim
   FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
@@ -341,33 +358,7 @@ WITH e AS (
     SELECT query_id, cand_id,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY cos_sim DESC, cand_id) AS rank
-    FROM scored
-  ) WHERE rank <= 3
-), c AS (
-  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 8
-), d AS (
-  SELECT e.vec_id, c.centroid_id, list_distance(e.emb, c.c_emb) AS dist
-  FROM e CROSS JOIN c
-), assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT vec_id, centroid_id,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-    FROM d
-  ) WHERE rn = 1
-), ea AS (
-  SELECT e.vec_id, e.emb, a.centroid_id AS cell
-  FROM e JOIN assign a ON e.vec_id = a.vec_id
-), ivf_scored AS (
-  SELECT qq.vec_id AS query_id, t.vec_id AS cand_id,
-         round(list_cosine_similarity(qq.emb, t.emb), 6) AS cos_sim
-  FROM ea qq JOIN ea t ON qq.cell = t.cell AND qq.vec_id <> t.vec_id
-  WHERE qq.vec_id < 20
-), approx AS (
-  SELECT query_id, cand_id FROM (
-    SELECT query_id, cand_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos_sim DESC, cand_id) AS rank
-    FROM ivf_scored
+    FROM bf_scored
   ) WHERE rank <= 3
 )
 SELECT ex.query_id,
@@ -377,9 +368,10 @@ SELECT ex.query_id,
        round(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
              / count(*), 6) AS recall_at_3
 FROM exact ex
-LEFT JOIN approx ap ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
+LEFT JOIN ivf_topk ap ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
 GROUP BY ex.query_id
 """
+)
 
 
 EVENT_ANOMALY_ORACLE = r"""

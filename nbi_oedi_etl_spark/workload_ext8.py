@@ -221,7 +221,13 @@ def char_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_bigrams"),
-            F.sum(F.col("lnp").cast("decimal(18,9)") * F.col("n")).alias("_s"),
+            # n is cast to decimal(10,0) so the product type is (29,9) —
+            # EXACT; a raw bigint operand promotes to (39,9) which Spark
+            # truncates to (38,8) under allowPrecisionLoss, silently
+            # rounding each product and breaking oracle parity
+            F.sum(
+                F.col("lnp").cast("decimal(18,9)") * F.col("n").cast("decimal(10,0)")
+            ).alias("_s"),
         )
     )
     return scored.select(
@@ -293,10 +299,13 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
     )
+    # only the nation role-aliases are FORCE-broadcast (structurally
+    # bounded, 25 rows); customer/supplier are O(scale factor) — the hint
+    # is left to AQE's size statistics, per the module posture
     edges = (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               orders["o_custkey"] == F.col("c_custkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))

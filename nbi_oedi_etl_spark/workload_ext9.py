@@ -33,6 +33,18 @@ from pyspark.sql import functions as F
 from nbi_oedi_etl_spark.sources.parquet import read_table
 
 
+def _documents_file_stream(s: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of read_table(..., "documents"): schema-pinned file
+    stream over the documents parquet — the shared setup for every
+    streaming sketch query (one tokenization path, one schema probe)."""
+    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        s.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 # ------------------------------------------ streaming CMS maintenance
 
 def streaming_cms_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,15 +68,7 @@ def streaming_cms_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nbi_oedi_etl_spark.streaming import ingest
 
     s = ingest.scoped_streaming_session(spark)
-    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        s.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    toks_stream = stream.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
-    ).where(F.col("tok") != "")
+    toks_stream = sketches.tokens_of(_documents_file_stream(s, sf_dir))
     cells = sketches.cms_cells(toks_stream, depth=4, width=256)
     q = ingest.run_available_now(cells, tempfile.mkdtemp(), queue_name="stream_cms")
     q.awaitTermination()
@@ -88,15 +92,7 @@ def streaming_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame
     from nbi_oedi_etl_spark.streaming import ingest
 
     s = ingest.scoped_streaming_session(spark)
-    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        s.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    toks_stream = stream.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
-    ).where(F.col("tok") != "")
+    toks_stream = sketches.tokens_of(_documents_file_stream(s, sf_dir))
     regs = sketches.hll_registers(toks_stream, m=64)
     q = ingest.run_available_now(regs, tempfile.mkdtemp(), queue_name="stream_hll")
     q.awaitTermination()
@@ -124,56 +120,16 @@ def hll_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one exploded-token shuffle into (source, j) register maxima
     (map-side partials collapse to |groups|·m rows per task); the
-    grid-fill join and the fold run on the |groups|·m aggregate."""
-    from nbi_oedi_etl_spark.operators.sketches import _portable_hash
+    grid-fill join and the fold run on the |groups|·m aggregate.
+    Implementation: the SAME hll_registers/hll_decode as the global and
+    streaming variants, parameterized by group column — one sketch
+    implementation, three deployment shapes."""
+    from nbi_oedi_etl_spark.operators import sketches
 
-    m = 64
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
-    ).where(F.col("tok") != "")
-    h = _portable_hash(F.col("tok"), hex_chars=15)
-    base = toks.select(
-        "source",
-        (h % m).alias("j"),
-        F.shiftright(h, 6).alias("w"),
-    ).select(
-        "source",
-        "j",
-        F.when(F.col("w") == 0, F.lit(55))
-        .otherwise(F.lit(55) - F.length(F.bin(F.col("w"))))
-        .alias("rho"),
-    )
-    regs = base.groupBy("source", "j").agg(F.max("rho").alias("reg"))
-    grid = (
-        docs.select("source").distinct()
-        .crossJoin(spark.range(m).withColumnRenamed("id", "j"))
-        .join(regs, ["source", "j"], "left")
-        .select("source", "j", F.coalesce("reg", F.lit(0)).alias("reg"))
-    )
-    packed = grid.groupBy("source").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "reg"))), lambda x: x["reg"]
-        ).alias("regs")
-    )
-    raw = (F.lit(0.709 * m * m)) / F.aggregate(
-        F.transform(F.col("regs"), lambda r: F.pow(F.lit(2.0), -r)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    v_empty = F.size(F.filter(F.col("regs"), lambda r: r == 0))
-    est = F.when(
-        (raw <= 2.5 * m) & (v_empty > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
-    ).otherwise(raw)
-    estimates = packed.select(
-        "source", F.round(est).cast("bigint").alias("hll_estimate")
-    )
-    truth = toks.groupBy("source").agg(
-        F.count_distinct("tok").alias("true_distinct")
-    )
-    return truth.join(estimates, "source").select(
+    toks = sketches.tokens_of(docs, keep_cols=("source",))
+    regs = sketches.hll_registers(toks, m=64, group_cols=("source",))
+    return sketches.hll_decode(toks, regs, m=64, group_cols=("source",)).select(
         "source", "true_distinct", "hll_estimate"
     )
 
