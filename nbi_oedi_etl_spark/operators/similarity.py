@@ -276,6 +276,16 @@ def ivf_topk(
         .limit(n_cells)
         .collect()
     )
+    if not cent_rows:  # empty corpus → no cells, no candidates
+        return (
+            corpus.select(
+                F.col(id_col).alias("query_id"),
+                F.col(id_col).alias("vec_id"),
+                F.lit(0.0).alias("cos_sim"),
+                F.lit(0).alias("rank"),
+            )
+            .where(F.lit(False))
+        )
     cent = np.asarray([r["v"] for r in cent_rows], dtype=np.float64)
     cent_unit = (cent / np.linalg.norm(cent, axis=1, keepdims=True)).T  # dim×cells
 

@@ -529,9 +529,16 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click_after_view",
         "n_purchase_after_click",
-        F.round(F.col("n_view") * F.lit(1.0) / F.col("n_users"), 6).alias("view_rate"),
+        # try_divide: NULL (not an ANSI error) on an empty event stream;
+        # identical to `/` whenever the funnel has any users
         F.round(
-            F.col("n_purchase_after_click") * F.lit(1.0) / F.col("n_view"), 6
+            F.try_divide(F.col("n_view") * F.lit(1.0), F.col("n_users")), 6
+        ).alias("view_rate"),
+        F.round(
+            F.try_divide(
+                F.col("n_purchase_after_click") * F.lit(1.0), F.col("n_view")
+            ),
+            6,
         ).alias("funnel_rate"),
     )
 

@@ -505,7 +505,9 @@ def embedding_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nbi_oedi_etl_spark.operators import similarity
 
     emb = read_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    first = emb.select("embedding").first()
+    # empty corpus → any plane width works; the pipeline yields no pairs
+    dim = len(first[0]) if first is not None and first[0] is not None else 1
 
     def _sign(p: int, d: int) -> float:
         h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()

@@ -1,0 +1,55 @@
+"""Empty-input robustness: queries must degrade to empty/NULL results on
+a 0-row dataset, never throw (ANSI divide-by-zero, None-subscript, and
+empty-numpy-axis errors were all found and fixed by the full 157-query
+empty sweep; this pins the three fixed sites plus one representative per
+operator family — the full sweep lives in the session log, rerunnable via
+the same recipe).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+
+from nbi_oedi_etl_spark import workload
+
+_REPRESENTATIVES = [
+    # the three formerly-failing sites
+    "event_funnel_conversion",      # ANSI DIVIDE_BY_ZERO on n_users=0
+    "embedding_ann_portable",       # first() is None on empty corpus
+    "embedding_ivf_topk",           # numpy axis error on empty centroid sample
+    # one per family
+    "flagship_hourly_resample",
+    "pricing_summary",
+    "q9_profit_by_nation_year",
+    "exact_dedup_docs",
+    "minhash_lsh_portable",
+    "doc_tfidf_top_terms",
+    "char_bigram_lm_score",
+    "nation_trade_pagerank",
+    "scd1_merge_orders",
+    "data_quality_report",
+    "quantile_sketch_order_price",
+    "hll_tokens_by_source",
+    "copurchase_triangles",
+    "weighted_reservoir_docs",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir() -> str:
+    src = "/root/testdata/sf0.001"
+    d = tempfile.mkdtemp(prefix="empty_sf_")
+    for p in glob.glob(src + "/*.parquet"):
+        pq.write_table(pq.read_table(p).slice(0, 0), os.path.join(d, os.path.basename(p)))
+    return d
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVES)
+def test_query_survives_empty_input(spark, empty_sf_dir, name):
+    rows = workload.queries()[name](spark, empty_sf_dir).collect()
+    assert isinstance(rows, list)  # empty or NULL-rowed results are both fine
