@@ -1686,14 +1686,15 @@ except ImportError:
     _HAS_PROTOBUF = False
 
 SPECS: list[QuerySpec] = [
-    # ---- rotation (round 4): external correctness runs verify a PREFIX of
-    # this list (50 entries). Rounds 1-3 hash-verified 107 distinct oracled
-    # specs (CORRECTNESS_r01/r02/r03 — evidence banked). This round the 18
-    # never-externally-verified oracled specs lead (round-3 ext5/ext6
-    # additions + function-surface suites), followed by the repaired
-    # order_rollup_per_customer (the sole red r3 row — its raw array column
-    # is now dropped) and the new round-4 specs. Banked specs fill the rest
-    # of the window; rows-only last.
+    # ---- rotation (round 4 final): external correctness runs verify a
+    # PREFIX of this list (50 entries). Rounds 1-3 hash-verified 107
+    # distinct oracled specs (evidence banked in CORRECTNESS_r01/02/03).
+    # The window now holds the 48 never-externally-verified oracled specs
+    # (18 round-3 leftovers + the repaired order_rollup_per_customer + the
+    # round-4 additions through copurchase_triangles) with 2 banked
+    # streaming specs at the margin. Round-4 specs past position 50
+    # (embedding_ivf_portable, ann_recall_portable, …) are locally
+    # parity-gated and rotate into the window next round. Rows-only last.
     QuerySpec("cross_source_contamination", ext6.cross_source_contamination, ext6.CONTAMINATION_ORACLE),
     QuerySpec("user_event_sequences", ext6.user_event_sequences, ext6.EVENT_SEQUENCES_ORACLE),
     QuerySpec("weighted_mixture_sample", ext6.weighted_mixture_sample, ext6.MIXTURE_SAMPLE_ORACLE),
