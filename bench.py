@@ -123,6 +123,8 @@ HEADLINE = [
     "copurchase_triangles",
     "embedding_ivf_portable",
     "ann_recall_portable",
+    "event_type_markov",
+    "lang_confusion_matrix",
 ]
 
 

@@ -395,3 +395,112 @@ WITH daily AS (
 SELECT event_type, day, daily_value, z_score
 FROM scored WHERE abs(z_score) > 2.0
 """
+
+
+# ------------------------------------ event-type Markov transitions
+
+def event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next type | current type), the behavioral-model staple
+    (funnel generalization — every pairwise flow, not one hand-picked
+    path). Probabilities are integer-count ratios, deterministic in
+    double, rounded to 6.
+
+    Plan: one user-keyed window shuffle builds the lagged pairs; the
+    transition aggregate runs on the |types|² key space (map-side
+    partials collapse immediately); row probabilities come from one
+    window over that tiny table."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"), "event_type"
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+EVENT_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+"""
+
+
+# ---------------------------------- language-ID confusion matrix
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language guesser against the
+    labeled lang column — the model-evaluation pass a curation pipeline
+    runs before trusting a classifier's keep/drop decisions. Cells carry
+    counts and the per-truth-label fraction.
+
+    Plan: the guesser is a narrow map (stopword-hit counts per row); the
+    confusion aggregate shuffles the |langs|² key space only."""
+    from nbi_oedi_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    # with_lang_guess projects to (doc_id, hits_*, lang_guess); rejoin the
+    # labeled truth column on the key
+    guessed = text_ops.with_lang_guess(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    cells = guessed.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(tot), 6).alias("frac"),
+    )
+
+
+LANG_CONFUSION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS INTEGER) AS hits_en,
+    CAST(len(list_filter(toks, x -> x IN ('der','und','die','das','ist'))) AS INTEGER) AS hits_de,
+    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS INTEGER) AS hits_es,
+    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS INTEGER) AS hits_fr
+  FROM t
+), g AS (
+  SELECT lang,
+       CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+            WHEN hits_es >= hits_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess
+  FROM h
+), cells AS (
+  SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY lang, lang_guess
+)
+SELECT lang, lang_guess, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6) AS frac
+FROM cells
+"""
