@@ -125,6 +125,7 @@ HEADLINE = [
     "ann_recall_portable",
     "event_type_markov",
     "lang_confusion_matrix",
+    "kmeans_lloyd_3iter",
 ]
 
 

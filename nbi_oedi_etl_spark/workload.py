@@ -1761,6 +1761,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ann_recall_portable", ext10.ann_recall_portable, ext10.ANN_RECALL_ORACLE),
     QuerySpec("event_type_markov", ext10.event_type_markov, ext10.EVENT_MARKOV_ORACLE),
     QuerySpec("lang_confusion_matrix", ext10.lang_confusion_matrix, ext10.LANG_CONFUSION_ORACLE),
+    QuerySpec("kmeans_lloyd_3iter", ext10.kmeans_lloyd_3iter, ext10.KMEANS_LLOYD_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -504,3 +504,120 @@ SELECT lang, lang_guess, n,
        round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6) AS frac
 FROM cells
 """
+
+
+# --------------------------------- full Lloyd k-means (3 iterations)
+
+_LLOYD_K = 4
+_LLOYD_ITERS = 3
+
+
+def kmeans_lloyd_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Lloyd k-means, 3 unrolled iterations (assign → update →
+    assign → update → assign), every stage cross-engine exact — the
+    iterative-ML-training pattern on Spark, end-to-end oracle-checked
+    (kmeans_assign_embeddings proves one step; this proves the LOOP,
+    including the centroid-update arithmetic).
+
+    Exactness: the update step's per-dimension mean goes through
+    DECIMAL(18,9) sums (order-independent) with one deterministic double
+    division; assignment distances on the resulting double centroids use
+    the fold already proven bit-equal to DuckDB's list_distance.
+
+    Plan/scale: assignment is broadcast-centroid argmin (corpus never
+    shuffles); the update is one (centroid, dim)-keyed aggregate —
+    k×dim cells, map-side partials. Between iterations the k×dim
+    centroid table is collected to the driver and re-broadcast as
+    literals (bounded O(k·dim) driver state, the same posture as the IVF
+    codebook) which truncates the lineage — without it each broadcast
+    re-derives every earlier iteration."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from nbi_oedi_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = e.where(F.col("vec_id") < _LLOYD_K).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    schema = StructType(
+        [
+            StructField("centroid_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    for it in range(_LLOYD_ITERS):
+        assign = similarity.kmeans_assignment_step(e, cents)
+        if it == _LLOYD_ITERS - 1:
+            return assign
+        members = assign.select("vec_id", "centroid_id").join(e, "vec_id")
+        dims = members.select(
+            "centroid_id",
+            F.posexplode("embedding").alias("d", "val"),
+        )
+        means = (
+            dims.groupBy("centroid_id", "d")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean")
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "mean"))),
+                    lambda x: x["mean"],
+                ).alias("embedding")
+            )
+        )
+        rows = [(r["centroid_id"], list(r["embedding"])) for r in means.collect()]
+        cents = spark.createDataFrame(rows, schema)
+    raise AssertionError("unreachable")
+
+
+_LLOYD_UPDATE_SQL = """
+  SELECT centroid_id, list(m ORDER BY d) AS c_emb FROM (
+    SELECT centroid_id, d,
+           CAST(sum(CAST(emb[d] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM (
+      SELECT a.centroid_id, e.emb,
+             unnest(range(1, len(e.emb) + 1)) AS d
+      FROM {assign} a JOIN e ON e.vec_id = a.vec_id
+    )
+    GROUP BY centroid_id, d
+  ) GROUP BY centroid_id
+"""
+
+_LLOYD_ASSIGN_SQL = """
+  SELECT vec_id, centroid_id, dist FROM (
+    SELECT e.vec_id, c.centroid_id, list_distance(e.emb, c.c_emb) AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.emb, c.c_emb),
+                                       c.centroid_id) AS rn
+    FROM e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+"""
+
+KMEANS_LLOYD_ORACLE = (
+    """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 4
+), a0 AS ("""
+    + _LLOYD_ASSIGN_SQL.format(cents="c0")
+    + """), c1 AS ("""
+    + _LLOYD_UPDATE_SQL.format(assign="a0")
+    + """), a1 AS ("""
+    + _LLOYD_ASSIGN_SQL.format(cents="c1")
+    + """), c2 AS ("""
+    + _LLOYD_UPDATE_SQL.format(assign="a1")
+    + """), a2 AS ("""
+    + _LLOYD_ASSIGN_SQL.format(cents="c2")
+    + """)
+SELECT vec_id, centroid_id, round(dist, 6) AS distance FROM a2
+"""
+)
