@@ -1676,6 +1676,7 @@ from nbi_oedi_etl_spark import workload_ext7 as ext7
 from nbi_oedi_etl_spark import workload_ext8 as ext8
 from nbi_oedi_etl_spark import workload_ext9 as ext9
 from nbi_oedi_etl_spark import workload_ext10 as ext10
+from nbi_oedi_etl_spark import workload_ext11 as ext11
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1762,6 +1763,14 @@ SPECS: list[QuerySpec] = [
     QuerySpec("event_type_markov", ext10.event_type_markov, ext10.EVENT_MARKOV_ORACLE),
     QuerySpec("lang_confusion_matrix", ext10.lang_confusion_matrix, ext10.LANG_CONFUSION_ORACLE),
     QuerySpec("kmeans_lloyd_3iter", ext10.kmeans_lloyd_3iter, ext10.KMEANS_LLOYD_ORACLE),
+    # wave 5 (workload_ext11): stream-static join, interval islands,
+    # k-core, KMV sketch set-ops, covariance matrix, lexical diversity
+    QuerySpec("streaming_static_enrichment", ext11.streaming_static_enrichment, ext11.STATIC_ENRICHMENT_ORACLE),
+    QuerySpec("supplier_busy_intervals", ext11.supplier_busy_intervals, ext11.BUSY_INTERVALS_ORACLE),
+    QuerySpec("copurchase_kcore", ext11.copurchase_kcore, ext11.KCORE_ORACLE),
+    QuerySpec("kmv_source_overlap", ext11.kmv_source_overlap, ext11.KMV_OVERLAP_ORACLE),
+    QuerySpec("embedding_covariance", ext11.embedding_covariance, ext11.EMBEDDING_COVARIANCE_ORACLE),
+    QuerySpec("doc_lexical_diversity", ext11.doc_lexical_diversity, ext11.LEXICAL_DIVERSITY_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -626,3 +626,59 @@ def test_grouped_hll_register_aggregate_shape(spark):
     df = _plan(spark, "hll_tokens_by_source")
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert "partial_max" in plan
+
+
+def test_busy_intervals_single_suppkey_exchange(spark):
+    """supplier_busy_intervals: the island flag window, the island-id
+    cumsum, the per-island aggregate and the per-supplier aggregate must
+    all ride ONE hash(l_suppkey) exchange — the property that makes the
+    interval merge a single-shuffle operator at 100 TB."""
+    import re
+
+    df = _plan(spark, "supplier_busy_intervals")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1, exchanges
+    assert "l_suppkey" in exchanges[0]
+    assert "Join" not in plan
+
+
+def test_covariance_explodes_in_row_no_join_shuffle(spark):
+    """embedding_covariance: the dim² expansion must happen WITHIN each
+    row (chained generators), never via a self-join on vec_id — the
+    corpus must not shuffle; the only wide stages are the (i, j) cell
+    aggregate and the broadcast diagonal joins."""
+    df = _plan(spark, "embedding_covariance")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    # every hash exchange is keyed on the (i, j) cell ids, not vec_id
+    import re
+
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "vec_id" not in keys, keys
+
+
+def test_kmv_sketches_are_rank_limited(spark):
+    """kmv_source_overlap: both bottom-k selections (per-source sketch,
+    merged-pair union) must run as WindowGroupLimit (rank-limit pushdown)
+    so only k rows per group survive the sort, and the corpus-scale side
+    must collapse via partial aggregation before any pairwise work."""
+    df = _plan(spark, "kmv_source_overlap")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
+    assert "partial_" in plan
+
+
+def test_lexical_diversity_nested_aggregate_partitioning(spark):
+    """doc_lexical_diversity: the (doc_id, tok) frequency aggregate and
+    the per-doc rollup must be the ONLY two exchanges, the second keyed
+    on a subset of the first (hash(doc_id, tok) → hash(doc_id))."""
+    import re
+
+    df = _plan(spark, "doc_lexical_diversity")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 2, exchanges
+    assert all("doc_id" in e for e in exchanges)
