@@ -1677,6 +1677,7 @@ from nbi_oedi_etl_spark import workload_ext8 as ext8
 from nbi_oedi_etl_spark import workload_ext9 as ext9
 from nbi_oedi_etl_spark import workload_ext10 as ext10
 from nbi_oedi_etl_spark import workload_ext11 as ext11
+from nbi_oedi_etl_spark import workload_ext12 as ext12
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1771,6 +1772,16 @@ SPECS: list[QuerySpec] = [
     QuerySpec("kmv_source_overlap", ext11.kmv_source_overlap, ext11.KMV_OVERLAP_ORACLE),
     QuerySpec("embedding_covariance", ext11.embedding_covariance, ext11.EMBEDDING_COVARIANCE_ORACLE),
     QuerySpec("doc_lexical_diversity", ext11.doc_lexical_diversity, ext11.LEXICAL_DIVERSITY_ORACLE),
+    # wave 6 (workload_ext12): sparse-vector similarity join, winnowing
+    # fingerprints, SemDeDup, PMI collocations, KL drift audit, k-fold
+    # splits, dup-cluster monitoring
+    QuerySpec("doc_sparse_cosine_pairs", ext12.doc_sparse_cosine_pairs, ext12.SPARSE_COSINE_ORACLE),
+    QuerySpec("winnowing_fingerprints", ext12.winnowing_fingerprints, ext12.WINNOWING_ORACLE),
+    QuerySpec("semantic_dedup_cells", ext12.semantic_dedup_cells, ext12.SEMANTIC_DEDUP_ORACLE),
+    QuerySpec("token_pmi_bigrams", ext12.token_pmi_bigrams, ext12.TOKEN_PMI_ORACLE),
+    QuerySpec("source_lang_kl_drift", ext12.source_lang_kl_drift, ext12.SOURCE_KL_ORACLE),
+    QuerySpec("kfold_assignment", ext12.kfold_assignment, ext12.KFOLD_ORACLE),
+    QuerySpec("dup_cluster_size_histogram", ext12.dup_cluster_size_histogram, ext12.DUP_SIZE_HISTOGRAM_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -682,3 +682,50 @@ def test_lexical_diversity_nested_aggregate_partitioning(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(exchanges) == 2, exchanges
     assert all("doc_id" in e for e in exchanges)
+
+
+def test_sparse_cosine_df_pruned_broadcast_index(spark):
+    """doc_sparse_cosine_pairs: the df-pruned vocabulary must BROADCAST
+    onto the tf table (|kept vocab| rows, never a corpus shuffle to apply
+    the cut), and the pair dot-products must collapse through partial
+    aggregation before the (doc_a, doc_b) exchange."""
+    df = _plan(spark, "doc_sparse_cosine_pairs")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert has_broadcast_join(df)
+    assert "partial_" in plan
+
+
+def test_winnowing_single_doc_sort_reused(spark):
+    """winnowing_fingerprints: the k-gram build (4 leads), the rolling
+    minimum, and the per-doc aggregate all key on doc_id — ONE exchange,
+    ONE sort, no second corpus scan and no unbounded-frame second window
+    pass (n_grams rides as a precomputed int column)."""
+    import re
+
+    df = _plan(spark, "winnowing_fingerprints")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("doc_id" in e for e in exchanges), exchanges
+    sorts = plan.count("Sort [doc_id")
+    assert sorts <= 1, f"doc-partition sort should be paid once, saw {sorts}"
+
+
+def test_semantic_dedup_broadcast_centroids_cell_join(spark):
+    """semantic_dedup_cells: centroid assignment must be a broadcast
+    argmin (corpus never shuffles for it) and the pair search must join
+    ON the cell id — the SemDeDup bound — not cross-join the corpus."""
+    df = _plan(spark, "semantic_dedup_cells")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_kfold_map_only_tag_single_exchange(spark):
+    """kfold_assignment: the fold tag is a map-side expression; the only
+    exchange is the (fold, source) aggregate."""
+    import re
+
+    df = _plan(spark, "kfold_assignment")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(exchanges) == 1, plan.count("Exchange")
