@@ -197,9 +197,9 @@ WITH iv AS (
   FROM numbered GROUP BY 1, 2
 )
 SELECT l_suppkey,
-       sum(n) AS n_intervals,
+       CAST(sum(n) AS BIGINT) AS n_intervals,
        count(*) AS n_islands,
-       sum(e - s + 1) AS covered_days,
+       CAST(sum(e - s + 1) AS BIGINT) AS covered_days,
        max(e - s + 1) AS longest_island_days
 FROM islands GROUP BY 1
 """
@@ -633,9 +633,9 @@ WITH toks AS (
   SELECT doc_id, tok, count(*) AS f FROM t GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(f) AS n_tokens,
+       CAST(sum(f) AS BIGINT) AS n_tokens,
        count(*) AS n_types,
-       sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n_hapax,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
        round(count(*) * 1.0 / sum(f), 6) AS ttr,
        round(sum(f * length(tok)) * 1.0 / sum(f), 6) AS mean_tok_len
 FROM freq GROUP BY doc_id

@@ -369,7 +369,11 @@ def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ua = uni.select(F.col("tok").alias("tok_a"), ln9(F.col("c")).alias("ln_cx"))
     ub = uni.select(F.col("tok").alias("tok_b"), ln9(F.col("c")).alias("ln_cy"))
-    ln_t = F.lit(round(__import__("math").log(t_total), 9)).cast("decimal(18,9)")
+    # max(1): on an empty corpus no row survives, but the literal is
+    # evaluated at plan-build time — ln(0) would raise driver-side
+    ln_t = F.lit(round(__import__("math").log(max(t_total, 1)), 9)).cast(
+        "decimal(18,9)"
+    )
     return (
         bg.where(F.col("c_xy") >= 10)
         .join(F.broadcast(ua), "tok_a")
@@ -448,7 +452,10 @@ def source_lang_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ln9(col):
         return F.round(F.log(col.cast("double")), 9).cast("decimal(18,9)")
 
-    ln_n = F.lit(round(__import__("math").log(n_total), 9)).cast("decimal(18,9)")
+    # max(1): plan-build-time literal; ln(0) would raise on empty input
+    ln_n = F.lit(round(__import__("math").log(max(n_total, 1)), 9)).cast(
+        "decimal(18,9)"
+    )
     terms = (
         sl.join(F.broadcast(s), "source")
         .join(F.broadcast(l), "lang")
@@ -485,7 +492,7 @@ WITH sl AS (
            ) AS term
   FROM sl JOIN s USING (source) JOIN l USING (lang)
 )
-SELECT source, n_s AS n_docs,
+SELECT source, CAST(n_s AS BIGINT) AS n_docs,
        round(CAST(sum(term) AS DOUBLE) / n_s, 6) AS kl_divergence
 FROM terms GROUP BY source, n_s
 """
@@ -522,7 +529,7 @@ def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KFOLD_ORACLE = """
 SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold,
-       source, count(*) AS n_docs, sum(n_chars) AS total_chars
+       source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """

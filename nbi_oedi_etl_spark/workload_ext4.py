@@ -687,7 +687,7 @@ SELECT event_type,
        count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
        min(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_min,
        max(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max,
-       sum(CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS BIGINT)) AS k_sum
+       CAST(sum(CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS BIGINT)) AS BIGINT) AS k_sum
 FROM events
 GROUP BY event_type
 """

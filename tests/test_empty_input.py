@@ -37,6 +37,12 @@ _REPRESENTATIVES = [
     "hll_tokens_by_source",
     "copurchase_triangles",
     "weighted_reservoir_docs",
+    # wave 6: plan-build-time ln(count) literals are the hazard class
+    "doc_sparse_cosine_pairs",
+    "winnowing_fingerprints",
+    "token_pmi_bigrams",
+    "source_lang_kl_drift",
+    "semantic_dedup_cells",
 ]
 
 
