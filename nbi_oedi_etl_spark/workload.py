@@ -1678,6 +1678,7 @@ from nbi_oedi_etl_spark import workload_ext9 as ext9
 from nbi_oedi_etl_spark import workload_ext10 as ext10
 from nbi_oedi_etl_spark import workload_ext11 as ext11
 from nbi_oedi_etl_spark import workload_ext12 as ext12
+from nbi_oedi_etl_spark import workload_ext13 as ext13
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1782,6 +1783,14 @@ SPECS: list[QuerySpec] = [
     QuerySpec("source_lang_kl_drift", ext12.source_lang_kl_drift, ext12.SOURCE_KL_ORACLE),
     QuerySpec("kfold_assignment", ext12.kfold_assignment, ext12.KFOLD_ORACLE),
     QuerySpec("dup_cluster_size_histogram", ext12.dup_cluster_size_histogram, ext12.DUP_SIZE_HISTOGRAM_ORACLE),
+    # wave 7 (workload_ext13): bin-bucketed range self-join, sorted-
+    # neighborhood ER, streaming session_window, median/MAD robust
+    # outliers, MinHash estimator-error audit
+    QuerySpec("rapid_reorder_pairs", ext13.rapid_reorder_pairs, ext13.RAPID_REORDER_ORACLE),
+    QuerySpec("part_name_sorted_neighborhood", ext13.part_name_sorted_neighborhood, ext13.SORTED_NEIGHBORHOOD_ORACLE),
+    QuerySpec("streaming_session_window_stats", ext13.streaming_session_window_stats, ext9.SESSION_WINDOW_ORACLE),
+    QuerySpec("event_value_mad_outliers", ext13.event_value_mad_outliers, ext13.MAD_OUTLIERS_ORACLE),
+    QuerySpec("minhash_estimator_audit", ext13.minhash_estimator_audit, ext13.MINHASH_AUDIT_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -478,9 +478,11 @@ FROM documents
 """
 
 
-def _portable_minhash_pairs(docs: DataFrame) -> DataFrame:
-    """Candidate-pair core of :func:`minhash_lsh_portable` (shared with the
-    portable cluster query)."""
+def _portable_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc 8-seed portable MinHash signature (columns m0..m7) — the
+    signature stage of :func:`_portable_minhash_pairs`, exposed so the
+    estimator-quality audit (workload_ext13) can compare signature
+    agreement against exact Jaccard on the same hash family."""
     t = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
@@ -509,7 +511,13 @@ def _portable_minhash_pairs(docs: DataFrame) -> DataFrame:
         ).alias(f"m{seed}")
         for seed in range(8)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _portable_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate-pair core of :func:`minhash_lsh_portable` (shared with the
+    portable cluster query)."""
+    sig = _portable_signatures(docs)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -729,3 +729,31 @@ def test_kfold_map_only_tag_single_exchange(spark):
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     exchanges = re.findall(r"Exchange hashpartitioning", plan)
     assert len(exchanges) == 1, plan.count("Exchange")
+
+
+def test_rapid_reorder_bucketed_equi_join_no_cartesian(spark):
+    """rapid_reorder_pairs: the 7-day range predicate must execute as a
+    bucketed EQUI-join on (custkey, bucket) — never a per-customer
+    nested-loop/cartesian expansion."""
+    df = _plan(spark, "rapid_reorder_pairs")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_block_partitioned_rank(spark):
+    """part_name_sorted_neighborhood: ranking must partition by the
+    block key — NEVER a global single-partition sort — and the neighbor
+    join must be an equi-join (no nested loop)."""
+    df = _plan(spark, "part_name_sorted_neighborhood")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_outliers_broadcast_stats_back(spark):
+    """event_value_mad_outliers: the per-type median/MAD tables (≤ |event
+    types| rows) must broadcast back onto the fact side."""
+    df = _plan(spark, "event_value_mad_outliers")
+    assert has_broadcast_join(df)
