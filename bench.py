@@ -126,6 +126,23 @@ HEADLINE = [
     "event_type_markov",
     "lang_confusion_matrix",
     "kmeans_lloyd_3iter",
+    # round-4 wave 5 (workload_ext11.py)
+    "supplier_busy_intervals",
+    "copurchase_kcore",
+    "kmv_source_overlap",
+    "embedding_covariance",
+    "doc_lexical_diversity",
+    # round-4 wave 6 (workload_ext12.py)
+    "doc_sparse_cosine_pairs",
+    "winnowing_fingerprints",
+    "semantic_dedup_cells",
+    "token_pmi_bigrams",
+    "dup_cluster_size_histogram",
+    # round-4 wave 7 (workload_ext13.py)
+    "rapid_reorder_pairs",
+    "part_name_sorted_neighborhood",
+    "event_value_mad_outliers",
+    "minhash_estimator_audit",
 ]
 
 
