@@ -1679,6 +1679,7 @@ from nbi_oedi_etl_spark import workload_ext10 as ext10
 from nbi_oedi_etl_spark import workload_ext11 as ext11
 from nbi_oedi_etl_spark import workload_ext12 as ext12
 from nbi_oedi_etl_spark import workload_ext13 as ext13
+from nbi_oedi_etl_spark import workload_ext14 as ext14
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1791,6 +1792,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("streaming_session_window_stats", ext13.streaming_session_window_stats, ext9.SESSION_WINDOW_ORACLE),
     QuerySpec("event_value_mad_outliers", ext13.event_value_mad_outliers, ext13.MAD_OUTLIERS_ORACLE),
     QuerySpec("minhash_estimator_audit", ext13.minhash_estimator_audit, ext13.MINHASH_AUDIT_ORACLE),
+    # wave 8 (workload_ext14): entropy quality signal, burstiness,
+    # BM25 search execution, DAU/WAU engagement rollup
+    QuerySpec("doc_token_entropy", ext14.doc_token_entropy, ext14.TOKEN_ENTROPY_ORACLE),
+    QuerySpec("user_interarrival_stats", ext14.user_interarrival_stats, ext14.INTERARRIVAL_ORACLE),
+    QuerySpec("bm25_search_ranking", ext14.bm25_search_ranking, ext14.BM25_SEARCH_ORACLE),
+    QuerySpec("daily_active_wau", ext14.daily_active_wau, ext14.DAU_WAU_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
