@@ -143,6 +143,11 @@ HEADLINE = [
     "part_name_sorted_neighborhood",
     "event_value_mad_outliers",
     "minhash_estimator_audit",
+    # round-4 wave 8 (workload_ext14.py)
+    "doc_token_entropy",
+    "user_interarrival_stats",
+    "bm25_search_ranking",
+    "daily_active_wau",
 ]
 
 

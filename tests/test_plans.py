@@ -760,3 +760,36 @@ def test_mad_outliers_broadcast_stats_back(spark):
     types| rows) must broadcast back onto the fact side."""
     df = _plan(spark, "event_value_mad_outliers")
     assert has_broadcast_join(df)
+
+
+def test_entropy_nested_key_aggregates_single_shuffle(spark):
+    """doc_token_entropy: the (doc_id, term) count and the per-doc rollup
+    key on doc_id-prefixed keys — the corpus pays the doc_id exchange
+    once; no joins."""
+    import re
+
+    df = _plan(spark, "doc_token_entropy")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("doc_id" in e for e in exchanges), exchanges
+    assert "Join" not in plan
+
+
+def test_bm25_search_prunes_before_joins_takeordered_topk(spark):
+    """bm25_search_ranking: the query-term filter must prune postings
+    BEFORE the dl/df joins, scalars broadcast, and the top-20 must be
+    TakeOrderedAndProject — never a global sort."""
+    df = _plan(spark, "bm25_search_ranking")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df)
+
+
+def test_dau_wau_bin_claim_no_range_self_join(spark):
+    """daily_active_wau: WAU must come from the bin-claim explode (each
+    active day claims 7 targets) — no nested-loop range self-join."""
+    df = _plan(spark, "daily_active_wau")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the 7-day claim explode
