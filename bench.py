@@ -148,6 +148,11 @@ HEADLINE = [
     "user_interarrival_stats",
     "bm25_search_ranking",
     "daily_active_wau",
+    # round-4 wave 9 (workload_ext15.py)
+    "event_value_psi_drift",
+    "table_content_digest",
+    "session_event_trigrams",
+    "near_dup_source_modularity",
 ]
 
 

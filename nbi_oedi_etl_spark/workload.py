@@ -1680,6 +1680,7 @@ from nbi_oedi_etl_spark import workload_ext11 as ext11
 from nbi_oedi_etl_spark import workload_ext12 as ext12
 from nbi_oedi_etl_spark import workload_ext13 as ext13
 from nbi_oedi_etl_spark import workload_ext14 as ext14
+from nbi_oedi_etl_spark import workload_ext15 as ext15
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1798,6 +1799,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("user_interarrival_stats", ext14.user_interarrival_stats, ext14.INTERARRIVAL_ORACLE),
     QuerySpec("bm25_search_ranking", ext14.bm25_search_ranking, ext14.BM25_SEARCH_ORACLE),
     QuerySpec("daily_active_wau", ext14.daily_active_wau, ext14.DAU_WAU_ORACLE),
+    # wave 9 (workload_ext15): PSI drift, content digest, session
+    # trigram mining, source-partition modularity
+    QuerySpec("event_value_psi_drift", ext15.event_value_psi_drift, ext15.PSI_DRIFT_ORACLE),
+    QuerySpec("table_content_digest", ext15.table_content_digest, ext15.CONTENT_DIGEST_ORACLE),
+    QuerySpec("session_event_trigrams", ext15.session_event_trigrams, ext15.SESSION_TRIGRAMS_ORACLE),
+    QuerySpec("near_dup_source_modularity", ext15.near_dup_source_modularity, ext15.SOURCE_MODULARITY_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -793,3 +793,35 @@ def test_dau_wau_bin_claim_no_range_self_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan  # the 7-day claim explode
+
+
+def test_psi_constant_sized_downstream(spark):
+    """event_value_psi_drift: one corpus aggregate; everything after the
+    (bucket) counts is constant-sized (≤ 20 rows) — the totals must
+    broadcast, never shuffle the counts again by a new key."""
+    df = _plan(spark, "event_value_psi_drift")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan
+
+
+def test_content_digest_single_aggregate_no_sort(spark):
+    """table_content_digest: map-side hash + ONE grouped aggregate; an
+    order-free digest must not introduce any Sort."""
+    import re
+
+    df = _plan(spark, "table_content_digest")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Sort " not in plan
+
+
+def test_session_trigrams_single_user_exchange(spark):
+    """session_event_trigrams: gap lag, session cumsum, and trigram leads
+    all sort within the user partitioning — exactly one user-keyed
+    exchange before the final (e1,e2,e3) aggregate."""
+    import re
+
+    df = _plan(spark, "session_event_trigrams")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    user_ex = [e for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan) if "user_id" in e]
+    assert len(user_ex) == 1, user_ex
