@@ -153,6 +153,8 @@ HEADLINE = [
     "table_content_digest",
     "session_event_trigrams",
     "near_dup_source_modularity",
+    # round-4 wave 10 (workload_ext16.py)
+    "resample_incremental_merge",
 ]
 
 

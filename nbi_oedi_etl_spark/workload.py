@@ -1681,6 +1681,7 @@ from nbi_oedi_etl_spark import workload_ext12 as ext12
 from nbi_oedi_etl_spark import workload_ext13 as ext13
 from nbi_oedi_etl_spark import workload_ext14 as ext14
 from nbi_oedi_etl_spark import workload_ext15 as ext15
+from nbi_oedi_etl_spark import workload_ext16 as ext16
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1805,6 +1806,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("table_content_digest", ext15.table_content_digest, ext15.CONTENT_DIGEST_ORACLE),
     QuerySpec("session_event_trigrams", ext15.session_event_trigrams, ext15.SESSION_TRIGRAMS_ORACLE),
     QuerySpec("near_dup_source_modularity", ext15.near_dup_source_modularity, ext15.SOURCE_MODULARITY_ORACLE),
+    # wave 10 (workload_ext16): composed ER pipeline, incremental MV merge
+    QuerySpec("part_golden_records", ext16.part_golden_records, ext16.GOLDEN_RECORDS_ORACLE),
+    QuerySpec("resample_incremental_merge", ext16.resample_incremental_merge, ext16.INCREMENTAL_MERGE_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -1,0 +1,198 @@
+"""Round-4 extension queries, wave 10: end-to-end entity resolution and
+algebraic materialized-view maintenance.
+
+- ``part_golden_records`` — the full ER pipeline in one query:
+  sorted-neighborhood candidate generation → edit-distance verification
+  → transitive closure → SURVIVORSHIP (golden-record selection per
+  entity cluster). Completes the record-linkage family: the candidate
+  generators (equality blocking, sorted neighborhood) and the closure
+  already exist as separate oracle-backed operators; this is the
+  composed pipeline a master-data system actually runs.
+- ``resample_incremental_merge`` — algebraic incremental maintenance of
+  the flagship hourly aggregate: partial aggregates from a BASE epoch
+  and a DELTA epoch merge by re-aggregating mergeable state (count,
+  sum, min) — and the oracle is the FULL recompute, proving
+  merge-equals-recompute. The batch counterpart of the streaming
+  foreachBatch accumulation, and the pattern behind every incremental
+  materialized view.
+
+Oracle convention identical to workload.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark.sources.parquet import read_table
+
+# ------------------------------------------------ ER golden records
+
+
+def part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names: sorted-neighborhood
+    candidates (per-block rank windows, offsets 1-2) → levenshtein ≤ 10
+    verification → iterative connected components → golden record per
+    entity cluster (survivorship rule: LONGEST name, ties to lowest
+    partkey — the richest-record heuristic of master-data survivorship).
+
+    Plan/scale: candidate volume is exactly 2·|parts| before
+    verification (the sorted-neighborhood bound); closure runs on the
+    verified edge set only (≪ parts); survivorship is one window over
+    cluster members. Every stage reuses operators proven separately
+    (part_name_sorted_neighborhood, connected_components) — this query
+    value-checks their COMPOSITION, like corpus_prep_pipeline does for
+    the curation chain.
+    """
+    from nbi_oedi_etl_spark.operators import dedup
+    from nbi_oedi_etl_spark.workload_ext13 import part_name_sorted_neighborhood
+
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    edges = part_name_sorted_neighborhood(spark, sf_dir).select(
+        F.col("partkey_a").alias("doc_id_a"), F.col("partkey_b").alias("doc_id_b")
+    )
+    # sorted-neighborhood edges form LONG CHAINS (rank-adjacent similar
+    # names), so min-label propagation's O(diameter) rounds under-merge;
+    # large-star/small-star converges in O(log diameter) — this is
+    # exactly the adversarial-chain case it exists for
+    comp = dedup.connected_components_star(edges)
+    members = comp.join(
+        p, comp["node"] == p["p_partkey"]
+    ).select("component", "p_partkey", "p_name")
+    w = Window.partitionBy("component").orderBy(
+        F.desc(F.length("p_name")), F.asc("p_partkey")
+    )
+    golden = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("p_partkey").alias("golden_partkey"),
+            F.col("p_name").alias("golden_name"),
+        )
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.where(F.col("cluster_size") > 1)
+        .join(golden, "component")
+        .select(
+            F.col("component").alias("canonical_partkey"),
+            "cluster_size",
+            "golden_partkey",
+            "golden_name",
+        )
+    )
+
+
+GOLDEN_RECORDS_ORACLE = """
+WITH RECURSIVE ranked AS (
+  SELECT p_partkey, p_name, substring(p_name, 1, 1) AS blk,
+         row_number() OVER (PARTITION BY substring(p_name, 1, 1)
+                            ORDER BY p_name, p_partkey) AS rnk
+  FROM part
+), pairs AS (
+  SELECT a.p_partkey AS u, b.p_partkey AS v
+  FROM ranked a
+  JOIN ranked b ON a.blk = b.blk AND b.rnk - a.rnk IN (1, 2)
+  WHERE levenshtein(a.p_name, b.p_name) <= 10
+), e AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+), comp AS (
+  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+), members AS (
+  SELECT c.component, p.p_partkey, p.p_name
+  FROM comp c JOIN part p ON p.p_partkey = c.node
+), golden AS (
+  SELECT component, p_partkey AS golden_partkey, p_name AS golden_name
+  FROM (
+    SELECT component, p_partkey, p_name,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY length(p_name) DESC, p_partkey ASC) AS rn
+    FROM members
+  ) WHERE rn = 1
+), sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT s.component AS canonical_partkey, s.cluster_size,
+       g.golden_partkey, g.golden_name
+FROM sizes s JOIN golden g USING (component)
+WHERE s.cluster_size > 1
+"""
+
+
+# --------------------------------- incremental aggregate maintenance
+
+
+def resample_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship hourly resample maintained INCREMENTALLY: partial
+    aggregate state (count, decimal sum, min) computed separately for a
+    base epoch (days ≤ Jan 15) and a delta epoch (the rest), then merged
+    by re-aggregating the mergeable state — count+count, sum+sum,
+    min(min). The oracle is the FULL single-pass recompute: algebraic
+    aggregates guarantee merge ≡ recompute, which is the contract behind
+    every incremental materialized view and the batch counterpart of the
+    streaming foreachBatch sketch accumulation.
+
+    Finalization (mean = sum/count) happens only AFTER the merge —
+    finalize-then-merge is the classic incremental-MV bug this query's
+    oracle would catch (a mean of means is not the mean).
+
+    Plan/scale: each epoch's partial agg prunes on the date predicate at
+    the scan; the merge aggregate runs over 2× the group cardinality,
+    not the corpus. At 100 TB the delta epoch is a day's partition and
+    the base state is a stored table — the recompute the oracle does is
+    exactly what incremental maintenance avoids.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+        "event_id",
+    )
+    cutoff = F.datediff(F.col("ts"), F.lit("1970-01-01")) <= F.lit(19737)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("ts_hour")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("vsum"),
+            F.min("event_id").alias("mineid"),
+        )
+
+    base = partial(ev.where(cutoff))
+    delta = partial(ev.where(~cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id", "ts_hour")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("vsum").alias("vsum"),
+            F.min("mineid").alias("event_id_min"),
+        )
+    )
+    return merged.select(
+        "user_id",
+        F.col("ts_hour").cast("timestamp_ntz").alias("ts_hour"),
+        "n_events",
+        "event_id_min",
+        F.round(
+            F.col("vsum").cast("double") / F.col("n_events"), 6
+        ).alias("value_mean"),
+    )
+
+
+INCREMENTAL_MERGE_ORACLE = """
+SELECT user_id,
+       date_trunc('hour', ts) AS ts_hour,
+       count(*) AS n_events,
+       min(event_id) AS event_id_min,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS value_mean
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+"""

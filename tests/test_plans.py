@@ -825,3 +825,29 @@ def test_session_trigrams_single_user_exchange(spark):
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     user_ex = [e for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan) if "user_id" in e]
     assert len(user_ex) == 1, user_ex
+
+
+def test_golden_records_no_cartesian_bounded_candidates(spark):
+    """part_golden_records: candidate generation stays the sorted-
+    neighborhood equi-join (no cartesian/nested-loop anywhere in the
+    composed pipeline)."""
+    df = _plan(spark, "part_golden_records")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_merge_reaggregates_partials(spark):
+    """resample_incremental_merge: both epoch partials and the merge key
+    on (user_id, ts_hour) — partial aggregation present, merge exchange
+    on the same key."""
+    import re
+
+    df = _plan(spark, "resample_incremental_merge")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "partial_" in plan
+    # ts_hour appears as an inlined _groupingexpression; key on user_id
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("user_id" in e for e in exchanges), exchanges
+    # one exchange per epoch partial; the merge reuses their partitioning
+    assert len(exchanges) == 2, exchanges
