@@ -1809,6 +1809,7 @@ SPECS: list[QuerySpec] = [
     # wave 10 (workload_ext16): composed ER pipeline, incremental MV merge
     QuerySpec("part_golden_records", ext16.part_golden_records, ext16.GOLDEN_RECORDS_ORACLE),
     QuerySpec("resample_incremental_merge", ext16.resample_incremental_merge, ext16.INCREMENTAL_MERGE_ORACLE),
+    QuerySpec("streaming_click_purchase_left_join", ext16.streaming_click_purchase_left_join, ext16.STREAM_LEFT_JOIN_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

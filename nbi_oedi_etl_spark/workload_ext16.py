@@ -8,6 +8,11 @@ algebraic materialized-view maintenance.
   generators (equality blocking, sorted neighborhood) and the closure
   already exist as separate oracle-backed operators; this is the
   composed pipeline a master-data system actually runs.
+- ``streaming_click_purchase_left_join`` — the stream-stream LEFT
+  OUTER join with watermarks: the hardest streaming join shape (outer
+  emission is gated on the min-of-sides global watermark and happens a
+  batch late); drained to batch-equality via dual-side heartbeat
+  sentinels, so it shares a plain-SQL LEFT JOIN oracle.
 - ``resample_incremental_merge`` — algebraic incremental maintenance of
   the flagship hourly aggregate: partial aggregates from a BASE epoch
   and a DELTA epoch merge by re-aggregating mergeable state (count,
@@ -195,4 +200,135 @@ SELECT user_id,
          AS value_mean
 FROM events
 GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# ------------------------- stream-stream LEFT OUTER join (watermarked)
+
+
+def streaming_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks — the hardest
+    streaming join shape: unmatched left rows may only emit once the
+    GLOBAL watermark (the MIN of both sides' watermarks) has provably
+    passed their join window, and the emission happens in a LATER batch
+    than the watermark advance. Three mechanics this query proves, each
+    found empirically and each a production landmine:
+
+    1. outer results flush in the batch AFTER the watermark passes —
+       a drain needs trailing batches (two heartbeat sentinel files);
+    2. the watermark is per-SIDE: a heartbeat that only carries clicks
+       leaves the purchase watermark behind and the global watermark
+       (min) never moves — each sentinel carries one row for EACH side
+       (the missing-purchase case emitted 4 fewer rows);
+    3. eviction runs inside the join operator, so the flush batches must
+       contain rows that REACH the operator (filtered-out sentinels
+       don't trigger it).
+
+    The sentinels use negative user_ids (excluded from the output) and
+    far-future timestamps, so after the drain the global watermark has
+    passed every real row's window and the streaming answer equals the
+    batch LEFT JOIN exactly — hence the plain-SQL oracle. At scale the
+    heartbeat is the standard watermark-liveness pattern for low-traffic
+    sides; the delay bound (1 minute here) is what bounds join state.
+    """
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    s = ingest.scoped_streaming_session(spark)
+    d = tempfile.mkdtemp()
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+
+    def sentinel(name: str, year: int, mtime_offset: int) -> None:
+        two = pa.concat_tables([t.slice(0, 1), t.slice(0, 1)])
+        for fld, val in [
+            (
+                "ts",
+                pa.array(
+                    [datetime.datetime(year, 1, 1)] * 2,
+                    type=t.schema.field("ts").type,
+                ),
+            ),
+            ("event_type", pa.array(["click", "purchase"])),
+            ("user_id", pa.array([-1, -2], type=t.schema.field("user_id").type)),
+        ]:
+            two = two.set_column(t.schema.get_field_index(fld), t.schema.field(fld), val)
+        path = f"{d}/{name}"
+        pq.write_table(two, path)
+        base = os.path.getmtime(f"{d}/events.parquet")
+        os.utime(path, (base + mtime_offset, base + mtime_offset))
+
+    sentinel("z1_sentinel.parquet", 2030, 10)
+    sentinel("z2_sentinel.parquet", 2031, 20)
+
+    raw_schema = s.read.parquet(f"{sf_dir}/events.parquet").schema
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = s.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(d)
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            stream.where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 minute")
+        )
+
+    joined = side("click", "click").join(
+        side("purchase", "purchase"),
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    )
+    q = ingest.run_available_now(
+        joined,
+        tempfile.mkdtemp(),
+        queue_name="stream_click_purchase_lo",
+        output_mode="append",
+    )
+    q.awaitTermination()
+    return (
+        s.table("stream_click_purchase_lo")
+        .where(F.col("click_user") >= 0)
+        .select(
+            F.col("click_id"),
+            F.col("click_user").alias("user_id"),
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_id"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            F.col("purchase_value"),
+        )
+    )
+
+
+STREAM_LEFT_JOIN_ORACLE = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c
+LEFT JOIN events p
+  ON p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 2 HOUR
+WHERE c.event_type = 'click'
 """
