@@ -155,6 +155,10 @@ HEADLINE = [
     "near_dup_source_modularity",
     # round-4 wave 10 (workload_ext16.py)
     "resample_incremental_merge",
+    # round-4 wave 11 (workload_ext17.py)
+    "referential_integrity_matrix",
+    "order_price_percentiles_cont",
+    "orders_keyset_pagination",
 ]
 
 

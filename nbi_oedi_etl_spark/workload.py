@@ -1682,6 +1682,7 @@ from nbi_oedi_etl_spark import workload_ext13 as ext13
 from nbi_oedi_etl_spark import workload_ext14 as ext14
 from nbi_oedi_etl_spark import workload_ext15 as ext15
 from nbi_oedi_etl_spark import workload_ext16 as ext16
+from nbi_oedi_etl_spark import workload_ext17 as ext17
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1810,6 +1811,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("part_golden_records", ext16.part_golden_records, ext16.GOLDEN_RECORDS_ORACLE),
     QuerySpec("resample_incremental_merge", ext16.resample_incremental_merge, ext16.INCREMENTAL_MERGE_ORACLE),
     QuerySpec("streaming_click_purchase_left_join", ext16.streaming_click_purchase_left_join, ext16.STREAM_LEFT_JOIN_ORACLE),
+    # wave 11 (workload_ext17): schema-wide RI audit, exact interpolated
+    # percentiles, keyset pagination
+    QuerySpec("referential_integrity_matrix", ext17.referential_integrity_matrix, ext17.RI_MATRIX_ORACLE),
+    QuerySpec("order_price_percentiles_cont", ext17.order_price_percentiles_cont, ext17.PERCENTILES_CONT_ORACLE),
+    QuerySpec("orders_keyset_pagination", ext17.orders_keyset_pagination, ext17.KEYSET_PAGINATION_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

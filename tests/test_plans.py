@@ -851,3 +851,22 @@ def test_incremental_merge_reaggregates_partials(spark):
     assert all("user_id" in e for e in exchanges), exchanges
     # one exchange per epoch partial; the merge reuses their partitioning
     assert len(exchanges) == 2, exchanges
+
+
+def test_ri_matrix_broadcast_dims_anti_joins(spark):
+    """referential_integrity_matrix: dimension parents broadcast into the
+    anti-joins; no cartesian anywhere in the 7-edge union."""
+    df = _plan(spark, "referential_integrity_matrix")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_keyset_pagination_takeordered_no_global_sort(spark):
+    """orders_keyset_pagination: both the boundary probe and the page are
+    top-k (TakeOrderedAndProject) — the seek method must never global-sort
+    the feed."""
+    df = _plan(spark, "orders_keyset_pagination")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
