@@ -188,3 +188,65 @@ def await_with_idle_timeout(
             return True
         _time.sleep(poll_seconds)
     return False
+
+
+def heartbeat_drain_dir(
+    sf_dir: str,
+    sentinel_rows: list[tuple[str, int]],
+    years: tuple[int, int] = (2030, 2031),
+) -> str:
+    """Build a temp events directory = the real ``events.parquet`` plus TWO
+    far-future heartbeat sentinel files — the watermark-liveness pattern
+    that makes an availableNow drain of a watermark-gated stateful operator
+    (outer join, event-time-timeout state) emit EVERYTHING, so the
+    streaming answer equals the batch view and a plain-SQL oracle applies.
+
+    Why two files, and why rows per side: (1) watermark-gated results
+    flush in the batch AFTER the watermark advances, so the drain needs
+    trailing batches; (2) the global watermark is the MIN over every
+    watermarked input column — ``sentinel_rows`` must carry one row for
+    EACH filtered side (event_type) or the lagging side pins the global
+    watermark; (3) eviction runs inside the stateful operator, so sentinel
+    rows must survive the side filters (callers exclude the negative
+    sentinel user_ids from their output instead).
+
+    File order is pinned twice over: mtimes are set explicitly, and the
+    z-prefixed names also sort after ``events.parquet`` lexically.
+    """
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="heartbeat_drain_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    base = os.path.getmtime(f"{d}/events.parquet")
+    for i, year in enumerate(years):
+        n = len(sentinel_rows)
+        tbl = pa.concat_tables([t.slice(0, 1)] * n)
+        for fld, val in [
+            (
+                "ts",
+                pa.array(
+                    [datetime.datetime(year, 1, 1)] * n,
+                    type=t.schema.field("ts").type,
+                ),
+            ),
+            ("event_type", pa.array([et for et, _ in sentinel_rows])),
+            (
+                "user_id",
+                pa.array(
+                    [uid for _, uid in sentinel_rows],
+                    type=t.schema.field("user_id").type,
+                ),
+            ),
+        ]:
+            tbl = tbl.set_column(t.schema.get_field_index(fld), t.schema.field(fld), val)
+        path = f"{d}/z{i + 1}_sentinel.parquet"
+        pq.write_table(tbl, path)
+        os.utime(path, (base + 10 * (i + 1), base + 10 * (i + 1)))
+    return d

@@ -1405,16 +1405,31 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     session state with event-time timeout eviction (streaming/stateful.py).
-    Rows-only: streaming emits only sessions CLOSED by the final watermark —
-    tail sessions stay in state by design (the batch `user_sessions` is the
-    complete-history view; the unit test ties the two)."""
+
+    ORACLE-BACKED since the heartbeat upgrade: two far-future sentinel
+    files (ingest.heartbeat_drain_dir) advance the watermark past every
+    real session's timeout, so the drain emits the COMPLETE session
+    history — event-time-timeout state flushes exactly like the batch
+    sessionizer — and a first-principles lag/cumsum SQL twin checks it.
+    Sentinel users (< 0) are excluded from the output; before the
+    upgrade this was rows-only because tail sessions stayed in state."""
     import tempfile
 
     from nbi_oedi_etl_spark.streaming import ingest, stateful
 
     s = ingest.scoped_streaming_session(spark)
-    stream = ingest.events_file_stream(s, sf_dir).select("user_id", "ts")
-    sess = stateful.stateful_user_sessions(stream, gap_seconds=1800)
+    d = ingest.heartbeat_drain_dir(sf_dir, [("view", -1)])
+    raw_schema = s.read.parquet(f"{sf_dir}/events.parquet").schema
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = s.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(d)
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = stateful.stateful_user_sessions(
+        stream.select("user_id", "ts"), gap_seconds=1800
+    )
     q = (
         sess.writeStream.format("memory")
         .queryName("stateful_sessions")
@@ -1424,12 +1439,39 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return s.table("stateful_sessions").select(
-        "user_id",
-        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
-        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
-        "n_events",
+    return (
+        s.table("stateful_sessions")
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
     )
+
+
+_STATEFUL_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS INTEGER) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
 
 
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1934,7 +1976,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("embedding_cosine_near_dup", embedding_cosine_near_dup, None),
     QuerySpec("near_dup_pipeline", near_dup_pipeline, None),
     QuerySpec("near_dup_clusters", near_dup_clusters, None),
-    QuerySpec("stateful_session_stats", stateful_session_stats, None),
+    QuerySpec("stateful_session_stats", stateful_session_stats, _STATEFUL_SESSIONS_ORACLE),
 ]
 
 

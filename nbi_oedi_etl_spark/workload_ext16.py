@@ -231,43 +231,12 @@ def streaming_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> Data
     heartbeat is the standard watermark-liveness pattern for low-traffic
     sides; the delay bound (1 minute here) is what bounds join state.
     """
-    import datetime
-    import os
-    import shutil
     import tempfile
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from nbi_oedi_etl_spark.streaming import ingest
 
     s = ingest.scoped_streaming_session(spark)
-    d = tempfile.mkdtemp()
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-    t = pq.read_table(f"{sf_dir}/events.parquet")
-
-    def sentinel(name: str, year: int, mtime_offset: int) -> None:
-        two = pa.concat_tables([t.slice(0, 1), t.slice(0, 1)])
-        for fld, val in [
-            (
-                "ts",
-                pa.array(
-                    [datetime.datetime(year, 1, 1)] * 2,
-                    type=t.schema.field("ts").type,
-                ),
-            ),
-            ("event_type", pa.array(["click", "purchase"])),
-            ("user_id", pa.array([-1, -2], type=t.schema.field("user_id").type)),
-        ]:
-            two = two.set_column(t.schema.get_field_index(fld), t.schema.field(fld), val)
-        path = f"{d}/{name}"
-        pq.write_table(two, path)
-        base = os.path.getmtime(f"{d}/events.parquet")
-        os.utime(path, (base + mtime_offset, base + mtime_offset))
-
-    sentinel("z1_sentinel.parquet", 2030, 10)
-    sentinel("z2_sentinel.parquet", 2031, 20)
-
+    d = ingest.heartbeat_drain_dir(sf_dir, [("click", -1), ("purchase", -2)])
     raw_schema = s.read.parquet(f"{sf_dir}/events.parquet").schema
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = s.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(d)
