@@ -159,6 +159,10 @@ HEADLINE = [
     "referential_integrity_matrix",
     "order_price_percentiles_cont",
     "orders_keyset_pagination",
+    # round-4 wave 12 (workload_ext18.py)
+    "bpe_apply_merges",
+    "daily_volume_seasonal_residuals",
+    "purchase_conversion_ab_test",
 ]
 
 

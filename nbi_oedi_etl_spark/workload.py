@@ -1725,6 +1725,7 @@ from nbi_oedi_etl_spark import workload_ext14 as ext14
 from nbi_oedi_etl_spark import workload_ext15 as ext15
 from nbi_oedi_etl_spark import workload_ext16 as ext16
 from nbi_oedi_etl_spark import workload_ext17 as ext17
+from nbi_oedi_etl_spark import workload_ext18 as ext18
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1858,6 +1859,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("referential_integrity_matrix", ext17.referential_integrity_matrix, ext17.RI_MATRIX_ORACLE),
     QuerySpec("order_price_percentiles_cont", ext17.order_price_percentiles_cont, ext17.PERCENTILES_CONT_ORACLE),
     QuerySpec("orders_keyset_pagination", ext17.orders_keyset_pagination, ext17.KEYSET_PAGINATION_ORACLE),
+    # wave 12 (workload_ext18): BPE apply, weekday seasonal residuals,
+    # two-proportion A/B z-test
+    QuerySpec("bpe_apply_merges", ext18.bpe_apply_merges, ext18.BPE_APPLY_ORACLE),
+    QuerySpec("daily_volume_seasonal_residuals", ext18.daily_volume_seasonal_residuals, ext18.SEASONAL_RESIDUALS_ORACLE),
+    QuerySpec("purchase_conversion_ab_test", ext18.purchase_conversion_ab_test, ext18.AB_TEST_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
