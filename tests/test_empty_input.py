@@ -43,6 +43,16 @@ _REPRESENTATIVES = [
     "token_pmi_bigrams",
     "source_lang_kl_drift",
     "semantic_dedup_cells",
+    # waves 9-12: driver-side collects (BPE merges), single-row aggregates
+    # (A/B test), and boundary probes (keyset) are the hazard classes
+    "event_value_psi_drift",
+    "table_content_digest",
+    "bpe_apply_merges",
+    "purchase_conversion_ab_test",
+    "orders_keyset_pagination",
+    "order_price_percentiles_cont",
+    "part_golden_records",
+    "resample_incremental_merge",
 ]
 
 
