@@ -163,6 +163,10 @@ HEADLINE = [
     "bpe_apply_merges",
     "daily_volume_seasonal_residuals",
     "purchase_conversion_ab_test",
+    # round-4 wave 13 (workload_ext19.py)
+    "streaming_foreachbatch_upsert",
+    "event_funnel_windowed",
+    "revenue_pareto_analysis",
 ]
 
 

@@ -1726,6 +1726,7 @@ from nbi_oedi_etl_spark import workload_ext15 as ext15
 from nbi_oedi_etl_spark import workload_ext16 as ext16
 from nbi_oedi_etl_spark import workload_ext17 as ext17
 from nbi_oedi_etl_spark import workload_ext18 as ext18
+from nbi_oedi_etl_spark import workload_ext19 as ext19
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1864,6 +1865,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("bpe_apply_merges", ext18.bpe_apply_merges, ext18.BPE_APPLY_ORACLE),
     QuerySpec("daily_volume_seasonal_residuals", ext18.daily_volume_seasonal_residuals, ext18.SEASONAL_RESIDUALS_ORACLE),
     QuerySpec("purchase_conversion_ab_test", ext18.purchase_conversion_ab_test, ext18.AB_TEST_ORACLE),
+    # wave 13 (workload_ext19): exactly-once CDC apply, windowed funnel,
+    # Pareto concentration
+    QuerySpec("streaming_foreachbatch_upsert", ext19.streaming_foreachbatch_upsert, ext.LATEST_EVENT_ORACLE),
+    QuerySpec("event_funnel_windowed", ext19.event_funnel_windowed, ext19.FUNNEL_WINDOWED_ORACLE),
+    QuerySpec("revenue_pareto_analysis", ext19.revenue_pareto_analysis, ext19.PARETO_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),
