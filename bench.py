@@ -167,6 +167,10 @@ HEADLINE = [
     "streaming_foreachbatch_upsert",
     "event_funnel_windowed",
     "revenue_pareto_analysis",
+    # round-4 wave 14 (workload_ext20.py)
+    "quality_classifier_inference",
+    "classifier_calibration_bins",
+    "lang_source_chi2",
 ]
 
 

@@ -1727,6 +1727,7 @@ from nbi_oedi_etl_spark import workload_ext16 as ext16
 from nbi_oedi_etl_spark import workload_ext17 as ext17
 from nbi_oedi_etl_spark import workload_ext18 as ext18
 from nbi_oedi_etl_spark import workload_ext19 as ext19
+from nbi_oedi_etl_spark import workload_ext20 as ext20
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1870,6 +1871,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("streaming_foreachbatch_upsert", ext19.streaming_foreachbatch_upsert, ext.LATEST_EVENT_ORACLE),
     QuerySpec("event_funnel_windowed", ext19.event_funnel_windowed, ext19.FUNNEL_WINDOWED_ORACLE),
     QuerySpec("revenue_pareto_analysis", ext19.revenue_pareto_analysis, ext19.PARETO_ORACLE),
+    # wave 14 (workload_ext20): batch model inference + calibration,
+    # chi-square independence
+    QuerySpec("quality_classifier_inference", ext20.quality_classifier_inference, ext20.CLASSIFIER_INFERENCE_ORACLE),
+    QuerySpec("classifier_calibration_bins", ext20.classifier_calibration_bins, ext20.CALIBRATION_ORACLE),
+    QuerySpec("lang_source_chi2", ext20.lang_source_chi2, ext20.CHI2_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

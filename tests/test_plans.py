@@ -870,3 +870,22 @@ def test_keyset_pagination_takeordered_no_global_sort(spark):
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_classifier_inference_no_weight_join_single_exchange(spark):
+    """quality_classifier_inference: weights are an inline expression —
+    NO join anywhere; one vec_id exchange collapses the dot product."""
+    import re
+
+    df = _plan(spark, "quality_classifier_inference")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1 and "vec_id" in exchanges[0], exchanges
+
+
+def test_chi2_collapses_corpus_once(spark):
+    """lang_source_chi2: the corpus collapses in the (lang, source) count;
+    margins broadcast back — no second corpus-sized exchange."""
+    df = _plan(spark, "lang_source_chi2")
+    assert has_broadcast_join(df)
