@@ -171,6 +171,10 @@ HEADLINE = [
     "quality_classifier_inference",
     "classifier_calibration_bins",
     "lang_source_chi2",
+    # round-4 wave 15 (workload_ext21.py)
+    "brand_basket_rules",
+    "classifier_roc_auc",
+    "benford_first_digit",
 ]
 
 

@@ -1728,6 +1728,7 @@ from nbi_oedi_etl_spark import workload_ext17 as ext17
 from nbi_oedi_etl_spark import workload_ext18 as ext18
 from nbi_oedi_etl_spark import workload_ext19 as ext19
 from nbi_oedi_etl_spark import workload_ext20 as ext20
+from nbi_oedi_etl_spark import workload_ext21 as ext21
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1876,6 +1877,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("quality_classifier_inference", ext20.quality_classifier_inference, ext20.CLASSIFIER_INFERENCE_ORACLE),
     QuerySpec("classifier_calibration_bins", ext20.classifier_calibration_bins, ext20.CALIBRATION_ORACLE),
     QuerySpec("lang_source_chi2", ext20.lang_source_chi2, ext20.CHI2_ORACLE),
+    # wave 15 (workload_ext21): basket association rules, tie-aware ROC
+    # AUC (distributed two-pass ranking), Benford conformance audit
+    QuerySpec("brand_basket_rules", ext21.brand_basket_rules, ext21.BASKET_RULES_ORACLE),
+    QuerySpec("classifier_roc_auc", ext21.classifier_roc_auc, ext21.ROC_AUC_ORACLE),
+    QuerySpec("benford_first_digit", ext21.benford_first_digit, ext21.BENFORD_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

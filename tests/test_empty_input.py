@@ -53,6 +53,11 @@ _REPRESENTATIVES = [
     "order_price_percentiles_cont",
     "part_golden_records",
     "resample_incremental_merge",
+    # wave 15: n_baskets=0 / n_pos·n_neg=0 / n_total=0 divisions are the
+    # hazard class (AUC and Benford divide by corpus-dependent counts)
+    "brand_basket_rules",
+    "classifier_roc_auc",
+    "benford_first_digit",
 ]
 
 
