@@ -175,6 +175,10 @@ HEADLINE = [
     "brand_basket_rules",
     "classifier_roc_auc",
     "benford_first_digit",
+    # round-4 wave 16 (workload_ext22.py)
+    "doc_jaccard_prefix_join",
+    "event_value_welch_ttest",
+    "event_type_ewma_daily",
 ]
 
 

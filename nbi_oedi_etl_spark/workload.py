@@ -1729,6 +1729,7 @@ from nbi_oedi_etl_spark import workload_ext18 as ext18
 from nbi_oedi_etl_spark import workload_ext19 as ext19
 from nbi_oedi_etl_spark import workload_ext20 as ext20
 from nbi_oedi_etl_spark import workload_ext21 as ext21
+from nbi_oedi_etl_spark import workload_ext22 as ext22
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1882,6 +1883,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("brand_basket_rules", ext21.brand_basket_rules, ext21.BASKET_RULES_ORACLE),
     QuerySpec("classifier_roc_auc", ext21.classifier_roc_auc, ext21.ROC_AUC_ORACLE),
     QuerySpec("benford_first_digit", ext21.benford_first_digit, ext21.BENFORD_ORACLE),
+    # wave 16 (workload_ext22): prefix-filtered exact Jaccard join,
+    # Welch t-test, truncated-EWMA anomaly monitor
+    QuerySpec("doc_jaccard_prefix_join", ext22.doc_jaccard_prefix_join, ext22.JACCARD_PREFIX_ORACLE),
+    QuerySpec("event_value_welch_ttest", ext22.event_value_welch_ttest, ext22.WELCH_TTEST_ORACLE),
+    QuerySpec("event_type_ewma_daily", ext22.event_type_ewma_daily, ext22.EWMA_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

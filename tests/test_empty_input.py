@@ -58,6 +58,11 @@ _REPRESENTATIVES = [
     "brand_basket_rules",
     "classifier_roc_auc",
     "benford_first_digit",
+    # wave 16: empty-group t-test (n−1=−1 divisions on missing groups)
+    # and empty-corpus prefix windows are the hazard class
+    "doc_jaccard_prefix_join",
+    "event_value_welch_ttest",
+    "event_type_ewma_daily",
 ]
 
 
