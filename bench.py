@@ -179,6 +179,10 @@ HEADLINE = [
     "doc_jaccard_prefix_join",
     "event_value_welch_ttest",
     "event_type_ewma_daily",
+    # round-4 wave 17 (workload_ext23.py)
+    "orders_column_profile",
+    "cumulative_unique_users",
+    "order_ols_price_vs_items",
 ]
 
 

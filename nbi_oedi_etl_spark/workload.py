@@ -1730,6 +1730,7 @@ from nbi_oedi_etl_spark import workload_ext19 as ext19
 from nbi_oedi_etl_spark import workload_ext20 as ext20
 from nbi_oedi_etl_spark import workload_ext21 as ext21
 from nbi_oedi_etl_spark import workload_ext22 as ext22
+from nbi_oedi_etl_spark import workload_ext23 as ext23
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1888,6 +1889,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("doc_jaccard_prefix_join", ext22.doc_jaccard_prefix_join, ext22.JACCARD_PREFIX_ORACLE),
     QuerySpec("event_value_welch_ttest", ext22.event_value_welch_ttest, ext22.WELCH_TTEST_ORACLE),
     QuerySpec("event_type_ewma_daily", ext22.event_type_ewma_daily, ext22.EWMA_ORACLE),
+    # wave 17 (workload_ext23): column profiler, cumulative uniques, OLS
+    QuerySpec("orders_column_profile", ext23.orders_column_profile, ext23.COLUMN_PROFILE_ORACLE),
+    QuerySpec("cumulative_unique_users", ext23.cumulative_unique_users, ext23.CUMULATIVE_UNIQUE_ORACLE),
+    QuerySpec("order_ols_price_vs_items", ext23.order_ols_price_vs_items, ext23.OLS_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -63,6 +63,11 @@ _REPRESENTATIVES = [
     "doc_jaccard_prefix_join",
     "event_value_welch_ttest",
     "event_type_ewma_daily",
+    # wave 17: entropy ln(0/0), OLS var_x=0 division, empty-calendar
+    # windows are the hazard class
+    "orders_column_profile",
+    "cumulative_unique_users",
+    "order_ols_price_vs_items",
 ]
 
 
