@@ -183,6 +183,10 @@ HEADLINE = [
     "orders_column_profile",
     "cumulative_unique_users",
     "order_ols_price_vs_items",
+    # round-4 wave 18 (workload_ext24.py)
+    "hll_sliding_weekly_users",
+    "scd2_user_state_history",
+    "part_price_size_skyline",
 ]
 
 

@@ -1731,6 +1731,7 @@ from nbi_oedi_etl_spark import workload_ext20 as ext20
 from nbi_oedi_etl_spark import workload_ext21 as ext21
 from nbi_oedi_etl_spark import workload_ext22 as ext22
 from nbi_oedi_etl_spark import workload_ext23 as ext23
+from nbi_oedi_etl_spark import workload_ext24 as ext24
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1893,6 +1894,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("orders_column_profile", ext23.orders_column_profile, ext23.COLUMN_PROFILE_ORACLE),
     QuerySpec("cumulative_unique_users", ext23.cumulative_unique_users, ext23.CUMULATIVE_UNIQUE_ORACLE),
     QuerySpec("order_ols_price_vs_items", ext23.order_ols_price_vs_items, ext23.OLS_ORACLE),
+    # wave 18 (workload_ext24): sliding HLL merge, SCD2 history, skyline
+    QuerySpec("hll_sliding_weekly_users", ext24.hll_sliding_weekly_users, ext24.HLL_SLIDING_ORACLE),
+    QuerySpec("scd2_user_state_history", ext24.scd2_user_state_history, ext24.SCD2_ORACLE),
+    QuerySpec("part_price_size_skyline", ext24.part_price_size_skyline, ext24.SKYLINE_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

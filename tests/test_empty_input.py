@@ -68,6 +68,10 @@ _REPRESENTATIVES = [
     "orders_column_profile",
     "cumulative_unique_users",
     "order_ols_price_vs_items",
+    # wave 18: empty register grids (0/0 harmonic fold), empty windows
+    "hll_sliding_weekly_users",
+    "scd2_user_state_history",
+    "part_price_size_skyline",
 ]
 
 
