@@ -54,10 +54,13 @@ def brand_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
+    # the deduped basket set feeds four consumers (N count, marginals,
+    # both pair-join sides) — materialize once
     basket = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .cache()
     )
     n_baskets = basket.select("okey").distinct().count()
     brand_cnt = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))

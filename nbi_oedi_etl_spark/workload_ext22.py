@@ -53,9 +53,13 @@ def doc_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is keyed by prefix token — rarest-first ordering
     makes those buckets the SMALLEST document-frequency buckets in the
     corpus, so fan-out stays bounded where a common-token join would
-    explode. Verification joins shingle lists only for candidate pairs.
-    The oracle is the brute-force all-pairs Jaccard — result sets must
-    be identical, which is exactly the completeness theorem under test.
+    explode. Verification joins candidates against PACKED per-doc token
+    arrays and intersects with codegen array_intersect — O(candidates)
+    rows, never the candidate×doc_len token multiset. The oracle is the
+    brute-force all-pairs Jaccard — result sets must be identical,
+    which is exactly the completeness theorem under test. (Next lever
+    at higher duplicate rates: PPJoin's positional filter on the
+    matched prefix offsets.)
 
     Exactness: sizes and intersections are integers; jaccard is one
     double division rounded to 6.
@@ -76,14 +80,18 @@ def doc_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # global rarity rank: vocabulary-sized, single bounded window
+    # global rarity rank: vocabulary-sized, single bounded window. The
+    # integer rank then REPLACES the string shingle as the token id —
+    # every downstream join keys on an int, not a 3-word string.
     df_rank = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("rnk", F.row_number().over(Window.orderBy("df", "s")))
         .select("s", "rnk")
     )
-    ranked = sh.join(F.broadcast(df_rank), "s")
+    # the shingle explode feeds five consumers (rank build, prefix,
+    # both verify sides, sizes) — materialize it once, not 5 scans
+    ranked = sh.join(F.broadcast(df_rank), "s").select("doc_id", "rnk").cache()
     sz = ranked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # prefix = the (n - ceil(tau*n) + 1) rarest tokens of each doc
     wdoc = Window.partitionBy("doc_id").orderBy("rnk")
@@ -91,35 +99,40 @@ def doc_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.withColumn("pos", F.row_number().over(wdoc))
         .join(F.broadcast(sz), "doc_id")
         .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(_TAU) * F.col("n")) + 1)
-        .select("doc_id", "s")
+        .select("doc_id", "rnk", "n")
     )
+    # length filter: J >= tau forces tau·|B| <= |A| <= |B|/tau — prunes
+    # size-incompatible candidates before the verify join (PPJoin's
+    # standard companion filter)
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.rnk") == F.col("b.rnk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") >= F.ceil(F.lit(_TAU) * F.col("b.n")))
+            & (F.col("b.n") >= F.ceil(F.lit(_TAU) * F.col("a.n"))),
+        )
         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
         .distinct()
     )
-    su = sh.select(F.col("doc_id").alias("u"), F.col("s").alias("s"))
-    sv = sh.select(F.col("doc_id").alias("v"), F.col("s").alias("s"))
-    inter = (
-        cand.join(su, "u")
-        .join(sv, ["v", "s"])
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # verify on PACKED token arrays, not an exploded token join: each
+    # candidate row computes |A∩B| via codegen array_intersect over two
+    # doc-length int arrays — O(candidates) rows instead of the
+    # O(candidates × doc_len) pair-token multiset a re-join would shuffle
+    packs = ranked.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("rnk")).alias("arr"), F.count(F.lit(1)).alias("n")
     )
-    nu = sz.select(F.col("doc_id").alias("u"), F.col("n").alias("nu"))
-    nv = sz.select(F.col("doc_id").alias("v"), F.col("n").alias("nv"))
-    jac = F.col("c").cast("double") / (F.col("nu") + F.col("nv") - F.col("c")).cast("double")
-    return (
-        inter.join(F.broadcast(nu), "u")
-        .join(F.broadcast(nv), "v")
-        .filter(jac >= _TAU)
-        .select(
-            F.col("u").alias("doc_a"),
-            F.col("v").alias("doc_b"),
-            F.col("c").cast("long").alias("n_common"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+    pu = packs.select(F.col("doc_id").alias("u"), F.col("arr").alias("arr_u"), F.col("n").alias("nu"))
+    pv = packs.select(F.col("doc_id").alias("v"), F.col("arr").alias("arr_v"), F.col("n").alias("nv"))
+    withsets = cand.join(pu, "u").join(pv, "v")
+    c = F.size(F.array_intersect("arr_u", "arr_v"))
+    jac = c.cast("double") / (F.col("nu") + F.col("nv") - c).cast("double")
+    return withsets.filter(jac >= _TAU).select(
+        F.col("u").alias("doc_a"),
+        F.col("v").alias("doc_b"),
+        c.cast("long").alias("n_common"),
+        F.round(jac, 6).alias("jaccard"),
     )
 
 

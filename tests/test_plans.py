@@ -889,3 +889,72 @@ def test_chi2_collapses_corpus_once(spark):
     margins broadcast back — no second corpus-sized exchange."""
     df = _plan(spark, "lang_source_chi2")
     assert has_broadcast_join(df)
+
+
+def test_basket_rules_broadcasts_dims_only(spark):
+    """brand_basket_rules: part and the 25-row brand marginals broadcast;
+    the pair generator is an equi-join on okey, never a cartesian."""
+    df = _plan(spark, "brand_basket_rules")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_roc_auc_two_pass_rank_no_global_sort(spark):
+    """classifier_roc_auc: the prefix-sum ranking partitions by bucket —
+    no corpus-wide single-partition window (Exchange SinglePartition may
+    appear only for the bounded bucket-offset table and final 1-row agg,
+    never carrying the per-value table's k column)."""
+    import re
+
+    df = _plan(spark, "classifier_roc_auc")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    # per-value cumulative window must be bucket-partitioned
+    assert re.search(r"Window .*partitionBy.*bucket|hashpartitioning\(bucket", plan), plan
+
+
+def test_ewma_broadcasts_weight_table(spark):
+    """event_type_ewma_daily: the 14-row weight table broadcasts; the
+    corpus collapses to the daily rollup before the lag fan-out."""
+    df = _plan(spark, "event_type_ewma_daily")
+    assert has_broadcast_join(df)
+
+
+def test_jaccard_prefix_join_no_cartesian(spark):
+    """doc_jaccard_prefix_join: candidates come from an equi-join on the
+    prefix token and verification touches candidates only — no cartesian
+    anywhere in the plan."""
+    df = _plan(spark, "doc_jaccard_prefix_join")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_profile_single_fact_scan_count(spark):
+    """orders_column_profile: the fact table is scanned a bounded number
+    of times (one stats pass + two category histograms), never once per
+    metric row."""
+    df = _plan(spark, "orders_column_profile")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") <= 4, plan.count("FileScan parquet")
+
+
+def test_hll_sliding_register_window_partitioned_by_j(spark):
+    """hll_sliding_weekly_users: the trailing-7-day merge windows over the
+    register table PARTITIONED BY j — sketch-state-sized work, and the raw
+    events scan feeds only the build + truth stages."""
+    import re
+
+    df = _plan(spark, "hll_sliding_weekly_users")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert re.search(r"hashpartitioning\(j", plan), "register merge must partition by j"
+
+
+def test_scd2_windows_keyed_by_user(spark):
+    """scd2_user_state_history: every window is user_id-partitioned —
+    no global sort of the event stream."""
+    import re
+
+    df = _plan(spark, "scd2_user_state_history")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert not re.search(r"Exchange SinglePartition", plan), plan
