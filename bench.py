@@ -187,6 +187,10 @@ HEADLINE = [
     "hll_sliding_weekly_users",
     "scd2_user_state_history",
     "part_price_size_skyline",
+    # round-4 wave 19 (workload_ext25.py)
+    "copurchase_bfs_hops",
+    "classifier_pr_curve",
+    "user_state_snapshot_diff",
 ]
 
 

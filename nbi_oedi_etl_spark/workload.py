@@ -1732,6 +1732,7 @@ from nbi_oedi_etl_spark import workload_ext21 as ext21
 from nbi_oedi_etl_spark import workload_ext22 as ext22
 from nbi_oedi_etl_spark import workload_ext23 as ext23
 from nbi_oedi_etl_spark import workload_ext24 as ext24
+from nbi_oedi_etl_spark import workload_ext25 as ext25
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1898,6 +1899,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("hll_sliding_weekly_users", ext24.hll_sliding_weekly_users, ext24.HLL_SLIDING_ORACLE),
     QuerySpec("scd2_user_state_history", ext24.scd2_user_state_history, ext24.SCD2_ORACLE),
     QuerySpec("part_price_size_skyline", ext24.part_price_size_skyline, ext24.SKYLINE_ORACLE),
+    # wave 19 (workload_ext25): BFS hops, PR curve, snapshot diff
+    QuerySpec("copurchase_bfs_hops", ext25.copurchase_bfs_hops, ext25.BFS_ORACLE),
+    QuerySpec("classifier_pr_curve", ext25.classifier_pr_curve, ext25.PR_CURVE_ORACLE),
+    QuerySpec("user_state_snapshot_diff", ext25.user_state_snapshot_diff, ext25.SNAPSHOT_DIFF_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

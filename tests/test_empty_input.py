@@ -72,6 +72,11 @@ _REPRESENTATIVES = [
     "hll_sliding_weekly_users",
     "scd2_user_state_history",
     "part_price_size_skyline",
+    # wave 19: empty seed frontier (iterative loop over 0 rows), all-null
+    # PR counters, full-outer diff of two empty snapshots
+    "copurchase_bfs_hops",
+    "classifier_pr_curve",
+    "user_state_snapshot_diff",
 ]
 
 
