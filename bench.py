@@ -191,6 +191,10 @@ HEADLINE = [
     "copurchase_bfs_hops",
     "classifier_pr_curve",
     "user_state_snapshot_diff",
+    # round-4 wave 20 (workload_ext26.py)
+    "customer_k_anonymity_audit",
+    "doc_readability_forcast",
+    "phrase_search_positions",
 ]
 
 

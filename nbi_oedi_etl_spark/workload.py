@@ -1733,6 +1733,7 @@ from nbi_oedi_etl_spark import workload_ext22 as ext22
 from nbi_oedi_etl_spark import workload_ext23 as ext23
 from nbi_oedi_etl_spark import workload_ext24 as ext24
 from nbi_oedi_etl_spark import workload_ext25 as ext25
+from nbi_oedi_etl_spark import workload_ext26 as ext26
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1903,6 +1904,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("copurchase_bfs_hops", ext25.copurchase_bfs_hops, ext25.BFS_ORACLE),
     QuerySpec("classifier_pr_curve", ext25.classifier_pr_curve, ext25.PR_CURVE_ORACLE),
     QuerySpec("user_state_snapshot_diff", ext25.user_state_snapshot_diff, ext25.SNAPSHOT_DIFF_ORACLE),
+    # wave 20 (workload_ext26): k-anonymity, readability, phrase search
+    QuerySpec("customer_k_anonymity_audit", ext26.customer_k_anonymity_audit, ext26.K_ANONYMITY_ORACLE),
+    QuerySpec("doc_readability_forcast", ext26.doc_readability_forcast, ext26.READABILITY_ORACLE),
+    QuerySpec("phrase_search_positions", ext26.phrase_search_positions, ext26.PHRASE_SEARCH_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -36,6 +36,23 @@ from nbi_oedi_etl_spark.sources.parquet import read_table
 _TAU = 0.5
 
 
+def word_trigram_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, s) rows of word 3-gram shingles in the CODEGEN
+    formulation: tokenize → posexplode → lead-window next-token
+    alignment → concat — the string-shingle twin of
+    operators/dedup.shingle_hashes (interpreted transform/slice HOFs
+    measured ~10× slower on this corpus; see that docstring)."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    idx = d.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        idx.withColumn("w2", F.lead("w", 1).over(wdoc))
+        .withColumn("w3", F.lead("w", 2).over(wdoc))
+        .filter(F.col("w3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2", "w3").alias("s"))
+    )
+
+
 def doc_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs of documents with exact 3-gram-shingle Jaccard ≥ 0.5,
     found WITHOUT an all-pairs product and WITHOUT LSH's probabilistic
@@ -65,21 +82,7 @@ def doc_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division rounded to 6.
     """
     d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 3),
-                    lambda i: F.concat_ws(
-                        " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
-                    ),
-                )
-            ).alias("s"),
-        )
-        .distinct()
-    )
+    sh = word_trigram_rows(d).distinct()
     # global rarity rank: vocabulary-sized, single bounded window. The
     # integer rank then REPLACES the string shingle as the token id —
     # every downstream join keys on an int, not a 3-word string.

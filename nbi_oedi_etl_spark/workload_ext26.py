@@ -1,0 +1,230 @@
+"""Round-4 extension queries, wave 20: privacy auditing, readability
+scoring, and positional phrase search.
+
+- ``customer_k_anonymity_audit`` — k-anonymity over the quasi-
+  identifier pair (nation, market segment): equivalence-class sizes,
+  at-risk classes (< k), and the table's global k — the privacy audit
+  run before releasing a dataset.
+- ``doc_readability_forcast`` — FORCAST readability (the published
+  formula needing only word and monosyllable counts — the variant that
+  works on non-sentence text): per-doc words, regex-estimated
+  syllables, monosyllable share, FORCAST grade.
+- ``phrase_search_positions`` — exact phrase search via POSITIONAL
+  inverted-index intersection: the corpus's most frequent 3-gram is
+  located at every (doc, offset) by joining the (doc, pos, token)
+  index on consecutive positions — the positional-index operator a
+  search engine runs, self-contained because the phrase is derived
+  from the corpus itself.
+
+Oracle convention identical to workload.py; all counts exact, doubles
+single-rounded expressions of exact counts and shared literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark.sources.parquet import read_table
+from nbi_oedi_etl_spark.workload_ext22 import word_trigram_rows
+
+# -------------------------------------------------- k-anonymity audit
+
+_K = 5
+
+
+def customer_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity of customers under the quasi-identifier pair
+    (c_nationkey, c_mktsegment): every equivalence class with its size,
+    share of the table, the at-risk flag (size < 5), and the global k
+    (the minimum class size — the table's actual anonymity parameter).
+
+    Plan/scale: one grouped count collapses the table to the QI-class
+    grid (bounded by the QI domain product); the global min is a 1-row
+    broadcast back onto it. Nothing corpus-sized moves twice.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    n_total = c.count()
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    kmin = classes.agg(F.min("class_size").alias("k_anonymity"))
+    return classes.crossJoin(F.broadcast(kmin)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("class_size").cast("long").alias("class_size"),
+        F.round(F.col("class_size").cast("double") / F.lit(float(n_total)), 6).alias(
+            "share"
+        ),
+        (F.col("class_size") < _K).alias("at_risk"),
+        F.col("k_anonymity").cast("long").alias("k_anonymity"),
+    )
+
+
+K_ANONYMITY_ORACLE = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+  FROM customer GROUP BY 1, 2
+), n AS (SELECT count(*) AS total FROM customer),
+k AS (SELECT min(class_size) AS k_anonymity FROM classes)
+SELECT c_nationkey, c_mktsegment,
+       CAST(class_size AS BIGINT) AS class_size,
+       round(CAST(class_size AS DOUBLE) / CAST(n.total AS DOUBLE), 6) AS share,
+       class_size < {_K} AS at_risk,
+       CAST(k.k_anonymity AS BIGINT) AS k_anonymity
+FROM classes CROSS JOIN n CROSS JOIN k
+"""
+
+
+# ------------------------------------------------ FORCAST readability
+
+
+def doc_readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORCAST readability per document: grade = 20 − (monosyllables ×
+    150 / words) / 10 — the published formula that needs no sentence
+    boundaries (syllables estimated as [aeiouy]+ vowel groups, min 1
+    per word — the standard regex heuristic, identical in both
+    engines).
+
+    Plan/scale: one token explode, one doc-keyed aggregate — the same
+    single-exchange shape as the other per-doc text metrics.
+
+    Exactness: word/syllable/monosyllable counts are exact integers;
+    the grade and mean-syllable columns are single double expressions
+    rounded to 6.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    syl = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("w"), F.lit("[aeiouy]+"), 0))
+    )
+    per = toks.select("doc_id", syl.alias("syl")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("words"),
+        F.sum("syl").alias("syllables"),
+        F.sum((F.col("syl") == 1).cast("bigint")).alias("monosyllables"),
+    )
+    grade = F.lit(20.0) - (
+        F.col("monosyllables").cast("double") * F.lit(150.0) / F.col("words").cast("double")
+    ) / F.lit(10.0)
+    return per.select(
+        "doc_id",
+        F.col("words").cast("long").alias("words"),
+        F.col("syllables").cast("long").alias("syllables"),
+        F.col("monosyllables").cast("long").alias("monosyllables"),
+        F.round(
+            F.col("syllables").cast("double") / F.col("words").cast("double"), 6
+        ).alias("mean_syllables"),
+        F.round(grade, 6).alias("forcast_grade"),
+    )
+
+
+READABILITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))) AS syl
+  FROM toks WHERE w <> ''
+), per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS words,
+         CAST(sum(syl) AS BIGINT) AS syllables,
+         CAST(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS monosyllables
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, words, syllables, monosyllables,
+       round(CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE), 6)
+         AS mean_syllables,
+       round(20.0 - (CAST(monosyllables AS DOUBLE) * 150.0
+                     / CAST(words AS DOUBLE)) / 10.0, 6) AS forcast_grade
+FROM per
+"""
+
+
+# ------------------------------------------- positional phrase search
+
+
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (doc, offset) occurrence of the corpus's most frequent
+    3-gram, found by POSITIONAL inverted-index intersection: the
+    (doc_id, pos, token) index joins itself on (doc, pos+1) and
+    (doc, pos+2) — how a search engine executes a phrase query without
+    rescanning text.
+
+    The phrase is the highest-document-frequency 3-gram (ties by
+    phrase string), derived from the corpus so the query is
+    self-contained and deterministic.
+
+    Plan/scale: phrase selection is one shingle aggregate (vocabulary-
+    sized result); the occurrence join touches only the three posting
+    lists of the phrase's words — the index rows are pre-filtered to
+    those tokens before joining, so the join input is posting-list-
+    sized, not corpus-sized.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    idx = d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    sh = word_trigram_rows(d)  # codegen lead-window shingles, not HOFs
+    top_rows = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("s"))
+        .limit(1)
+        .collect()  # bounded: exactly one row (the phrase), never corpus-sized
+    )
+    if not top_rows:  # empty corpus: no phrase to search
+        return spark.createDataFrame([], "doc_id long, pos long, phrase string")
+    top = top_rows[0]
+    w1, w2, w3 = top["s"].split(" ")
+    # one tokenize pass serves all three posting lists: filter the index
+    # to the phrase's words FIRST, materialize, then slice per word —
+    # three unfiltered scans would re-split every document three times
+    fidx = idx.filter(F.col("w").isin(w1, w2, w3)).cache()
+    p1 = fidx.filter(F.col("w") == w1).select("doc_id", F.col("pos").alias("p"))
+    p2 = fidx.filter(F.col("w") == w2).select("doc_id", (F.col("pos") - 1).alias("p"))
+    p3 = fidx.filter(F.col("w") == w3).select("doc_id", (F.col("pos") - 2).alias("p"))
+    return (
+        p1.join(p2, ["doc_id", "p"]).join(p3, ["doc_id", "p"])
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("pos"),
+            F.lit(top["s"]).alias("phrase"),
+        )
+    )
+
+
+PHRASE_SEARCH_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+  FROM d
+), top AS (
+  SELECT s FROM (
+    SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s
+  ) ORDER BY df DESC, s ASC LIMIT 1
+), idx AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INTEGER)] AS w
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d)
+  WHERE toks[CAST(i AS INTEGER)] <> ''
+), words AS (
+  SELECT string_split(s, ' ') AS ws, s FROM top
+)
+SELECT p1.doc_id, p1.pos, words.s AS phrase
+FROM words
+JOIN idx p1 ON p1.w = words.ws[1]
+JOIN idx p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+           AND p2.w = words.ws[2]
+JOIN idx p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+           AND p3.w = words.ws[3]
+"""

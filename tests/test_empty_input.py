@@ -77,6 +77,11 @@ _REPRESENTATIVES = [
     "copurchase_bfs_hops",
     "classifier_pr_curve",
     "user_state_snapshot_diff",
+    # wave 20: empty-corpus phrase selection (guarded collect), 0-word
+    # docs, share divisions by n_total=0
+    "customer_k_anonymity_audit",
+    "doc_readability_forcast",
+    "phrase_search_positions",
 ]
 
 
