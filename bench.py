@@ -195,6 +195,10 @@ HEADLINE = [
     "customer_k_anonymity_audit",
     "doc_readability_forcast",
     "phrase_search_positions",
+    # round-4 wave 21 (workload_ext27.py)
+    "customer_rfm_segmentation",
+    "event_value_imputation",
+    "purchase_attribution_first_last",
 ]
 
 

@@ -1734,6 +1734,7 @@ from nbi_oedi_etl_spark import workload_ext23 as ext23
 from nbi_oedi_etl_spark import workload_ext24 as ext24
 from nbi_oedi_etl_spark import workload_ext25 as ext25
 from nbi_oedi_etl_spark import workload_ext26 as ext26
+from nbi_oedi_etl_spark import workload_ext27 as ext27
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1908,6 +1909,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("customer_k_anonymity_audit", ext26.customer_k_anonymity_audit, ext26.K_ANONYMITY_ORACLE),
     QuerySpec("doc_readability_forcast", ext26.doc_readability_forcast, ext26.READABILITY_ORACLE),
     QuerySpec("phrase_search_positions", ext26.phrase_search_positions, ext26.PHRASE_SEARCH_ORACLE),
+    # wave 21 (workload_ext27): RFM, imputation repair, attribution
+    QuerySpec("customer_rfm_segmentation", ext27.customer_rfm_segmentation, ext27.RFM_ORACLE),
+    QuerySpec("event_value_imputation", ext27.event_value_imputation, ext27.IMPUTATION_ORACLE),
+    QuerySpec("purchase_attribution_first_last", ext27.purchase_attribution_first_last, ext27.ATTRIBUTION_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -82,6 +82,11 @@ _REPRESENTATIVES = [
     "customer_k_anonymity_audit",
     "doc_readability_forcast",
     "phrase_search_positions",
+    # wave 21: n_present=0 impute division, empty ntile windows,
+    # full-outer of two empty attribution sides
+    "customer_rfm_segmentation",
+    "event_value_imputation",
+    "purchase_attribution_first_last",
 ]
 
 
