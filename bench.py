@@ -199,6 +199,10 @@ HEADLINE = [
     "customer_rfm_segmentation",
     "event_value_imputation",
     "purchase_attribution_first_last",
+    # round-4 wave 22 (workload_ext28.py)
+    "segment_bitmap_overlap",
+    "order_rate_interpolation",
+    "conversion_latency_histogram",
 ]
 
 

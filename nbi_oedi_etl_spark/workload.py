@@ -1735,6 +1735,7 @@ from nbi_oedi_etl_spark import workload_ext24 as ext24
 from nbi_oedi_etl_spark import workload_ext25 as ext25
 from nbi_oedi_etl_spark import workload_ext26 as ext26
 from nbi_oedi_etl_spark import workload_ext27 as ext27
+from nbi_oedi_etl_spark import workload_ext28 as ext28
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1913,6 +1914,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("customer_rfm_segmentation", ext27.customer_rfm_segmentation, ext27.RFM_ORACLE),
     QuerySpec("event_value_imputation", ext27.event_value_imputation, ext27.IMPUTATION_ORACLE),
     QuerySpec("purchase_attribution_first_last", ext27.purchase_attribution_first_last, ext27.ATTRIBUTION_ORACLE),
+    # wave 22 (workload_ext28): bitmap set algebra, curve interpolation,
+    # conversion latency distribution
+    QuerySpec("segment_bitmap_overlap", ext28.segment_bitmap_overlap, ext28.BITMAP_OVERLAP_ORACLE),
+    QuerySpec("order_rate_interpolation", ext28.order_rate_interpolation, ext28.RATE_INTERP_ORACLE),
+    QuerySpec("conversion_latency_histogram", ext28.conversion_latency_histogram, ext28.LATENCY_HIST_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

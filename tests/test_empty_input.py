@@ -87,6 +87,11 @@ _REPRESENTATIVES = [
     "customer_rfm_segmentation",
     "event_value_imputation",
     "purchase_attribution_first_last",
+    # wave 22: empty bitmaps, empty-range interpolation join, n_tot=0
+    # latency share
+    "segment_bitmap_overlap",
+    "order_rate_interpolation",
+    "conversion_latency_histogram",
 ]
 
 
