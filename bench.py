@@ -203,6 +203,10 @@ HEADLINE = [
     "segment_bitmap_overlap",
     "order_rate_interpolation",
     "conversion_latency_histogram",
+    # round-4 wave 23 (workload_ext29.py)
+    "shard_slot_apportionment",
+    "max_concurrent_sessions_daily",
+    "event_value_twap_daily",
 ]
 
 

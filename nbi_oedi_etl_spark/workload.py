@@ -1736,6 +1736,7 @@ from nbi_oedi_etl_spark import workload_ext25 as ext25
 from nbi_oedi_etl_spark import workload_ext26 as ext26
 from nbi_oedi_etl_spark import workload_ext27 as ext27
 from nbi_oedi_etl_spark import workload_ext28 as ext28
+from nbi_oedi_etl_spark import workload_ext29 as ext29
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1919,6 +1920,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("segment_bitmap_overlap", ext28.segment_bitmap_overlap, ext28.BITMAP_OVERLAP_ORACLE),
     QuerySpec("order_rate_interpolation", ext28.order_rate_interpolation, ext28.RATE_INTERP_ORACLE),
     QuerySpec("conversion_latency_histogram", ext28.conversion_latency_histogram, ext28.LATENCY_HIST_ORACLE),
+    # wave 23 (workload_ext29): apportionment, sweep-line, TWAP
+    QuerySpec("shard_slot_apportionment", ext29.shard_slot_apportionment, ext29.APPORTIONMENT_ORACLE),
+    QuerySpec("max_concurrent_sessions_daily", ext29.max_concurrent_sessions_daily, ext29.CONCURRENCY_ORACLE),
+    QuerySpec("event_value_twap_daily", ext29.event_value_twap_daily, ext29.TWAP_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -92,6 +92,10 @@ _REPRESENTATIVES = [
     "segment_bitmap_overlap",
     "order_rate_interpolation",
     "conversion_latency_histogram",
+    # wave 23: total=0 quota division, empty sweep stream, empty windows
+    "shard_slot_apportionment",
+    "max_concurrent_sessions_daily",
+    "event_value_twap_daily",
 ]
 
 
