@@ -207,6 +207,10 @@ HEADLINE = [
     "shard_slot_apportionment",
     "max_concurrent_sessions_daily",
     "event_value_twap_daily",
+    # round-4 wave 24 (workload_ext30.py)
+    "hash_uniformity_ks",
+    "order_price_equidepth_histogram",
+    "brand_price_quantity_ols",
 ]
 
 

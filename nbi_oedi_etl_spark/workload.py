@@ -1737,6 +1737,7 @@ from nbi_oedi_etl_spark import workload_ext26 as ext26
 from nbi_oedi_etl_spark import workload_ext27 as ext27
 from nbi_oedi_etl_spark import workload_ext28 as ext28
 from nbi_oedi_etl_spark import workload_ext29 as ext29
+from nbi_oedi_etl_spark import workload_ext30 as ext30
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1924,6 +1925,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("shard_slot_apportionment", ext29.shard_slot_apportionment, ext29.APPORTIONMENT_ORACLE),
     QuerySpec("max_concurrent_sessions_daily", ext29.max_concurrent_sessions_daily, ext29.CONCURRENCY_ORACLE),
     QuerySpec("event_value_twap_daily", ext29.event_value_twap_daily, ext29.TWAP_ORACLE),
+    # wave 24 (workload_ext30): KS test, equi-depth histogram, grouped OLS
+    QuerySpec("hash_uniformity_ks", ext30.hash_uniformity_ks, ext30.KS_ORACLE),
+    QuerySpec("order_price_equidepth_histogram", ext30.order_price_equidepth_histogram, ext30.EQUIDEPTH_ORACLE),
+    QuerySpec("brand_price_quantity_ols", ext30.brand_price_quantity_ols, ext30.GROUPED_OLS_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

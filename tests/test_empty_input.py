@@ -96,6 +96,11 @@ _REPRESENTATIVES = [
     "shard_slot_apportionment",
     "max_concurrent_sessions_daily",
     "event_value_twap_daily",
+    # wave 24: n=0 critical value (1.358/sqrt(0)), empty bin intervals,
+    # per-group var_x=0 regression divisions
+    "hash_uniformity_ks",
+    "order_price_equidepth_histogram",
+    "brand_price_quantity_ols",
 ]
 
 
