@@ -211,6 +211,10 @@ HEADLINE = [
     "hash_uniformity_ks",
     "order_price_equidepth_histogram",
     "brand_price_quantity_ols",
+    # round-4 wave 25 (workload_ext31.py)
+    "median_ci_order_stats",
+    "journey_similarity_matrix",
+    "cohort_ltv_curve",
 ]
 
 

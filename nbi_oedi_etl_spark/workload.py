@@ -1738,6 +1738,7 @@ from nbi_oedi_etl_spark import workload_ext27 as ext27
 from nbi_oedi_etl_spark import workload_ext28 as ext28
 from nbi_oedi_etl_spark import workload_ext29 as ext29
 from nbi_oedi_etl_spark import workload_ext30 as ext30
+from nbi_oedi_etl_spark import workload_ext31 as ext31
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1929,6 +1930,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("hash_uniformity_ks", ext30.hash_uniformity_ks, ext30.KS_ORACLE),
     QuerySpec("order_price_equidepth_histogram", ext30.order_price_equidepth_histogram, ext30.EQUIDEPTH_ORACLE),
     QuerySpec("brand_price_quantity_ols", ext30.brand_price_quantity_ols, ext30.GROUPED_OLS_ORACLE),
+    # wave 25 (workload_ext31): median CI, journey similarity, cohort LTV
+    QuerySpec("median_ci_order_stats", ext31.median_ci_order_stats, ext31.MEDIAN_CI_ORACLE),
+    QuerySpec("journey_similarity_matrix", ext31.journey_similarity_matrix, ext31.JOURNEY_SIM_ORACLE),
+    QuerySpec("cohort_ltv_curve", ext31.cohort_ltv_curve, ext31.COHORT_LTV_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

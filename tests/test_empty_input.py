@@ -101,6 +101,10 @@ _REPRESENTATIVES = [
     "hash_uniformity_ks",
     "order_price_equidepth_histogram",
     "brand_price_quantity_ols",
+    # wave 25: n=0 early return, empty journey vocabulary, empty cohorts
+    "median_ci_order_stats",
+    "journey_similarity_matrix",
+    "cohort_ltv_curve",
 ]
 
 
