@@ -411,3 +411,155 @@ def test_attribution_totals_agree(spark):
         .count()
     )
     assert total_last == total_first == purchases
+
+
+# ------------------------------------------------------------ wave 22
+
+
+def test_bitmap_overlap_equals_set_intersection(spark):
+    """Bitmap AND+popcount equals Python set intersection per pair."""
+    rows = workload.queries()["segment_bitmap_overlap"](spark, SF).collect()
+    ev = spark.read.parquet(SF + "/events.parquet").select("event_type", "user_id").collect()
+    segs: dict = {}
+    for r in ev:
+        segs.setdefault(r["event_type"], set()).add(r["user_id"])
+    assert rows
+    for r in rows:
+        a, b = segs[r["seg_a"]], segs[r["seg_b"]]
+        assert r["users_a"] == len(a) and r["users_b"] == len(b)
+        assert r["overlap"] == len(a & b)
+
+
+def test_rate_interpolation_knot_exactness(spark):
+    """Orders dated exactly on a knot get exactly the knot's rate:
+    crafted single-order fixture at each interior knot date."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="wave_props_")
+    knots = [("1997-01-01", 1.10), ("1999-01-01", 1.35)]
+    dates = [datetime.datetime.fromisoformat(k) for k, _ in knots]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(dates)), type=pa.int64()),
+                "o_custkey": pa.array([0] * len(dates), type=pa.int64()),
+                "o_orderstatus": pa.array(["F"] * len(dates)),
+                "o_totalprice": pa.array([100.0] * len(dates)),
+                "o_orderdate": pa.array(dates),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(dates)),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    rows = {r["order_year"]: r for r in workload.queries()["order_rate_interpolation"](spark, d).collect()}
+    assert rows[1997]["adjusted_revenue"] == 110.0
+    assert rows[1999]["adjusted_revenue"] == 135.0
+
+
+def test_latency_histogram_partitions_converters(spark):
+    rows = workload.queries()["conversion_latency_histogram"](spark, SF).collect()
+    total_share = sum(r["share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-5 or sum(r["n_users"] for r in rows) == 0
+
+
+# ------------------------------------------------------------ wave 23
+
+
+def test_apportionment_sums_to_budget_and_proportional(spark):
+    rows = workload.queries()["shard_slot_apportionment"](spark, SF).collect()
+    assert sum(r["slots"] for r in rows) == 1000
+    total_rev = sum(r["revenue"] for r in rows)
+    for r in rows:
+        quota = 1000 * r["revenue"] / total_rev
+        assert abs(r["slots"] - quota) < 1.0 + 1e-6  # largest-remainder is within 1
+
+
+def test_max_concurrency_bounds(spark):
+    rows = workload.queries()["max_concurrent_sessions_daily"](spark, SF).collect()
+    users = spark.read.parquet(SF + "/events.parquet").select("user_id").distinct().count()
+    assert rows
+    for r in rows:
+        assert 1 <= r["max_concurrent"] <= users
+
+
+def test_twap_constant_value_equals_value(spark):
+    """All-constant values → TWAP == that constant on every day."""
+    rows = [
+        (i, (946684800 + (i // 5) * 86400 + (i % 5) * 600) * 10**6, i % 3, "view", 7.5)
+        for i in range(30)
+    ]
+    d = _events_dir(rows)
+    out = workload.queries()["event_value_twap_daily"](spark, d).collect()
+    assert out
+    for r in out:
+        assert r["mean_user_twap"] == 7.5
+
+
+# ------------------------------------------------------------ wave 24
+
+
+def test_ks_on_crafted_uniform_grid_near_zero(spark):
+    """The KS D of the hash bridge at sf0.01 is small (uniformity holds)
+    and below the 95% critical value."""
+    row = workload.queries()["hash_uniformity_ks"](spark, SF01).collect()[0]
+    assert row["uniform_at_95"], row
+    assert row["ks_d"] < row["crit_95"]
+
+
+def test_equidepth_bins_partition_rows_evenly(spark):
+    rows = sorted(
+        workload.queries()["order_price_equidepth_histogram"](spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    n = spark.read.parquet(SF + "/orders.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == n
+    assert max(r["n_rows"] for r in rows) - min(r["n_rows"] for r in rows) <= 1
+    # bins are value-ordered and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert a["bin_hi"] <= b["bin_lo"]
+
+
+def test_grouped_ols_matches_global_on_single_group(spark):
+    """Every per-brand R² lies in [0, 1] and slope is finite."""
+    rows = workload.queries()["brand_price_quantity_ols"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["r2"] <= 1.0 + 1e-9
+        assert r["slope"] is not None
+
+
+# ------------------------------------------------------------ wave 25
+
+
+def test_median_ci_brackets_median(spark):
+    row = workload.queries()["median_ci_order_stats"](spark, SF).collect()[0]
+    assert row["ci_lo"] <= row["median"] <= row["ci_hi"]
+    # CI must be a proper interval strictly inside the value range
+    import pyspark.sql.functions as SF_
+
+    o = spark.read.parquet(SF + "/orders.parquet")
+    mn, mx = o.agg(SF_.min("o_totalprice"), SF_.max("o_totalprice")).collect()[0]
+    assert mn <= row["ci_lo"] and row["ci_hi"] <= mx
+
+
+def test_journey_matrix_is_full_topk_triangle(spark):
+    rows = workload.queries()["journey_similarity_matrix"](spark, SF).collect()
+    js = sorted({r["j_a"] for r in rows} | {r["j_b"] for r in rows})
+    k = len(js)
+    assert len(rows) == k * (k - 1) // 2  # complete upper triangle
+    for r in rows:
+        assert r["edit_distance"] >= 1  # distinct journeys differ
+
+
+def test_cohort_ltv_monotone_in_age(spark):
+    rows = workload.queries()["cohort_ltv_curve"](spark, SF).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for week, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["weeks_since"])
+        for a, b in zip(rs, rs[1:]):
+            assert b["cum_revenue"] >= a["cum_revenue"]
