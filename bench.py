@@ -215,6 +215,9 @@ HEADLINE = [
     "median_ci_order_stats",
     "journey_similarity_matrix",
     "cohort_ltv_curve",
+    # round-4 wave 26 (workload_ext32.py)
+    "streaming_cumulative_unique_users",
+    "greedy_coverage_selection",
 ]
 
 

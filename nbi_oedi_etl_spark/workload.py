@@ -1739,6 +1739,7 @@ from nbi_oedi_etl_spark import workload_ext28 as ext28
 from nbi_oedi_etl_spark import workload_ext29 as ext29
 from nbi_oedi_etl_spark import workload_ext30 as ext30
 from nbi_oedi_etl_spark import workload_ext31 as ext31
+from nbi_oedi_etl_spark import workload_ext32 as ext32
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1934,6 +1935,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("median_ci_order_stats", ext31.median_ci_order_stats, ext31.MEDIAN_CI_ORACLE),
     QuerySpec("journey_similarity_matrix", ext31.journey_similarity_matrix, ext31.JOURNEY_SIM_ORACLE),
     QuerySpec("cohort_ltv_curve", ext31.cohort_ltv_curve, ext31.COHORT_LTV_ORACLE),
+    # wave 26 (workload_ext32): incremental streaming uniques (shares the
+    # batch oracle — incremental ≡ recompute), greedy submodular coverage
+    QuerySpec("streaming_cumulative_unique_users", ext32.streaming_cumulative_unique_users, ext23.CUMULATIVE_UNIQUE_ORACLE),
+    QuerySpec("greedy_coverage_selection", ext32.greedy_coverage_selection, ext32.GREEDY_COVERAGE_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -105,6 +105,9 @@ _REPRESENTATIVES = [
     "median_ci_order_stats",
     "journey_similarity_matrix",
     "cohort_ltv_curve",
+    # wave 26: empty greedy rounds (no top row → early break), empty
+    # stream batches
+    "greedy_coverage_selection",
 ]
 
 
