@@ -958,3 +958,61 @@ def test_scd2_windows_keyed_by_user(spark):
     df = _plan(spark, "scd2_user_state_history")
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert not re.search(r"Exchange SinglePartition", plan), plan
+
+
+def test_bitmap_overlap_exchanges_bitmap_rows_only(spark):
+    """segment_bitmap_overlap: after the bitmap build, the pairwise join
+    exchanges word-keyed bitmap rows — no user-level self-join, no
+    cartesian."""
+    df = _plan(spark, "segment_bitmap_overlap")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_rate_interpolation_broadcasts_constant_curve(spark):
+    """order_rate_interpolation: the non-equi range join is against the
+    broadcast CONSTANT knot table (BroadcastNestedLoop over 4 segments
+    is per-row constant work), never a shuffled non-equi join."""
+    df = _plan(spark, "order_rate_interpolation")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_and_equidepth_rank_partitioned_by_bucket(spark):
+    """The order-statistic spine: the per-value cumulative window must be
+    bucket-partitioned in both consumers (no corpus-wide single-partition
+    window)."""
+    import re
+
+    for name in ["hash_uniformity_ks", "order_price_equidepth_histogram"]:
+        df = _plan(spark, name)
+        plan = physical_plan(df).split("== Initial Plan ==")[0]
+        assert re.search(r"hashpartitioning\(bucket", plan), name
+
+
+def test_skyline_windows_not_joins(spark):
+    """part_price_size_skyline: the sort-based rewrite must contain NO
+    join at all — dominance comes from two window frames."""
+    df = _plan(spark, "part_price_size_skyline")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Join" not in plan, "skyline must be join-free"
+
+
+def test_attribution_single_user_exchange(spark):
+    """purchase_attribution_first_last: lag and first_value share ONE
+    user-keyed window exchange."""
+    import re
+
+    df = _plan(spark, "purchase_attribution_first_last")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) <= 2, len(user_exchanges)
+
+
+def test_twap_no_single_partition_exchange(spark):
+    """event_value_twap_daily: every window/aggregate is (user, day)- or
+    day-keyed; nothing serializes onto one partition."""
+    df = _plan(spark, "event_value_twap_daily")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan
