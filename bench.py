@@ -218,6 +218,9 @@ HEADLINE = [
     # round-4 wave 26 (workload_ext32.py)
     "streaming_cumulative_unique_users",
     "greedy_coverage_selection",
+    # round-4 wave 27 (workload_ext33.py)
+    "weighted_median_price",
+    "source_quantile_normalize",
 ]
 
 

@@ -1740,6 +1740,7 @@ from nbi_oedi_etl_spark import workload_ext29 as ext29
 from nbi_oedi_etl_spark import workload_ext30 as ext30
 from nbi_oedi_etl_spark import workload_ext31 as ext31
 from nbi_oedi_etl_spark import workload_ext32 as ext32
+from nbi_oedi_etl_spark import workload_ext33 as ext33
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -1939,6 +1940,9 @@ SPECS: list[QuerySpec] = [
     # batch oracle — incremental ≡ recompute), greedy submodular coverage
     QuerySpec("streaming_cumulative_unique_users", ext32.streaming_cumulative_unique_users, ext23.CUMULATIVE_UNIQUE_ORACLE),
     QuerySpec("greedy_coverage_selection", ext32.greedy_coverage_selection, ext32.GREEDY_COVERAGE_ORACLE),
+    # wave 27 (workload_ext33): weighted order stats, quantile normalize
+    QuerySpec("weighted_median_price", ext33.weighted_median_price, ext33.WEIGHTED_MEDIAN_ORACLE),
+    QuerySpec("source_quantile_normalize", ext33.source_quantile_normalize, ext33.QUANTILE_NORMALIZE_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

@@ -108,6 +108,9 @@ _REPRESENTATIVES = [
     # wave 26: empty greedy rounds (no top row → early break), empty
     # stream batches
     "greedy_coverage_selection",
+    # wave 27: total_c=0 early return, n_tot=0 early return
+    "weighted_median_price",
+    "source_quantile_normalize",
 ]
 
 
