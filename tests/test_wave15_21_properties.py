@@ -563,3 +563,79 @@ def test_cohort_ltv_monotone_in_age(spark):
         rs.sort(key=lambda r: r["weeks_since"])
         for a, b in zip(rs, rs[1:]):
             assert b["cum_revenue"] >= a["cum_revenue"]
+
+
+# ------------------------------------------------------------ wave 26
+
+
+def test_greedy_coverage_gains_non_increasing(spark):
+    """Submodularity: marginal gains are non-increasing across rounds,
+    and covered_total equals the running sum of marginal gains plus
+    overlap-free accounting (covered_total increments by ≤ gain)."""
+    rows = sorted(
+        workload.queries()["greedy_coverage_selection"](spark, SF).collect(),
+        key=lambda r: r["pick_no"],
+    )
+    assert [r["pick_no"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b["marginal_gain"] <= a["marginal_gain"]
+        assert b["covered_total"] == a["covered_total"] + b["marginal_gain"]
+    assert rows[0]["covered_total"] == rows[0]["marginal_gain"]
+
+
+def test_streaming_uniques_equals_batch(spark):
+    """Incremental streaming cumulative-uniques equals the batch op."""
+    qs = workload.queries()
+    stream = sorted(
+        ((r["day"], r["new_users"], r["cumulative_users"])
+         for r in qs["streaming_cumulative_unique_users"](spark, SF).collect())
+    )
+    batch = sorted(
+        ((r["day"], r["new_users"], r["cumulative_users"])
+         for r in qs["cumulative_unique_users"](spark, SF).collect())
+    )
+    assert stream == batch
+
+
+# ------------------------------------------------------------ wave 27
+
+
+def test_weighted_median_reduces_to_median_on_unit_weights(spark):
+    """With all quantities equal, the weighted median must equal the
+    unweighted lower median (crafted lineitem fixture)."""
+    import datetime
+
+    d = tempfile.mkdtemp(prefix="wave_props_")
+    prices = [10.0, 20.0, 30.0, 40.0, 50.0]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(range(5), type=pa.int64()),
+                "l_partkey": pa.array([0] * 5, type=pa.int64()),
+                "l_suppkey": pa.array([0] * 5, type=pa.int64()),
+                "l_linenumber": pa.array([0] * 5, type=pa.int64()),
+                "l_quantity": pa.array([3.0] * 5),
+                "l_extendedprice": pa.array(prices),
+                "l_discount": pa.array([0.0] * 5),
+                "l_tax": pa.array([0.0] * 5),
+                "l_returnflag": pa.array(["N"] * 5),
+                "l_linestatus": pa.array(["O"] * 5),
+                "l_shipdate": pa.array([datetime.datetime(2000, 1, 1)] * 5),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    row = workload.queries()["weighted_median_price"](spark, d).collect()[0]
+    assert row["weighted_median"] == row["unweighted_median"] == 30.0
+
+
+def test_quantile_normalize_balances_sources(spark):
+    """After normalization every source's decile counts are its own
+    size/10 within 1 (rank mapping preserves within-source balance)."""
+    rows = workload.queries()["source_quantile_normalize"](spark, SF).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rs in by_source.items():
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= max(2, sum(sizes) // 10), (src, sizes)
