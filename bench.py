@@ -221,6 +221,7 @@ HEADLINE = [
     # round-4 wave 27 (workload_ext33.py)
     "weighted_median_price",
     "source_quantile_normalize",
+    "streaming_ewma_daily",
 ]
 
 

@@ -1943,6 +1943,7 @@ SPECS: list[QuerySpec] = [
     # wave 27 (workload_ext33): weighted order stats, quantile normalize
     QuerySpec("weighted_median_price", ext33.weighted_median_price, ext33.WEIGHTED_MEDIAN_ORACLE),
     QuerySpec("source_quantile_normalize", ext33.source_quantile_normalize, ext33.QUANTILE_NORMALIZE_ORACLE),
+    QuerySpec("streaming_ewma_daily", ext32.streaming_ewma_daily, ext22.EWMA_ORACLE),
     # ---- banked: hash-verified in CORRECTNESS_r01/r02/r03 ----
     QuerySpec("streaming_hourly_resample", streaming_hourly_resample_events, _FLAGSHIP_ORACLE),
     QuerySpec("streaming_exact_dedup", streaming_exact_dedup, _EXACT_DEDUP_ORACLE),

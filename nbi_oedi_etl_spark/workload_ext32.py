@@ -210,3 +210,101 @@ SELECT 3, doc_id, CAST(gain AS BIGINT),
        (SELECT CAST(count(*) AS BIGINT) FROM cov3)
 FROM p3
 """
+
+
+# ------------------------------------- streaming incremental EWMA
+
+
+def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The truncated-EWMA anomaly monitor fed by INCREMENTAL state: the
+    foreachBatch state is the (event_type, day) count rollup, merged
+    per micro-batch by summation (counts are distributive) under the
+    versioned exactly-once commit discipline; the drained rollup feeds
+    the identical EWMA arithmetic as the batch operator — so the result
+    must equal ``event_type_ewma_daily`` bit-for-bit (shared oracle).
+    The monitoring twin of the CDC/uniques incremental proofs.
+
+    Scale: state is the daily rollup (types × days rows), each batch
+    pays |batch| + |state| with a keyed sum merge.
+    """
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.streaming import ingest
+    from nbi_oedi_etl_spark.workload_ext22 import _EWMA_W
+
+    s = ingest.scoped_streaming_session(spark)
+    src = tempfile.mkdtemp(prefix="fb_ewma_src_")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(src, f"part{i}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (1700000000 + 10 * i, 1700000000 + 10 * i))
+
+    target_root = tempfile.mkdtemp(prefix="fb_ewma_tgt_")
+    state = {"version": -1}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        daily = batch_df.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        if state["version"] >= 0:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(target_root, f"v{state['version']}")
+            )
+            daily = (
+                prev.unionByName(daily)
+                .groupBy("event_type", "day")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        daily.write.mode("overwrite").parquet(
+            os.path.join(target_root, f"v{batch_id}")
+        )
+        state["version"] = batch_id
+
+    raw_schema = s.read.parquet(f"{sf_dir}/events.parquet").schema
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = s.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(src)
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = s.read.parquet(os.path.join(target_root, f"v{state['version']}"))
+
+    # identical EWMA arithmetic as the batch operator, off drained state
+    w_df = s.createDataFrame([(j, w) for j, w in _EWMA_W], "j int, w decimal(18,16)")
+    contrib = daily.crossJoin(F.broadcast(w_df)).select(
+        "event_type",
+        F.date_add(F.col("day"), F.col("j")).alias("tday"),
+        (F.col("cnt") * F.col("w")).alias("term"),
+        F.col("w"),
+    )
+    tgt = daily.select("event_type", F.col("day").alias("tday"), F.col("cnt"))
+    agg = (
+        contrib.join(tgt.select("event_type", "tday"), ["event_type", "tday"])
+        .groupBy("event_type", "tday")
+        .agg(F.sum("term").alias("num"), F.sum("w").alias("den"))
+    )
+    ewma = F.col("num").cast("double") / F.col("den").cast("double")
+    return (
+        agg.join(tgt, ["event_type", "tday"])
+        .select(
+            "event_type",
+            F.col("tday").alias("day"),
+            F.col("cnt").cast("long").alias("n_events"),
+            F.round(ewma, 6).alias("ewma"),
+            F.round(F.col("cnt").cast("double") / ewma, 6).alias("anomaly_ratio"),
+        )
+    )
+
+
+# shares ext22.EWMA_ORACLE via the spec registration
