@@ -1758,8 +1758,11 @@ SPECS: list[QuerySpec] = [
     # (18 round-3 leftovers + the repaired order_rollup_per_customer + the
     # round-4 additions through copurchase_triangles) with 2 banked
     # streaming specs at the margin. Round-4 specs past position 50
-    # (embedding_ivf_portable, ann_recall_portable, …) are locally
-    # parity-gated and rotate into the window next round. Rows-only last.
+    # (embedding_ivf_portable, ann_recall_portable, …, and the session's
+    # waves 15-27 at positions ~94-130) are locally parity-gated — every
+    # one also driven through the __spark_entry__ surface against its
+    # DuckDB oracle at sf0.01 during development — and rotate into the
+    # window next round. Rows-only last.
     QuerySpec("cross_source_contamination", ext6.cross_source_contamination, ext6.CONTAMINATION_ORACLE),
     QuerySpec("user_event_sequences", ext6.user_event_sequences, ext6.EVENT_SEQUENCES_ORACLE),
     QuerySpec("weighted_mixture_sample", ext6.weighted_mixture_sample, ext6.MIXTURE_SAMPLE_ORACLE),
