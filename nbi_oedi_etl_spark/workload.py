@@ -1751,18 +1751,13 @@ except ImportError:
     _HAS_PROTOBUF = False
 
 SPECS: list[QuerySpec] = [
-    # ---- rotation (round 4 final): external correctness runs verify a
-    # PREFIX of this list (50 entries). Rounds 1-3 hash-verified 107
-    # distinct oracled specs (evidence banked in CORRECTNESS_r01/02/03).
-    # The window now holds the 48 never-externally-verified oracled specs
-    # (18 round-3 leftovers + the repaired order_rollup_per_customer + the
-    # round-4 additions through copurchase_triangles) with 2 banked
-    # streaming specs at the margin. Round-4 specs past position 50
-    # (embedding_ivf_portable, ann_recall_portable, …, and the session's
-    # waves 15-27 at positions ~94-130) are locally parity-gated — every
-    # one also driven through the __spark_entry__ surface against its
-    # DuckDB oracle at sf0.01 during development — and rotate into the
-    # window next round. Rows-only last.
+    # ---- registration order (stable since round 4). External correctness
+    # runs verify a PREFIX of the *final* SPECS list; the round-5 window is
+    # applied by the `_R5_WINDOW` reorder after this literal, which moves
+    # the 50 oldest never-driver-verified oracled specs (waves 5-17,
+    # lang_confusion_matrix … orders_column_profile) to positions 1-50.
+    # Rounds 1-4 hash-verified 157 distinct oracled specs (evidence banked
+    # in CORRECTNESS_r01-04); nothing here regressed since. Rows-only last.
     QuerySpec("cross_source_contamination", ext6.cross_source_contamination, ext6.CONTAMINATION_ORACLE),
     QuerySpec("user_event_sequences", ext6.user_event_sequences, ext6.EVENT_SEQUENCES_ORACLE),
     QuerySpec("weighted_mixture_sample", ext6.weighted_mixture_sample, ext6.MIXTURE_SAMPLE_ORACLE),
@@ -2067,6 +2062,67 @@ SPECS: list[QuerySpec] = [
     QuerySpec("near_dup_clusters", near_dup_clusters, None),
     QuerySpec("stateful_session_stats", stateful_session_stats, _STATEFUL_SESSIONS_ORACLE),
 ]
+
+# ---- round-5 correctness-window rotation ------------------------------
+# The external driver hash-verifies a 50-spec PREFIX of SPECS per round.
+# Rounds 1-4 verified 157 distinct specs; 83 registered later had only the
+# local replica (tests/test_oracle_parity.py) as evidence. This round the
+# window holds the 50 oldest of those (registry order preserved); the
+# remaining never-verified specs queue directly behind it so round 6
+# finishes the rotation. Previously-verified specs keep their relative
+# order after the queue; rows-only specs stay last.
+_R5_WINDOW: list[str] = [
+    "lang_confusion_matrix", "kmeans_lloyd_3iter", "streaming_static_enrichment",
+    "supplier_busy_intervals", "copurchase_kcore", "kmv_source_overlap",
+    "embedding_covariance", "doc_lexical_diversity", "doc_sparse_cosine_pairs",
+    "winnowing_fingerprints", "semantic_dedup_cells", "token_pmi_bigrams",
+    "source_lang_kl_drift", "kfold_assignment", "dup_cluster_size_histogram",
+    "rapid_reorder_pairs", "part_name_sorted_neighborhood",
+    "streaming_session_window_stats", "event_value_mad_outliers",
+    "minhash_estimator_audit", "doc_token_entropy", "user_interarrival_stats",
+    "bm25_search_ranking", "daily_active_wau", "event_value_psi_drift",
+    "table_content_digest", "session_event_trigrams", "near_dup_source_modularity",
+    "part_golden_records", "resample_incremental_merge",
+    "streaming_click_purchase_left_join", "referential_integrity_matrix",
+    "order_price_percentiles_cont", "orders_keyset_pagination", "bpe_apply_merges",
+    "daily_volume_seasonal_residuals", "purchase_conversion_ab_test",
+    "streaming_foreachbatch_upsert", "event_funnel_windowed",
+    "revenue_pareto_analysis", "quality_classifier_inference",
+    "classifier_calibration_bins", "lang_source_chi2", "brand_basket_rules",
+    "classifier_roc_auc", "benford_first_digit", "doc_jaccard_prefix_join",
+    "event_value_welch_ttest", "event_type_ewma_daily", "orders_column_profile",
+]
+_R5_QUEUE: list[str] = [
+    "cumulative_unique_users", "order_ols_price_vs_items",
+    "hll_sliding_weekly_users", "scd2_user_state_history",
+    "part_price_size_skyline", "copurchase_bfs_hops", "classifier_pr_curve",
+    "user_state_snapshot_diff", "customer_k_anonymity_audit",
+    "doc_readability_forcast", "phrase_search_positions",
+    "customer_rfm_segmentation", "event_value_imputation",
+    "purchase_attribution_first_last", "segment_bitmap_overlap",
+    "order_rate_interpolation", "conversion_latency_histogram",
+    "shard_slot_apportionment", "max_concurrent_sessions_daily",
+    "event_value_twap_daily", "hash_uniformity_ks",
+    "order_price_equidepth_histogram", "brand_price_quantity_ols",
+    "median_ci_order_stats", "journey_similarity_matrix", "cohort_ltv_curve",
+    "streaming_cumulative_unique_users", "greedy_coverage_selection",
+    "weighted_median_price", "source_quantile_normalize", "streaming_ewma_daily",
+]
+
+
+def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
+    by_name = {s.name: s for s in specs}
+    front = [by_name[n] for n in _R5_WINDOW + _R5_QUEUE if n in by_name]
+    front_set = {s.name for s in front}
+    rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
+    rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]
+    assert len(front) + len(rest_oracled) + len(rest_rows_only) == len(specs)
+    # the verified window must be entirely oracle-backed
+    assert all(s.oracle is not None for s in front)
+    return front + rest_oracled + rest_rows_only
+
+
+SPECS = _rotate(SPECS)
 
 
 def queries() -> dict[str, QueryFn]:
