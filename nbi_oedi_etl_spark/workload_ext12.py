@@ -253,6 +253,10 @@ FROM fps GROUP BY doc_id
 
 # --------------------------------------------- SemDeDup semantic dedup
 
+# mean cell size the codebook targets: k = ceil(n / TARGET) keeps the
+# within-cell pair search Σ|cell|² ≈ n·TARGET (linear in corpus size)
+_SEMDEDUP_TARGET_CELL = 32
+
 
 def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): k-means cells bound the
@@ -264,20 +268,34 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: the cell assignment is a broadcast-centroid argmin (the
     corpus never shuffles for it); the pair search self-joins ON the cell
     id, so candidate volume is Σ|cell|² — the whole point of SemDeDup is
-    that cells are small relative to the corpus (k scales with corpus
-    size; all-pairs across cells never happens). One shuffle on cell id,
-    one anti-join to flag keeps.
+    that cells stay small relative to the corpus. The cell count is
+    DATA-DEPENDENT: k = ceil(n / TARGET_CELL), so mean cell size is held
+    at ~TARGET_CELL and Σ|cell|² ≈ n·TARGET_CELL grows LINEARLY with the
+    corpus (k=8 fixed would make it n²/8 — the quadratic scale-killer).
+    The codebook is the IVF pattern from similarity.ivf_topk: a
+    deterministic hash-ordered top-k sample (TakeOrderedAndProject —
+    partial top-k per partition, no global sort); n itself is one count()
+    action, the only scalar state. One shuffle on cell id, one anti-join
+    to flag keeps. tests/test_wave_semantic_scale.py guards that k tracks
+    n and the max-cell fraction shrinks as the corpus grows.
 
     Exactness: cosine through the shared HOF fold (bit-exact vs DuckDB
     list_cosine_similarity, proven by embedding_near_dup_exact_small);
     the drop threshold compares the ROUNDED similarity so the boundary is
-    engine-stable.
+    engine-stable; the codebook sample orders by md5(vec_id) — identical
+    in both engines.
     """
+    import math
+
     from nbi_oedi_etl_spark.operators import similarity
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") < 8).withColumnRenamed(
-        "vec_id", "centroid_id"
+    n = emb.count()
+    k = max(1, math.ceil(n / _SEMDEDUP_TARGET_CELL))
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .withColumnRenamed("vec_id", "centroid_id")
     )
     assign = similarity.kmeans_assignment_step(emb, cents).select(
         "vec_id", F.col("centroid_id").alias("cell_id")
@@ -305,8 +323,14 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMANTIC_DEDUP_ORACLE = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), ranked AS (
+  SELECT vec_id, emb,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+         count(*) OVER () AS n
+  FROM e
 ), c AS (
-  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 8
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM ranked
+  WHERE rn <= CAST(ceil(n / 32.0) AS BIGINT)
 ), assign AS (
   SELECT vec_id, centroid_id AS cell_id
   FROM (

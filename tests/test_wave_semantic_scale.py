@@ -1,0 +1,57 @@
+"""Scale-posture guard for semantic_dedup_cells (SemDeDup).
+
+Round-4 verdict flagged the fixed k=8 codebook as the one LLM-pipeline op
+whose code contradicted its own scale claim: with constant k the
+within-cell pair search is Σ|cell|² ≈ n²/k — quadratic in corpus size.
+The fix makes k = ceil(n / TARGET_CELL) with a deterministic hash-ordered
+codebook sample (the ivf_topk pattern). These tests pin that property so
+a future edit can't silently reintroduce the fixed-k scale-killer.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from nbi_oedi_etl_spark import workload_ext12 as e12
+
+SF_SMALL = "/root/testdata/sf0.001"  # 500 embeddings
+SF_LARGE = "/root/testdata/sf0.1"  # 2000 embeddings
+
+
+def _cell_stats(spark, sf_dir):
+    df = e12.semantic_dedup_cells(spark, sf_dir)
+    row = (
+        df.groupBy("cell_id")
+        .count()
+        .agg(
+            F.max("count").alias("max_cell"),
+            F.count("*").alias("k_used"),
+            F.sum("count").alias("n"),
+        )
+        .collect()[0]
+    )
+    return row["max_cell"], row["k_used"], row["n"]
+
+
+def test_cell_count_tracks_corpus_size(spark):
+    """k must equal ceil(n / TARGET_CELL) at every corpus size — the
+    codebook grows with the data, never a constant."""
+    for sf in (SF_SMALL, SF_LARGE):
+        _, k_used, n = _cell_stats(spark, sf)
+        assert k_used == math.ceil(n / e12._SEMDEDUP_TARGET_CELL), (sf, k_used, n)
+
+
+def test_max_cell_fraction_shrinks_as_corpus_grows(spark):
+    """The largest cell's share of the corpus must DROP when the corpus
+    grows (fixed k would hold it constant): Σ|cell|² stays ~n·TARGET."""
+    max_s, _, n_s = _cell_stats(spark, SF_SMALL)
+    max_l, _, n_l = _cell_stats(spark, SF_LARGE)
+    assert n_l > n_s  # the fixtures really are different sizes
+    frac_small = max_s / n_s
+    frac_large = max_l / n_l
+    assert frac_large < frac_small, (frac_small, frac_large)
+    # and the absolute largest cell stays O(TARGET), not O(n/k_fixed):
+    # with k=8 fixed the expected max cell at n=2000 would be ≥250 rows
+    assert max_l < 8 * e12._SEMDEDUP_TARGET_CELL, max_l
