@@ -52,80 +52,85 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Shannon entropy (bits) for the two low-cardinality categorical
     columns.
 
-    Plan/scale: every column's count/null/distinct/min/max comes from
-    ONE full-scan aggregate (Spark expands the multi-distinct into one
-    pass); the two entropy histograms aggregate value-count tables that
-    are category-sized. The report assembly stacks constant-width
-    1-row results — no per-column rescans of the fact table.
+    Plan/scale: ONE scan of the six profiled columns, melted to
+    (column, value) cells, then ONE hash aggregation into per-column
+    value-count tables — every statistic (null/distinct counts, typed
+    min/max, entropy) is then a tiny aggregate over those counts. This
+    replaces the round-4 shape (six exact countDistinct in one agg),
+    which Catalyst planned as a multi-distinct Expand duplicating every
+    scan row ~7×; here the single shuffle carries partially-combined
+    (column, value) counts — category-sized for five of the six columns
+    — and NO Expand node appears (tests/test_plans.py pins this). The
+    per-column totals table (6 rows) broadcasts back onto the value
+    counts.
 
     Exactness: all counts exact; numeric min/max are exact long→double
-    (keys < 2⁵³) or the column's own double; entropy uses the ln9
-    decimal recipe with a shared 1/ln2 literal.
+    (keys < 2⁵³) or the column's own double (min/max commute with the
+    melt's monotone casts); entropy uses the ln9 decimal recipe with a
+    shared 1/ln2 literal — term-for-term the same expression as the
+    round-4 shape, so the oracle is unchanged.
     """
     o = read_table(spark, sf_dir, "orders")
-    base = o.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[
-            e
-            for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
-            for e in (
-                F.sum(F.col(c).isNull().cast("bigint")).alias(f"null_{c}"),
-                F.countDistinct(c).alias(f"dist_{c}"),
-            )
-        ],
-        F.min("o_orderkey").alias("min_o_orderkey"),
-        F.max("o_orderkey").alias("max_o_orderkey"),
-        F.min("o_custkey").alias("min_o_custkey"),
-        F.max("o_custkey").alias("max_o_custkey"),
-        F.min("o_totalprice").alias("min_o_totalprice"),
-        F.max("o_totalprice").alias("max_o_totalprice"),
-        F.min("o_orderstatus").alias("min_o_orderstatus"),
-        F.max("o_orderstatus").alias("max_o_orderstatus"),
-        F.min("o_orderpriority").alias("min_o_orderpriority"),
-        F.max("o_orderpriority").alias("max_o_orderpriority"),
-        F.min(F.col("o_orderdate").cast("string")).alias("min_o_orderdate"),
-        F.max(F.col("o_orderdate").cast("string")).alias("max_o_orderdate"),
-    )
+    num_cols = {"o_orderkey", "o_custkey", "o_totalprice"}
+    ent_cols = ["o_orderstatus", "o_orderpriority"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
 
-    def ent(col: str) -> DataFrame:
-        vc = o.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        tot = vc.agg(F.sum("cnt").alias("total"))
-        return (
-            vc.crossJoin(F.broadcast(tot))
-            .select(_entropy_expr(F.col("cnt"), F.col("total")).alias("t9"))
-            .agg(
-                F.round(-F.sum("t9").cast("double") / F.lit(_LN2), 6).alias(
-                    f"entropy_{col}"
-                )
-            )
-        )
-
-    joined = base.crossJoin(ent("o_orderstatus")).crossJoin(ent("o_orderpriority"))
-
-    def row(col: str, min_num, max_num, min_str, max_str, entropy):
+    def cell(c: str):
+        if c in num_cols:
+            v_num, v_str = F.col(c).cast("double"), F.lit(None).cast("string")
+        else:
+            v_num, v_str = F.lit(None).cast("double"), F.col(c).cast("string")
         return F.struct(
-            F.lit(col).alias("column"),
-            (F.col("n_rows") - F.col(f"null_{col}")).cast("long").alias("n_nonnull"),
-            F.col(f"null_{col}").cast("long").alias("n_null"),
-            F.col(f"dist_{col}").cast("long").alias("n_distinct"),
-            min_num.cast("double").alias("min_num"),
-            max_num.cast("double").alias("max_num"),
-            min_str.cast("string").alias("min_str"),
-            max_str.cast("string").alias("max_str"),
-            entropy.cast("double").alias("entropy_bits"),
+            F.lit(c).alias("column"), v_num.alias("v_num"), v_str.alias("v_str")
         )
 
-    null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
-    rows = F.array(
-        row("o_orderkey", F.col("min_o_orderkey"), F.col("max_o_orderkey"), null_s, null_s, null_d),
-        row("o_custkey", F.col("min_o_custkey"), F.col("max_o_custkey"), null_s, null_s, null_d),
-        row("o_orderstatus", null_d, null_d, F.col("min_o_orderstatus"), F.col("max_o_orderstatus"), F.col("entropy_o_orderstatus")),
-        row("o_totalprice", F.round(F.col("min_o_totalprice"), 6), F.round(F.col("max_o_totalprice"), 6), null_s, null_s, null_d),
-        row("o_orderdate", null_d, null_d, F.col("min_o_orderdate"), F.col("max_o_orderdate"), null_d),
-        row("o_orderpriority", null_d, null_d, F.col("min_o_orderpriority"), F.col("max_o_orderpriority"), F.col("entropy_o_orderpriority")),
+    melted = o.select(
+        F.explode(F.array(*[cell(c) for c in cols])).alias("cv")
+    ).select("cv.*")
+    vc = melted.groupBy("column", "v_num", "v_str").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    return joined.select(F.explode(rows).alias("r")).select("r.*")
+    # every column contributes exactly one cell per source row, so the
+    # per-column total is the table's row count — a parquet-metadata
+    # count, not a second pass over the value-count pipeline
+    n_rows = o.count()
+    nonnull = F.col("v_num").isNotNull() | F.col("v_str").isNotNull()
+    prof = (
+        vc.withColumn("total", F.lit(n_rows).cast("bigint"))
+        .groupBy("column")
+        .agg(
+            F.sum(F.when(nonnull, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("n_nonnull"),
+            F.sum(F.when(~nonnull, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("n_null"),
+            F.count(F.when(nonnull, F.lit(1))).cast("long").alias("n_distinct"),
+            F.min("v_num").alias("raw_min_num"),
+            F.max("v_num").alias("raw_max_num"),
+            F.min("v_str").cast("string").alias("min_str"),
+            F.max("v_str").cast("string").alias("max_str"),
+            F.sum(_entropy_expr(F.col("cnt"), F.col("total"))).alias("t9_sum"),
+        )
+    )
+    return prof.select(
+        "column",
+        "n_nonnull",
+        "n_null",
+        "n_distinct",
+        F.when(F.col("column") == "o_totalprice", F.round(F.col("raw_min_num"), 6))
+        .otherwise(F.col("raw_min_num"))
+        .cast("double")
+        .alias("min_num"),
+        F.when(F.col("column") == "o_totalprice", F.round(F.col("raw_max_num"), 6))
+        .otherwise(F.col("raw_max_num"))
+        .cast("double")
+        .alias("max_num"),
+        "min_str",
+        "max_str",
+        F.when(
+            F.col("column").isin(*ent_cols),
+            F.round(-F.col("t9_sum").cast("double") / F.lit(_LN2), 6),
+        )
+        .cast("double")
+        .alias("entropy_bits"),
+    )
 
 
 COLUMN_PROFILE_ORACLE = """

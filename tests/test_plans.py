@@ -1016,3 +1016,12 @@ def test_twap_no_single_partition_exchange(spark):
     df = _plan(spark, "event_value_twap_daily")
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert "Exchange SinglePartition" not in plan
+
+
+def test_column_profile_has_no_expand(spark):
+    """orders_column_profile: the round-4 multi-distinct shape planned an
+    Expand duplicating every scan row ~7×; the value-count melt must keep
+    the plan Expand-free (one generate + one partial-combined shuffle)."""
+    df = _plan(spark, "orders_column_profile")
+    plan = physical_plan(df)
+    assert "Expand" not in plan, "multi-distinct Expand reintroduced"
