@@ -461,25 +461,22 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the pair-generation + closure stages come from the memoized
     ``portable_components`` (shared with the portable-cluster query — the
-    closure is localCheckpoint-backed, so reuse is free). The broadcast of
-    the component table onto the full doc list is SIZE-GATED, not forced:
-    the node set is ≪ corpus on clean corpora but O(corpus) at high
-    duplicate rates — exactly when dedup matters most — and an unconditional
-    broadcast hint would OOM the executors there. comp is checkpoint-
-    materialized, so the gating count is a cheap partition-count sum, not a
-    recompute. Above the gate the hint is omitted and AQE picks the join
-    strategy from runtime sizes. cluster_size and the keep rank share ONE
-    window shuffle on cluster_id. Value-hash-checked against DuckDB's
-    recursive-CTE closure + window twin."""
+    closure is localCheckpoint-backed, so reuse is free). The join of the
+    component table onto the full doc list carries NO strategy hint and no
+    pre-join count: the node set is ≪ corpus on clean corpora but
+    O(corpus) at high duplicate rates — exactly when dedup matters most —
+    so the right strategy is runtime-dependent, and AQE already converts
+    sort-merge → broadcast when the built side's ACTUAL size is under the
+    threshold (comp is checkpoint-materialized, so its stats are real).
+    cluster_size and the keep rank share ONE window shuffle on cluster_id.
+    Value-hash-checked against DuckDB's recursive-CTE closure + window
+    twin."""
     from nbi_oedi_etl_spark.workload_ext import portable_components
 
     docs = read_table(spark, sf_dir, "documents")
     comp = portable_components(spark, sf_dir)
-    # ~1M (long, long) rows ≈ 16 MB serialized — comfortably broadcastable;
-    # beyond that, let AQE decide from actual sizes.
-    comp_side = F.broadcast(comp) if comp.count() <= 1_000_000 else comp
     joined = docs.select("doc_id", "n_chars").join(
-        comp_side, docs.doc_id == comp.node, "left"
+        comp, docs.doc_id == comp.node, "left"
     )
     labeled = joined.select(
         "doc_id",
