@@ -72,6 +72,7 @@ def events_file_stream(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int | None = None,
+    stream_dir: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``sources.parquet.read_table(spark, sf_dir,
     "events")`` with ``ts`` normalized to TimestampType (callers pin the
@@ -84,15 +85,21 @@ def events_file_stream(
     ignores the legacy conf). Branching on the *inferred* dtype — instead
     of assuming one — is what keeps every streaming query runnable in
     both worlds.
+
+    ``stream_dir`` switches the source to a prepared drain directory
+    (heartbeat_drain_dir / epoch splits) that contains ONLY events-shaped
+    parquet files, while the schema still comes from the sf_dir fixture.
+    This is the ONE place ``nanosAsLong`` is ever set — always on the
+    scoped streaming clone the caller passes in, never the shared session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    reader = spark.readStream.schema(raw_schema).option(
-        "pathGlobFilter", "events.parquet"
-    )
+    reader = spark.readStream.schema(raw_schema)
+    if stream_dir is None:
+        reader = reader.option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(sf_dir)
+    stream = reader.parquet(stream_dir if stream_dir is not None else sf_dir)
     ts_dtype = dict(stream.dtypes).get("ts")
     if ts_dtype == "bigint":
         # ns-as-long: truncate to µs exactly like DuckDB/pyarrow.

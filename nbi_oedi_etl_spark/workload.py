@@ -1419,14 +1419,7 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = ingest.scoped_streaming_session(spark)
     d = ingest.heartbeat_drain_dir(sf_dir, [("view", -1)])
-    raw_schema = s.read.parquet(f"{sf_dir}/events.parquet").schema
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = s.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(d)
-    ts_dtype = dict(stream.dtypes).get("ts")
-    if ts_dtype == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_dtype == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = ingest.events_file_stream(s, sf_dir, max_files_per_trigger=1, stream_dir=d)
     sess = stateful.stateful_user_sessions(
         stream.select("user_id", "ts"), gap_seconds=1800
     )

@@ -237,14 +237,7 @@ def streaming_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> Data
 
     s = ingest.scoped_streaming_session(spark)
     d = ingest.heartbeat_drain_dir(sf_dir, [("click", -1), ("purchase", -2)])
-    raw_schema = s.read.parquet(f"{sf_dir}/events.parquet").schema
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = s.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(d)
-    ts_dtype = dict(stream.dtypes).get("ts")
-    if ts_dtype == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_dtype == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = ingest.events_file_stream(s, sf_dir, max_files_per_trigger=1, stream_dir=d)
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (

@@ -95,14 +95,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         state["version"] = batch_id
 
-    raw_schema = s.read.parquet(f"{sf_dir}/events.parquet").schema
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = s.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(src)
-    ts_dtype = dict(stream.dtypes).get("ts")
-    if ts_dtype == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_dtype == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = ingest.events_file_stream(s, sf_dir, max_files_per_trigger=1, stream_dir=src)
     q = (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", tempfile.mkdtemp())
