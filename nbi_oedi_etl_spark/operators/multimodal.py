@@ -10,10 +10,13 @@ the public uncompressed/stdlib-compressible formats:
 - BMP (uncompressed 24-bpp BI_RGB): header parse, 4-byte row padding,
   bottom-up row order (``decode_bmp``).
 - WAV (RIFF PCM-16): proper chunk walking (``decode_wav``).
+- JPEG (baseline/extended-sequential Huffman): full T.81 decode —
+  marker walk, DHT canonical codes, entropy decode, dequant, float64
+  IDCT, chroma upsampling, YCbCr→RGB (``operators/jpeg.py``).
 
 ``decode_image_real`` dispatches on magic bytes and raises only for
-formats whose codecs genuinely need an external library (JPEG/WebP —
-wire PIL/libvips there in an environment that has them). There is no
+formats whose codecs genuinely need an external library (WebP — wire
+PIL/libvips there in an environment that has them). There is no
 fake/stub decode path left; every shipped extractor decodes for real.
 
 Scale: mapInPandas streams Arrow record batches (bounded by
@@ -67,16 +70,20 @@ FRAME_SCHEMA = StructType(
 
 def decode_image_real(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL image decode, dispatched on magic bytes: PNG and BMP are
-    decoded by the pure-Python codecs in this module; formats that need an
-    external codec library (JPEG/WebP) raise NotImplementedError — wire
-    PIL/libvips here in an environment that has them. Returns (width,
-    height, channels, pixels) with pixels row-major top-down."""
+    decoded by the pure-Python codecs in this module, baseline JPEG by
+    ``operators/jpeg.py`` (huffman + dequant + IDCT + YCbCr, T.81 public
+    spec); only WebP still needs an external codec library
+    (NotImplementedError — wire PIL/libvips in an environment that has
+    them). Returns (width, height, channels, pixels) with pixels
+    row-major top-down."""
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG needs an external codec (PIL/libvips)")
+        from nbi_oedi_etl_spark.operators import jpeg
+
+        return jpeg.decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         raise NotImplementedError("WebP needs an external codec (PIL/libvips)")
     raise ValueError("unrecognized image payload")
@@ -414,6 +421,47 @@ def with_png_payload(
     return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
         _mk, schema
     )
+
+
+def with_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL baseline JPEG binary payload per row, closed-form:
+    grayscale, width = 8·(1 + id % 4), height = 8·(1 + id % 3); block k
+    (raster order) carries only the quantized DC coefficient
+    dc_k = ((id·7 + 13·k) mod 121) − 60 with a uniform-16 quant table,
+    so the block decodes to the flat value 128 + 2·dc_k EXACTLY (a
+    DC-only IDCT is flat, and dc·16/8 is an even integer — no rounding
+    ambiguity, no clipping for |dc| ≤ 60). DC difference coding, the
+    huffman tables, marker parsing and the IDCT all still run for real;
+    a SQL oracle predicts the decoded features analytically."""
+    from nbi_oedi_etl_spark.operators import jpeg
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = 1 + i % 4, 1 + i % 3
+                blocks = [
+                    [((i * 7 + 13 * k) % 121) - 60] + [0] * 63
+                    for k in range(bw * bh)
+                ]
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "payload": jpeg.encode_jpeg_gray(8 * bw, 8 * bh, blocks),
+                        "mime": "image/jpeg",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime"])
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("mime", StringType()),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(_mk, schema)
 
 
 def extract_image_features(payloads: DataFrame) -> DataFrame:

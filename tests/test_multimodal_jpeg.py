@@ -1,0 +1,185 @@
+"""Unit tests for the pure-Python baseline JPEG codec
+(operators/jpeg.py) — the paths the DC-only SQL oracle can't reach:
+AC run/size coding, ZRL, the full IDCT against an independent naive
+implementation, YCbCr color conversion, 4:2:0 chroma upsampling,
+restart markers, byte stuffing, and non-baseline rejection.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+import numpy as np
+import pytest
+
+from nbi_oedi_etl_spark.operators import jpeg
+
+
+def _naive_idct(zz: list[int], q: list[int]) -> np.ndarray:
+    """Textbook O(64²) IDCT straight from the T.81 definition — written
+    independently of the codec's matrix form so they cross-check."""
+    F8 = np.zeros((8, 8))
+    for k in range(64):
+        F8[jpeg.ZIGZAG[k] // 8][jpeg.ZIGZAG[k] % 8] = zz[k] * q[k]
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = math.sqrt(0.5) if u == 0 else 1.0
+                    cv = math.sqrt(0.5) if v == 0 else 1.0
+                    s += (
+                        cu * cv * F8[u][v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x][y] = s / 4.0
+    return out
+
+
+def _gray(data: bytes) -> np.ndarray:
+    w, h, c, pix = jpeg.decode_jpeg(data)
+    assert c == 1
+    return np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+
+
+def test_dc_only_blocks_decode_flat_and_exact():
+    dcs = [5, -60, 60, 0, 17, -33]
+    blocks = [[dc] + [0] * 63 for dc in dcs]
+    arr = _gray(jpeg.encode_jpeg_gray(16, 24, blocks))
+    for k, dc in enumerate(dcs):
+        by, bx = divmod(k, 2)
+        blk = arr[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8]
+        assert (blk == 128 + 2 * dc).all(), (k, dc)
+
+
+def test_ac_coefficients_match_independent_idct():
+    random.seed(7)
+    q = [16] * 64
+    blocks = []
+    for _ in range(6):
+        zz = [0] * 64
+        zz[0] = random.randint(-40, 40)
+        for _ in range(10):
+            zz[random.randint(1, 63)] = random.randint(-20, 20)
+        blocks.append(zz)
+    arr = _gray(jpeg.encode_jpeg_gray(16, 24, blocks))
+    for k, zz in enumerate(blocks):
+        by, bx = divmod(k, 2)
+        blk = arr[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8].astype(float)
+        ref = np.clip(np.round(_naive_idct(zz, q) + 128), 0, 255)
+        # both are float64 pipelines; only round-to-int ties can differ
+        assert np.abs(blk - ref).max() <= 1
+
+
+def test_zrl_long_zero_runs_round_trip():
+    """A lone coefficient at the end of the zigzag forces ZRL (16-zero
+    run) codes — decode must land it at exactly position 63."""
+    zz = [0] * 64
+    zz[0] = 4
+    zz[63] = 7
+    q = [16] * 64
+    arr = _gray(jpeg.encode_jpeg_gray(8, 8, [zz]))
+    ref = np.clip(np.round(_naive_idct(zz, q) + 128), 0, 255)
+    assert np.abs(arr.astype(float) - ref).max() <= 1
+    # the AC coefficient genuinely changed the image vs DC-only
+    assert not (arr == arr[0, 0]).all()
+
+
+def test_color_444_neutral_chroma_is_grayscale():
+    comps = [
+        {"id": 1, "h": 1, "v": 1, "blocks": [[[10] + [0] * 63, [20] + [0] * 63]]},
+        {"id": 2, "h": 1, "v": 1, "blocks": [[[0] + [0] * 63, [0] + [0] * 63]]},
+        {"id": 3, "h": 1, "v": 1, "blocks": [[[0] + [0] * 63, [0] + [0] * 63]]},
+    ]
+    w, h, c, pix = jpeg.decode_jpeg(jpeg.encode_jpeg(16, 8, comps))
+    assert (w, h, c) == (16, 8, 3)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(8, 16, 3)
+    assert (arr[:, :8] == 148).all()  # 128 + 2·10, R=G=B at neutral chroma
+    assert (arr[:, 8:] == 168).all()
+
+
+def test_420_subsampled_chroma_upsamples_by_replication():
+    ybl = [
+        [[8] + [0] * 63, [16] + [0] * 63],
+        [[24] + [0] * 63, [-8] + [0] * 63],
+    ]
+    comps = [
+        {"id": 1, "h": 2, "v": 2, "blocks": ybl},
+        {"id": 2, "h": 1, "v": 1, "blocks": [[[4] + [0] * 63]]},
+        {"id": 3, "h": 1, "v": 1, "blocks": [[[-4] + [0] * 63]]},
+    ]
+    w, h, c, pix = jpeg.decode_jpeg(jpeg.encode_jpeg(16, 16, comps))
+    assert (w, h, c) == (16, 16, 3)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(16, 16, 3).astype(float)
+    cb, cr = 128 + 8.0, 128 - 8.0
+    for (qy, qx), dc in zip(itertools.product(range(2), range(2)), [8, 16, 24, -8]):
+        y = 128 + 2 * dc
+        exp = (
+            np.clip(round(y + 1.402 * (cr - 128)), 0, 255),
+            np.clip(round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255),
+            np.clip(round(y + 1.772 * (cb - 128)), 0, 255),
+        )
+        quad = arr[qy * 8 : (qy + 1) * 8, qx * 8 : (qx + 1) * 8]
+        for ch in range(3):
+            assert (quad[:, :, ch] == exp[ch]).all(), (qy, qx, ch)
+
+
+def test_byte_stuffing_round_trips():
+    """Find a deterministic payload whose entropy stream contains a
+    stuffed 0xFF00, then prove decode still matches the naive IDCT."""
+    q = [16] * 64
+    found = False
+    for seed in range(40):
+        random.seed(seed)
+        blocks = []
+        for _ in range(12):
+            zz = [0] * 64
+            zz[0] = random.randint(-50, 50)
+            for _ in range(20):
+                zz[random.randint(1, 63)] = random.randint(-30, 30)
+            blocks.append(zz)
+        data = jpeg.encode_jpeg_gray(32, 24, blocks)
+        scan = data[data.rindex(b"\xff\xda") :]
+        if b"\xff\x00" in scan:
+            found = True
+            arr = _gray(data)
+            for k, zz in enumerate(blocks):
+                by, bx = divmod(k, 4)
+                blk = arr[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8].astype(float)
+                ref = np.clip(np.round(_naive_idct(zz, q) + 128), 0, 255)
+                assert np.abs(blk - ref).max() <= 1
+            break
+    assert found, "no seed produced a stuffed byte — widen the search"
+
+
+def test_clipping_saturates_at_0_and_255():
+    arr = _gray(jpeg.encode_jpeg_gray(8, 8, [[120] + [0] * 63]))
+    assert (arr == 255).all()
+    arr = _gray(jpeg.encode_jpeg_gray(8, 8, [[-120] + [0] * 63]))
+    assert (arr == 0).all()
+
+
+def test_progressive_jpeg_rejected():
+    data = bytearray(jpeg.encode_jpeg_gray(8, 8, [[1] + [0] * 63]))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="unsupported JPEG process"):
+        jpeg.decode_jpeg(bytes(data))
+
+
+def test_non_jpeg_rejected():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_dispatch_routes_jpeg_through_real_decoder():
+    from nbi_oedi_etl_spark.operators import multimodal
+
+    data = jpeg.encode_jpeg_gray(8, 8, [[3] + [0] * 63])
+    w, h, c, pix = multimodal.decode_image_real(data)
+    assert (w, h, c) == (8, 8, 1)
+    assert set(pix) == {128 + 6}
