@@ -38,10 +38,11 @@ def shard_slot_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand, deterministic). Σ slots == 1000 EXACTLY — the property
     floats can't give you.
 
-    Exactness: quotas are rationals of exact BIGINTs; the remainder
-    comparison uses the integer numerator slots·cents·T⁻¹ mod — here
-    compared as slots·cents − ⌊quota⌋·T, an exact BIGINT (no float
-    enters the ordering at all).
+    Exactness: the whole allocation stays in BIGINTs — ⌊quota⌋ is the
+    integer quotient (slots·cents) div T (Spark ``div`` / DuckDB ``//``)
+    and the remainder ordering uses (slots·cents) mod T; no float enters
+    the arithmetic anywhere, so Σ slots == budget holds even where
+    slots·cents exceeds 2⁵³ (the 100 TB posture).
 
     Plan/scale: one brand rollup (broadcast part dim), then
     vocabulary-sized window work on the ~25-row brand table.
@@ -59,7 +60,9 @@ def shard_slot_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "cents",
         "total",
-        F.floor(F.lit(_SLOTS) * F.col("cents") / F.col("total")).cast("bigint").alias("base"),
+        # integer `div`, not floor(double /): past 2^53 the float floor can
+        # disagree with the exact quotient and break Σ slots == budget
+        F.expr(f"({_SLOTS}L * cents) div total").cast("bigint").alias("base"),
         # exact integer remainder numerator: slots·cents mod total
         ((F.lit(_SLOTS) * F.col("cents")) % F.col("total")).alias("rem_num"),
     )
@@ -90,7 +93,7 @@ WITH per AS (
 ), t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per),
 q AS (
   SELECT p_brand, cents, total,
-         CAST(floor({_SLOTS} * cents / total) AS BIGINT) AS base,
+         CAST(({_SLOTS} * cents) // total AS BIGINT) AS base,
          ({_SLOTS} * cents) % total AS rem_num
   FROM per CROSS JOIN t
 ), r AS (

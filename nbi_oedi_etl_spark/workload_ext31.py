@@ -241,7 +241,8 @@ FROM top a JOIN top b ON a.journey < b.journey
 
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue per user by cohort age: users grouped by
-    first-seen ISO week; for each (cohort_week, weeks_since) cell, the
+    first-seen ISO week (keyed by the week's Monday DATE, so cohorts
+    never collide across years); for each (cohort_week, weeks_since) cell, the
     cumulative purchase value per cohort user up to that age — the LTV
     curve read off the retention matrix.
 
@@ -254,15 +255,20 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_table(spark, sf_dir, "events")
     fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("fd"))
+    # ISO-week START DATE, not weekofyear(): the bare week number collides
+    # across years (2024-W03 and 2025-W03 would merge) on any multi-year
+    # corpus; date_trunc('week') keys the cohort by its Monday, unique
+    # across years, identically in both engines
+    cohort_week = F.to_date(F.date_trunc("week", F.col("fd")))
     cohort_size = fs.groupBy(
-        F.weekofyear("fd").alias("cohort_week")
+        cohort_week.alias("cohort_week")
     ).agg(F.countDistinct("user_id").alias("n_users"))
     cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.to_date("ts").alias("d"), cents.alias("cents")
     )
     aged = purchases.join(fs, "user_id").select(
-        F.weekofyear("fd").alias("cohort_week"),
+        cohort_week.alias("cohort_week"),
         F.floor(F.datediff("d", "fd") / 7).cast("bigint").alias("weeks_since"),
         "cents",
     )
@@ -276,7 +282,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell.withColumn("cum_cents", F.sum("cents").over(wcum))
         .join(F.broadcast(cohort_size), "cohort_week")
         .select(
-            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("cohort_week"),
             "weeks_since",
             F.col("n_users").cast("long").alias("cohort_users"),
             F.round(F.col("cum_cents").cast("double") / F.lit(100.0), 2).alias(
@@ -296,10 +302,11 @@ COHORT_LTV_ORACLE = """
 WITH fs AS (
   SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY user_id
 ), cs AS (
-  SELECT weekofyear(fd) AS cohort_week, count(DISTINCT user_id) AS n_users
+  SELECT CAST(date_trunc('week', fd) AS DATE) AS cohort_week,
+         count(DISTINCT user_id) AS n_users
   FROM fs GROUP BY 1
 ), aged AS (
-  SELECT weekofyear(fs.fd) AS cohort_week,
+  SELECT CAST(date_trunc('week', fs.fd) AS DATE) AS cohort_week,
          CAST(floor(date_diff('day', fs.fd, CAST(e.ts AS DATE)) / 7.0)
               AS BIGINT) AS weeks_since,
          CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS cents
@@ -314,7 +321,7 @@ WITH fs AS (
                           ROWS UNBOUNDED PRECEDING) AS cum_cents
   FROM cell
 )
-SELECT CAST(cum.cohort_week AS BIGINT) AS cohort_week, weeks_since,
+SELECT cum.cohort_week AS cohort_week, weeks_since,
        CAST(cs.n_users AS BIGINT) AS cohort_users,
        round(CAST(cum_cents AS DOUBLE) / 100.0, 2) AS cum_revenue,
        round(CAST(cum_cents AS DOUBLE) / 100.0 / CAST(cs.n_users AS DOUBLE), 6)

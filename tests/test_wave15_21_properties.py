@@ -58,11 +58,35 @@ def _part_dir(rows: list[tuple]) -> str:
 
 def test_roc_auc_matches_direct_rank_formula(spark):
     """The distributed two-pass AUC equals the single-machine tie-aware
-    rank-sum formula computed in Python from the same scores."""
+    rank-sum formula computed in Python from the same scores.
+
+    Tie groups are built from the EXACT quantized-logit integer k
+    (re-derived here from the embeddings + md5 weight bridge), not the
+    6-decimal rounded published score — two distinct k values that round
+    to the same score must stay separate rank groups, exactly as the
+    distributed ranking treats them."""
+    import hashlib
+
     qs = workload.queries()
     row = qs["classifier_roc_auc"](spark, SF).collect()[0]
-    scored = qs["quality_classifier_inference"](spark, SF).collect()
-    pairs = sorted((r["score"], 1 if r["label"] >= 5 else 0) for r in scored)
+    emb = pq.read_table(SF + "/embeddings.parquet").to_pylist()
+    wcache: dict[int, float] = {}
+
+    def wgt(i: int) -> float:
+        if i not in wcache:
+            h = int(hashlib.md5(f"w|{i}".encode()).hexdigest()[:15], 16)
+            wcache[i] = h / float(2**60) - 0.5
+        return wcache[i]
+
+    def exact_k(vec: list[float]) -> int:
+        return sum(
+            int(math.floor(float(x) * wgt(i) * 1e9 + 0.5))
+            for i, x in enumerate(vec)
+        )
+
+    pairs = sorted(
+        (exact_k(r["embedding"]), 1 if r["label"] >= 5 else 0) for r in emb
+    )
     # tie-aware average ranks over ascending scores
     n = len(pairs)
     s2 = 0  # sum over positives of 2*avg_rank
