@@ -97,6 +97,7 @@ HEADLINE = [
     "near_dup_keep_best",
     # round-4 additions
     "multimodal_image_features",
+    "multimodal_jpeg_features",
     "near_dup_pipeline_portable",
     "doc_bm25_top_terms",
     "embedding_int8_quantization",

@@ -257,8 +257,10 @@ def test_multimodal_resize_real_roundtrip(spark):
 
 
 def test_decode_dispatch_unavailable_codecs_raise():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(b"\xff\xd8\xff\xe0----")  # JPEG magic
+    # JPEG now routes to the real baseline decoder (round 5); a payload
+    # with JPEG magic but no frame is a decode error, not a codec gap
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        multimodal.decode_image_real(b"\xff\xd8\xff\xe0\x00\x04--")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"RIFF\x00\x00\x00\x00WEBP")
     with pytest.raises(ValueError):
