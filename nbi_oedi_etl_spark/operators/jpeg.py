@@ -225,6 +225,7 @@ def encode_jpeg(
     height: int,
     components: list[dict],
     quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JPEG from caller-supplied QUANTIZED zigzag coefficients.
 
@@ -256,6 +257,8 @@ def encode_jpeg(
     ):
         body = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     sos = bytearray([nc])
     for c in components:
         sos += bytes([c["id"], 0x00])
@@ -266,13 +269,21 @@ def encode_jpeg(
     ac_codes = _canonical_codes(STD_AC_BITS, STD_AC_VALS)
     bw = _BitWriter()
     preds = [0] * nc
+    mcu_count = 0
+    rst_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()  # pad to byte boundary before the marker
+                bw.out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+                rst_idx = (rst_idx + 1) & 7
+                preds = [0] * nc
             for ci, c in enumerate(components):
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         blk = c["blocks"][my * c["v"] + by][mx * c["h"] + bx]
                         preds[ci] = _encode_block(bw, blk, preds[ci], dc_codes, ac_codes)
+            mcu_count += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI

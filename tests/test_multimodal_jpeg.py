@@ -183,3 +183,25 @@ def test_dispatch_routes_jpeg_through_real_decoder():
     w, h, c, pix = multimodal.decode_image_real(data)
     assert (w, h, c) == (8, 8, 1)
     assert set(pix) == {128 + 6}
+
+
+def test_restart_markers_reset_dc_predictors():
+    """DRI + RSTn: the decoder must realign to the byte boundary at each
+    restart marker and reset every DC predictor — predictor carry-over
+    across a restart is the classic corruption bug this pins."""
+    dcs = [30, 31, 32, 33, -20, -21]  # nonzero diffs across every boundary
+    blocks = [[dc] + [0] * 63 for dc in dcs]
+    bx = 3
+    grid = [blocks[r * bx : (r + 1) * bx] for r in range(2)]
+    data = jpeg.encode_jpeg(
+        24, 16, [{"id": 1, "h": 1, "v": 1, "blocks": grid}], restart_interval=2
+    )
+    assert b"\xff\xdd" in data  # DRI present
+    scan = data[data.rindex(b"\xff\xda") :]
+    assert b"\xff\xd0" in scan and b"\xff\xd1" in scan  # RST0, RST1 emitted
+    w, h, c, pix = jpeg.decode_jpeg(data)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+    for k, dc in enumerate(dcs):
+        by, bxx = divmod(k, bx)
+        blk = arr[by * 8 : (by + 1) * 8, bxx * 8 : (bxx + 1) * 8]
+        assert (blk == 128 + 2 * dc).all(), (k, dc, int(blk[0, 0]))
