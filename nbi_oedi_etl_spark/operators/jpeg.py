@@ -310,8 +310,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
     Returns (width, height, channels, pixels) — pixels row-major
     top-down, interleaved RGB for 3-component scans, luma bytes for
-    grayscale. Raises ValueError for non-baseline processes.
+    grayscale. Raises ValueError for non-baseline processes AND for any
+    truncated/corrupt stream — never IndexError/KeyError, so the
+    quarantine catch in ``extract_image_features`` (log-and-drop, not
+    job-abort) always sees a codec error it handles.
     """
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError) as e:
+        raise ValueError(f"corrupt JPEG: {e!r}") from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, list[int]] = {}
@@ -326,6 +336,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             i += 1
             continue
         marker = data[i + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: fill bytes before a marker
+            i += 1
+            continue
         i += 2
         if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD8:
             continue
@@ -346,6 +359,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     qt[tq] = list(seg[j : j + 64])
                     j += 64
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            if seg[0] != 8:  # SOF1 permits 12-bit samples; only 8 is wired
+                raise ValueError(f"unsupported JPEG sample precision {seg[0]}")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             comps = []
@@ -379,6 +394,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("truncated JPEG (no frame/scan)")
 
     w, h, comps = frame
+    # the MCU loop below implements the fully-interleaved scan order; a
+    # partial scan (Ns < Nf, i.e. multi-scan non-interleaved coding) or a
+    # single-component scan with sampling factors would decode to silently
+    # scrambled pixels — refuse rather than emit wrong data
+    if len(scan_comps) != len(comps):
+        raise ValueError("non-interleaved multi-scan JPEG not supported")
+    if len(comps) == 1 and (comps[0][1], comps[0][2]) != (1, 1):
+        raise ValueError("single-component scan with sampling factors not supported")
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * max_h))

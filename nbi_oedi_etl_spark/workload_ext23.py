@@ -106,7 +106,15 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v_num").alias("raw_max_num"),
             F.min("v_str").cast("string").alias("min_str"),
             F.max("v_str").cast("string").alias("max_str"),
-            F.sum(_entropy_expr(F.col("cnt"), F.col("total"))).alias("t9_sum"),
+            # entropy terms only for the categorical columns — the
+            # divide/ln/round work must not ride along on every distinct
+            # orderkey/custkey/price value just to be discarded later
+            F.sum(
+                F.when(
+                    F.col("column").isin(*ent_cols),
+                    _entropy_expr(F.col("cnt"), F.col("total")),
+                )
+            ).alias("t9_sum"),
         )
     )
     return prof.select(

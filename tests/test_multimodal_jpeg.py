@@ -205,3 +205,55 @@ def test_restart_markers_reset_dc_predictors():
         by, bxx = divmod(k, bx)
         blk = arr[by * 8 : (by + 1) * 8, bxx * 8 : (bxx + 1) * 8]
         assert (blk == 128 + 2 * dc).all(), (k, dc, int(blk[0, 0]))
+
+
+def test_truncated_and_corrupt_payloads_raise_valueerror_only():
+    """Corrupt streams must surface as ValueError (the quarantine catch
+    in extract_image_features), never IndexError/KeyError."""
+    valid = jpeg.encode_jpeg_gray(16, 16, [[d] + [0] * 63 for d in (1, 2, 3, 4)])
+    for bad in (
+        valid[:-6],            # truncated mid-entropy
+        b"\xff\xd8\xff",       # bare SOI + half marker
+        valid[: valid.index(b"\xff\xda") + 4],  # cut inside SOS header
+    ):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(bad)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    the walk must not read the fill byte as a marker."""
+    data = jpeg.encode_jpeg_gray(8, 8, [[7] + [0] * 63])
+    i = data.index(b"\xff\xdb")  # inject fills before DQT
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    w, h, c, pix = jpeg.decode_jpeg(padded)
+    assert (w, h, c) == (8, 8, 1)
+    assert set(pix) == {128 + 14}
+
+
+def test_12bit_precision_rejected():
+    data = bytearray(jpeg.encode_jpeg_gray(8, 8, [[1] + [0] * 63]))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC1  # SOF1 (extended sequential) permits 12-bit
+    data[i + 4] = 12  # sample precision byte
+    with pytest.raises(ValueError, match="sample precision"):
+        jpeg.decode_jpeg(bytes(data))
+
+
+def test_non_interleaved_multi_scan_rejected():
+    """A 3-component frame whose SOS covers only one component (the
+    non-interleaved coding our MCU loop doesn't implement) must refuse
+    rather than emit scrambled pixels."""
+    z = [0] * 63
+    comps = [
+        {"id": 1, "h": 1, "v": 1, "blocks": [[[1] + z]]},
+        {"id": 2, "h": 1, "v": 1, "blocks": [[[0] + z]]},
+        {"id": 3, "h": 1, "v": 1, "blocks": [[[0] + z]]},
+    ]
+    data = jpeg.encode_jpeg(8, 8, comps)
+    i = data.index(b"\xff\xda")
+    # original SOS: len=12, ns=3; rewrite to a 1-component scan header
+    one_comp_sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    patched = data[:i] + one_comp_sos + data[i + 14 :]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg.decode_jpeg(patched)
