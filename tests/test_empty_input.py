@@ -37,6 +37,8 @@ _REPRESENTATIVES = [
     "hll_tokens_by_source",
     "copurchase_triangles",
     "weighted_reservoir_docs",
+    # round 5: mapInPandas codec path on a 0-row documents table
+    "multimodal_jpeg_features",
     # wave 6: plan-build-time ln(count) literals are the hazard class
     "doc_sparse_cosine_pairs",
     "winnowing_fingerprints",
