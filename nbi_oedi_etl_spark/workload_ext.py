@@ -514,10 +514,14 @@ def _portable_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def _portable_minhash_pairs(docs: DataFrame) -> DataFrame:
+def _portable_minhash_pairs(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """Candidate-pair core of :func:`minhash_lsh_portable` (shared with the
-    portable cluster query)."""
-    sig = _portable_signatures(docs)
+    portable cluster query). Pass a pre-materialized ``sig`` (e.g. a
+    localCheckpoint of :func:`_portable_signatures`) to share ONE run of
+    the signature pipeline across this self-join and any other consumer —
+    the estimator audit otherwise re-derives signatures up to 4×."""
+    if sig is None:
+        sig = _portable_signatures(docs)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

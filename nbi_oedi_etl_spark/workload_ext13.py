@@ -361,7 +361,10 @@ def minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signatures and candidate pairs are the SAME stages the
     production pipeline runs (shared helpers); exact Jaccard touches
     candidates only. est = k/8 is exactly representable in double (k ≤ 8),
-    so even the error column value-hash-checks.
+    so even the error column value-hash-checks. The signature table is
+    localCheckpoint-materialized ONCE and feeds both the banded self-join
+    and the per-side agreement lookups — without it the explode + window
+    + 8-seed md5 pipeline runs up to 4× inside one plan.
     """
     from nbi_oedi_etl_spark.operators import dedup
     from nbi_oedi_etl_spark.workload_ext import (
@@ -370,8 +373,8 @@ def minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = _portable_minhash_pairs(docs)
-    sig = _portable_signatures(docs)
+    sig = _portable_signatures(docs).localCheckpoint(eager=True)
+    pairs = _portable_minhash_pairs(docs, sig=sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_id_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)],
