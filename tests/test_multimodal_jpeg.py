@@ -257,3 +257,41 @@ def test_non_interleaved_multi_scan_rejected():
     patched = data[:i] + one_comp_sos + data[i + 14 :]
     with pytest.raises(ValueError, match="non-interleaved"):
         jpeg.decode_jpeg(patched)
+
+
+# ------------------------- property-based round-trip (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _zigzag_blocks(draw):
+    n_blocks = draw(st.integers(min_value=1, max_value=4))
+    blocks = []
+    for _ in range(n_blocks):
+        zz = [0] * 64
+        zz[0] = draw(st.integers(min_value=-60, max_value=60))
+        for pos in draw(
+            st.lists(st.integers(min_value=1, max_value=63), max_size=12, unique=True)
+        ):
+            zz[pos] = draw(st.integers(min_value=-30, max_value=30))
+        blocks.append(zz)
+    return blocks
+
+
+@settings(max_examples=60, deadline=None)
+@given(_zigzag_blocks())
+def test_any_coefficient_block_round_trips(blocks):
+    """For ANY quantized coefficient content (random DC + up to 12 AC
+    coefficients per block), encode→decode must reproduce the naive-IDCT
+    reconstruction pixel-for-pixel (± round-half ties). Exercises every
+    run/size category, ZRL placement, and DC-diff magnitude the
+    generator can reach."""
+    q = [16] * 64
+    w, h = 8 * len(blocks), 8
+    arr = _gray(jpeg.encode_jpeg_gray(w, h, blocks))
+    for k, zz in enumerate(blocks):
+        blk = arr[0:8, k * 8 : (k + 1) * 8].astype(float)
+        ref = np.clip(np.round(_naive_idct(zz, q) + 128), 0, 255)
+        assert np.abs(blk - ref).max() <= 1
