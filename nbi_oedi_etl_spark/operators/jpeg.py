@@ -317,7 +317,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """
     try:
         return _decode_jpeg(data)
-    except (IndexError, KeyError) as e:
+    except (IndexError, KeyError, ZeroDivisionError) as e:
+        # ZeroDivisionError: a corrupt SOF can declare all-zero sampling
+        # factors, which zeroes the MCU grid divisor
         raise ValueError(f"corrupt JPEG: {e!r}") from e
 
 

@@ -295,3 +295,31 @@ def test_any_coefficient_block_round_trips(blocks):
         blk = arr[0:8, k * 8 : (k + 1) * 8].astype(float)
         ref = np.clip(np.round(_naive_idct(zz, q) + 128), 0, 255)
         assert np.abs(blk - ref).max() <= 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_fuzzed_payloads_never_escape_the_quarantine_contract(junk):
+    """decode_jpeg on arbitrary bytes (raw, and SOI-prefixed so the
+    marker walk actually runs) must either succeed or raise ValueError —
+    never IndexError/KeyError/struct.error — because
+    extract_image_features' per-row quarantine catches exactly
+    (ValueError, NotImplementedError)."""
+    for payload in (junk, b"\xff\xd8" + junk):
+        try:
+            jpeg.decode_jpeg(payload)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=40), st.integers(min_value=0, max_value=400))
+def test_truncations_of_a_valid_jpeg_raise_valueerror(tail, cut):
+    """Every truncation point of a real payload (optionally with junk
+    appended) stays inside the ValueError contract."""
+    data = jpeg.encode_jpeg_gray(16, 16, [[d] + [0] * 63 for d in (9, -9, 33, -33)])
+    trunc = data[: min(cut, len(data) - 1)] + tail
+    try:
+        jpeg.decode_jpeg(trunc)
+    except ValueError:
+        pass
