@@ -1025,3 +1025,12 @@ def test_column_profile_has_no_expand(spark):
     df = _plan(spark, "orders_column_profile")
     plan = physical_plan(df)
     assert "Expand" not in plan, "multi-distinct Expand reintroduced"
+
+
+def test_multimodal_jpeg_pipeline_is_shuffle_free(spark):
+    """multimodal_jpeg_features: payload build + decode are two chained
+    mapInPandas stages over the documents scan — one narrow pipeline,
+    no Exchange anywhere."""
+    df = _plan(spark, "multimodal_jpeg_features")
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, "codec pipeline must stay narrow"
