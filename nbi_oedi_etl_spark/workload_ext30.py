@@ -150,11 +150,13 @@ def order_price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     n_tot = o.count()
     # bin b holds ranks r with floor((r-1)·B/N) = b, i.e.
     # r ∈ [⌈b·N/B⌉ + 1, ⌈(b+1)·N/B⌉] — ceil, not floor: with N=25, B=10
-    # bin 0 is ranks 1..3, not 1..2
+    # bin 0 is ranks 1..3, not 1..2. The ceil is EXACT integer arithmetic
+    # ((a + B − 1) div B), not ceil of a double quotient — b·N can pass
+    # 2⁵³ at the 100 TB posture, where the float ceil goes off-by-one
     bins = spark.range(_BINS).select(
         F.col("id").cast("bigint").alias("bin"),
-        (F.ceil(F.col("id") * F.lit(n_tot) / F.lit(_BINS)) + 1).alias("r_lo"),
-        F.ceil((F.col("id") + 1) * F.lit(n_tot) / F.lit(_BINS)).alias("r_hi"),
+        (F.expr(f"(id * {n_tot}L + {_BINS - 1}) div {_BINS}") + 1).alias("r_lo"),
+        F.expr(f"((id + 1) * {n_tot}L + {_BINS - 1}) div {_BINS}").alias("r_hi"),
     )
     j = ranked.join(
         F.broadcast(bins),
@@ -188,7 +190,7 @@ WITH v AS (
          count(*) OVER () AS n
   FROM v
 ), b AS (
-  SELECT v, CAST(floor((rn - 1) * {_BINS} / n) AS BIGINT) AS bin FROM r
+  SELECT v, CAST(((rn - 1) * {_BINS}) // n AS BIGINT) AS bin FROM r
 )
 SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
        round(CAST(min(v) AS DOUBLE) / 100.0, 2) AS bin_lo,
