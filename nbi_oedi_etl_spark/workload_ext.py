@@ -549,6 +549,29 @@ def _portable_minhash_pairs(docs: DataFrame, sig: DataFrame | None = None) -> Da
     )
 
 
+_PORTABLE_SIG_CACHE: dict = {}
+
+
+def portable_signatures_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized, localCheckpoint-materialized portable MinHash signature
+    table over the standard documents fixture — the signature pipeline
+    (tokenize → window lead shingles → distinct → 8 md5 min-aggregates)
+    is the shared front of minhash_lsh_portable, near_dup_pipeline_portable,
+    the cluster queries (via portable_components), and the estimator
+    audit; without the cache one bench/driver session re-runs it ~5×.
+    Same keying and staleness argument as ``portable_components``:
+    (session, sf_dir), immutable testdata directories. ONLY for the
+    standard corpus — callers with filtered/synthetic doc frames keep
+    building signatures directly."""
+    key = (id(spark), sf_dir)
+    sig = _PORTABLE_SIG_CACHE.get(key)
+    if sig is None:
+        docs = read_table(spark, sf_dir, "documents")
+        sig = _portable_signatures(docs).localCheckpoint(eager=True)
+        _PORTABLE_SIG_CACHE[key] = sig
+    return sig
+
+
 _PORTABLE_COMPONENTS_CACHE: dict = {}
 
 
@@ -570,7 +593,9 @@ def portable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = _PORTABLE_COMPONENTS_CACHE.get(key)
     if comp is None:
         docs = read_table(spark, sf_dir, "documents")
-        comp = dedup.connected_components(_portable_minhash_pairs(docs))
+        comp = dedup.connected_components(
+            _portable_minhash_pairs(docs, sig=portable_signatures_cached(spark, sf_dir))
+        )
         _PORTABLE_COMPONENTS_CACHE[key] = comp
     return comp
 
@@ -586,7 +611,10 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc min-aggregate → band self-join on (band, v1, v2); md5-per-seed
     is ~4× the hashing cost of xxhash64, which is why it's the parity
     variant, not the default."""
-    return _portable_minhash_pairs(read_table(spark, sf_dir, "documents"))
+    return _portable_minhash_pairs(
+        read_table(spark, sf_dir, "documents"),
+        sig=portable_signatures_cached(spark, sf_dir),
+    )
 
 
 MINHASH_PORTABLE_ORACLE = r"""
@@ -628,7 +656,7 @@ def near_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return dedup.dedup_clusters(
         docs,
-        _portable_minhash_pairs(docs),
+        _portable_minhash_pairs(docs, sig=portable_signatures_cached(spark, sf_dir)),
         components=portable_components(spark, sf_dir),
     )
 
@@ -645,7 +673,9 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nbi_oedi_etl_spark.operators import dedup
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = _portable_minhash_pairs(docs)
+    pairs = _portable_minhash_pairs(
+        docs, sig=portable_signatures_cached(spark, sf_dir)
+    )
     return dedup.dedup_clusters(
         docs, pairs, components=dedup.connected_components_star(pairs)
     )

@@ -369,11 +369,11 @@ def minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nbi_oedi_etl_spark.operators import dedup
     from nbi_oedi_etl_spark.workload_ext import (
         _portable_minhash_pairs,
-        _portable_signatures,
+        portable_signatures_cached,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    sig = _portable_signatures(docs).localCheckpoint(eager=True)
+    sig = portable_signatures_cached(spark, sf_dir)
     pairs = _portable_minhash_pairs(docs, sig=sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_id_a"),

@@ -303,11 +303,16 @@ def near_dup_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |docs|-row source map twice (broadcast); everything else is
     source-cardinality-sized.
     """
-    from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
+    from nbi_oedi_etl_spark.workload_ext import (
+        _portable_minhash_pairs,
+        portable_signatures_cached,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     src = docs.select("doc_id", "source")
-    pairs = _portable_minhash_pairs(docs)
+    pairs = _portable_minhash_pairs(
+        docs, sig=portable_signatures_cached(spark, sf_dir)
+    )
     e = (
         pairs.join(
             src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa")),

@@ -528,10 +528,15 @@ def near_dup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFra
     components LSH collisions produce (measured: minutes at sf0.1 vs
     seconds with per-level dedup).
     """
-    from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
+    from nbi_oedi_etl_spark.workload_ext import (
+        _portable_minhash_pairs,
+        portable_signatures_cached,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = _portable_minhash_pairs(docs).selectExpr(
+    pairs = _portable_minhash_pairs(
+        docs, sig=portable_signatures_cached(spark, sf_dir)
+    ).selectExpr(
         "doc_id_a AS u", "doc_id_b AS v"
     )
     # The recursive step re-evaluates its source once PER ITERATION —

@@ -556,10 +556,15 @@ def near_dup_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape is identical to the production variant: the Jaccard join
     touches only the bounded candidate set, never all-pairs."""
     from nbi_oedi_etl_spark.operators import dedup
-    from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
+    from nbi_oedi_etl_spark.workload_ext import (
+        _portable_minhash_pairs,
+        portable_signatures_cached,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = _portable_minhash_pairs(docs)
+    pairs = _portable_minhash_pairs(
+        docs, sig=portable_signatures_cached(spark, sf_dir)
+    )
     scored = dedup.ngram_jaccard(docs, pairs)
     return scored.where(F.col("jaccard") >= 0.5)
 

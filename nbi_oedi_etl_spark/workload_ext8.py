@@ -625,10 +625,15 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays are built only for candidate docs; set arithmetic runs via
     array built-ins."""
     from nbi_oedi_etl_spark.operators.dedup import shingles
-    from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
+    from nbi_oedi_etl_spark.workload_ext import (
+        _portable_minhash_pairs,
+        portable_signatures_cached,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = _portable_minhash_pairs(docs).cache()
+    pairs = _portable_minhash_pairs(
+        docs, sig=portable_signatures_cached(spark, sf_dir)
+    ).cache()
     ids = (
         pairs.select(F.col("doc_id_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
