@@ -144,11 +144,18 @@ def test_embedding_norm_stats_single_shuffle(spark):
     assert "partial_count" in final or "partial_sum" in final
 
 
-def test_minhash_portable_reuses_signature_exchange(spark):
-    """The portable-hash LSH self-join must reuse the banded-signature
-    exchange, same as the xxhash64 production path."""
+def test_minhash_portable_signature_pipeline_runs_once(spark):
+    """The portable-hash LSH self-join must never re-derive the signature
+    pipeline per side. Round 5 upgraded the sharing mechanism from
+    ReusedExchange to a session-memoized localCheckpoint
+    (portable_signatures_cached): the executed plan reads the
+    materialized checkpoint on every side and contains ZERO md5
+    signature computation — the stronger form of the same guarantee
+    (and it now also spans QUERIES, not just join sides)."""
     df = _plan(spark, "minhash_lsh_portable")
-    assert "ReusedExchange" in physical_plan(df)
+    plan = physical_plan(df)
+    assert "Scan ExistingRDD" in plan, "checkpointed signatures not used"
+    assert "md5" not in plan, "signature pipeline re-derived inside the query"
 
 
 def test_asof_join_single_shuffle(spark):
