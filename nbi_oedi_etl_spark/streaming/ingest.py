@@ -234,7 +234,16 @@ def heartbeat_drain_dir(
     base = os.path.getmtime(f"{d}/events.parquet")
     for i, year in enumerate(years):
         n = len(sentinel_rows)
-        tbl = pa.concat_tables([t.slice(0, 1)] * n)
+        if len(t) == 0:
+            # 0-row source: there is no template row to clone — synthesize
+            # null rows on the same schema (the fields the drain needs are
+            # overwritten below; the rest stay null and every caller
+            # already excludes the negative sentinel user_ids)
+            tbl = pa.Table.from_arrays(
+                [pa.nulls(n, type=f.type) for f in t.schema], schema=t.schema
+            )
+        else:
+            tbl = pa.concat_tables([t.slice(0, 1)] * n)
         for fld, val in [
             (
                 "ts",

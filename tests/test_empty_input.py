@@ -39,6 +39,10 @@ _REPRESENTATIVES = [
     "weighted_reservoir_docs",
     # round 5: mapInPandas codec path on a 0-row documents table
     "multimodal_jpeg_features",
+    # round 5: heartbeat sentinels must synthesize template rows when the
+    # source is 0-row (found by the full 240-query empty sweep)
+    "streaming_click_purchase_left_join",
+    "stateful_session_stats",
     # wave 6: plan-build-time ln(count) literals are the hazard class
     "doc_sparse_cosine_pairs",
     "winnowing_fingerprints",
