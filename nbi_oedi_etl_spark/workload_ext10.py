@@ -112,9 +112,12 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d6 * d6).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n_days")
+    # nullif guards the single-day group: ANSI mode raises DIVIDE_BY_ZERO
+    # even for doubles; a type with one day has no dispersion to z-score
+    # against, so its z is NULL and the |z|>2 filter drops it
     var = (
         F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n_days")
-    ) / (F.col("n_days") - 1)
+    ) / F.nullif((F.col("n_days") - 1).cast("double"), F.lit(0.0))
     z = (F.col("d_sum").cast("double") - mean) / F.sqrt(var)
     return (
         daily.join(F.broadcast(moments), "event_type")
@@ -389,7 +392,7 @@ WITH daily AS (
                 - CAST(m.s1 AS DOUBLE) / m.n_days)
                / sqrt((CAST(m.s2 AS DOUBLE)
                        - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n_days)
-                      / (m.n_days - 1)), 6) AS z_score
+                      / nullif(m.n_days - 1, 0)), 6) AS z_score
   FROM daily d JOIN moments m ON d.event_type = m.event_type
 )
 SELECT event_type, day, daily_value, z_score

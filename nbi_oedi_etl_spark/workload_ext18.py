@@ -220,15 +220,20 @@ def purchase_conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("seg_a"), 1).otherwise(0)).alias("n2"),
         F.sum(F.when(~F.col("seg_a"), F.col("is_purchase")).otherwise(0)).alias("x2"),
     )
-    p1 = F.col("x1").cast("double") / F.col("n1")
-    p2 = F.col("x2").cast("double") / F.col("n2")
-    pooled = (F.col("x1") + F.col("x2")).cast("double") / (
-        F.col("n1") + F.col("n2")
+    # nullif guards an empty segment (all traffic in one bucket): the
+    # rate and the test statistic are undefined (NULL), not an ANSI
+    # DIVIDE_BY_ZERO abort
+    n1 = F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+    n2 = F.nullif(F.col("n2").cast("double"), F.lit(0.0))
+    p1 = F.col("x1").cast("double") / n1
+    p2 = F.col("x2").cast("double") / n2
+    pooled = (F.col("x1") + F.col("x2")).cast("double") / F.nullif(
+        (F.col("n1") + F.col("n2")).cast("double"), F.lit(0.0)
     )
     z = (p1 - p2) / F.sqrt(
         pooled
         * (F.lit(1.0) - pooled)
-        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+        * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
     )
     zr = F.round(z, 6)
     return agg.select(
@@ -256,15 +261,15 @@ WITH ev AS (
   FROM ev
 )
 SELECT n1, x1, n2, x2,
-       round(CAST(x1 AS DOUBLE) / n1, 6) AS rate_a,
-       round(CAST(x2 AS DOUBLE) / n2, 6) AS rate_b,
-       round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
-             / sqrt(CAST(x1 + x2 AS DOUBLE) / (n1 + n2)
-                    * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                    * (1.0 / n1 + 1.0 / n2)), 6) AS z_score,
-       abs(round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
-             / sqrt(CAST(x1 + x2 AS DOUBLE) / (n1 + n2)
-                    * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                    * (1.0 / n1 + 1.0 / n2)), 6)) > 1.96 AS significant_95
+       round(CAST(x1 AS DOUBLE) / nullif(n1, 0), 6) AS rate_a,
+       round(CAST(x2 AS DOUBLE) / nullif(n2, 0), 6) AS rate_b,
+       round((CAST(x1 AS DOUBLE) / nullif(n1, 0) - CAST(x2 AS DOUBLE) / nullif(n2, 0))
+             / sqrt(CAST(x1 + x2 AS DOUBLE) / nullif(n1 + n2, 0)
+                    * (1.0 - CAST(x1 + x2 AS DOUBLE) / nullif(n1 + n2, 0))
+                    * (1.0 / nullif(n1, 0) + 1.0 / nullif(n2, 0))), 6) AS z_score,
+       abs(round((CAST(x1 AS DOUBLE) / nullif(n1, 0) - CAST(x2 AS DOUBLE) / nullif(n2, 0))
+             / sqrt(CAST(x1 + x2 AS DOUBLE) / nullif(n1 + n2, 0)
+                    * (1.0 - CAST(x1 + x2 AS DOUBLE) / nullif(n1 + n2, 0))
+                    * (1.0 / nullif(n1, 0) + 1.0 / nullif(n2, 0))), 6)) > 1.96 AS significant_95
 FROM agg
 """

@@ -183,8 +183,10 @@ def classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("npos").alias("np"),
         F.sum(F.col("n") - F.col("npos")).alias("nn"),
     )
-    auc = (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double") / (
-        (2 * F.col("np") * F.col("nn")).cast("double")
+    # nullif: a single-class corpus (np·nn = 0) has no ranking to score —
+    # AUC is undefined (NULL), not a DIVIDE_BY_ZERO abort
+    auc = (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double") / F.nullif(
+        (2 * F.col("np") * F.col("nn")).cast("double"), F.lit(0.0)
     )
     return sums.select(
         F.round(auc, 6).alias("auc"),
@@ -222,7 +224,7 @@ WITH dims AS (
   FROM ranked
 )
 SELECT round(CAST(s2 - np * (np + 1) AS DOUBLE)
-             / CAST(2 * np * nn AS DOUBLE), 6) AS auc,
+             / nullif(CAST(2 * np * nn AS DOUBLE), 0.0), 6) AS auc,
        np AS n_pos, nn AS n_neg
 FROM s
 """

@@ -133,3 +133,32 @@ def empty_sf_dir() -> str:
 def test_query_survives_empty_input(spark, empty_sf_dir, name):
     rows = workload.queries()[name](spark, empty_sf_dir).collect()
     assert isinstance(rows, list)  # empty or NULL-rowed results are both fine
+
+
+# ---- degenerate single-row inputs (n-1 / single-class divisions) ----
+#
+# The full 240-query 1-row sweep (round 5) found three ANSI
+# DIVIDE_BY_ZERO aborts: a single-day event type (z-score variance /
+# (n_days-1)), a single-class corpus (AUC / 2·np·nn), and an empty A/B
+# segment (rate / n). All three now yield NULL statistics instead.
+
+_ONE_ROW_REPRESENTATIVES = [
+    "event_value_anomalies",
+    "classifier_roc_auc",
+    "purchase_conversion_ab_test",
+]
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir() -> str:
+    src = "/root/testdata/sf0.001"
+    d = tempfile.mkdtemp(prefix="one_row_sf_")
+    for p in glob.glob(src + "/*.parquet"):
+        pq.write_table(pq.read_table(p).slice(0, 1), os.path.join(d, os.path.basename(p)))
+    return d
+
+
+@pytest.mark.parametrize("name", _ONE_ROW_REPRESENTATIVES)
+def test_query_survives_single_row_input(spark, one_row_sf_dir, name):
+    rows = workload.queries()[name](spark, one_row_sf_dir).collect()
+    assert isinstance(rows, list)
