@@ -149,7 +149,11 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_gaps",
         F.round(mu, 6).alias("mean_gap_s"),
         F.round(sigma, 6).alias("std_gap_s"),
-        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+        # nullif: all-identical timestamps give σ=μ=0 — burstiness is
+        # undefined (NULL), not a 0/0 abort
+        F.round((sigma - mu) / F.nullif(sigma + mu, F.lit(0.0)), 6).alias(
+            "burstiness"
+        ),
     )
 
 
@@ -174,8 +178,8 @@ SELECT user_id, n_gaps,
          AS std_gap_s,
        round((sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / n_gaps
               - CAST(sg AS DOUBLE) / n_gaps)
-             / (sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / n_gaps
-                + CAST(sg AS DOUBLE) / n_gaps), 6) AS burstiness
+             / nullif(sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / n_gaps
+                + CAST(sg AS DOUBLE) / n_gaps, 0.0), 6) AS burstiness
 FROM agg
 """
 

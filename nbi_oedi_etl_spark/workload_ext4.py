@@ -528,15 +528,20 @@ def near_dup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFra
     components LSH collisions produce (measured: minutes at sf0.1 vs
     seconds with per-level dedup).
     """
-    from nbi_oedi_etl_spark.workload_ext import (
-        _portable_minhash_pairs,
-        portable_signatures_cached,
-    )
+    from nbi_oedi_etl_spark.workload_ext import _portable_minhash_pairs
 
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = _portable_minhash_pairs(
-        docs, sig=portable_signatures_cached(spark, sf_dir)
-    ).selectExpr(
+    # Scoped clone (shared SparkContext, isolated SQLConf + temp views):
+    # the reachability closure carries Σ|component|² rows, so a dense
+    # duplicate CLIQUE (every doc identical — exactly the corpus where
+    # dedup matters most) blows past Spark's default 1M-row recursion
+    # cap (RECURSION_ROW_LIMIT_EXCEEDED, found by the all-duplicates
+    # robustness sweep). The raised cap is set on the clone only; the
+    # star/min-label variants remain the dense-at-scale strategies —
+    # this variant exists for SQL-standard parity.
+    s = spark.newSession()
+    s.conf.set("spark.sql.cteRecursionRowLimit", "50000000")
+    docs = read_table(s, sf_dir, "documents")
+    pairs = _portable_minhash_pairs(docs).selectExpr(
         "doc_id_a AS u", "doc_id_b AS v"
     )
     # The recursive step re-evaluates its source once PER ITERATION —
@@ -552,7 +557,7 @@ def near_dup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFra
     # each round's shuffle to a handful of partitions at runtime, so no
     # session-conf pinning is needed and the plan stays LAZY — at 100 TB
     # the cluster table is O(docs) and must never pass through the driver.
-    return spark.sql(_RECURSIVE_CLOSURE_SQL.format(pairs="recursive_pairs_v"))
+    return s.sql(_RECURSIVE_CLOSURE_SQL.format(pairs="recursive_pairs_v"))
 
 
 RECURSIVE_CLUSTERS_ORACLE = r"""

@@ -162,3 +162,49 @@ def one_row_sf_dir() -> str:
 def test_query_survives_single_row_input(spark, one_row_sf_dir, name):
     rows = workload.queries()[name](spark, one_row_sf_dir).collect()
     assert isinstance(rows, list)
+
+
+# ---- all-duplicates corpus (dense clique / zero-gap degeneracy) ----
+#
+# The full 240-query all-duplicates sweep (round 5: every document text
+# identical, every event same user+timestamp) found two aborts:
+# burstiness (σ−μ)/(σ+μ) = 0/0 on zero gaps, and the recursive-CTE
+# closure exceeding Spark's default 1M recursion-row cap on the
+# 500-doc duplicate clique (Σ|component|² rows). Both fixed: NULL
+# burstiness; a raised cap on the query's scoped session.
+
+import pyarrow as pa
+
+
+@pytest.fixture(scope="module")
+def clique_sf_dir() -> str:
+    src = "/root/testdata/sf0.001"
+    d = tempfile.mkdtemp(prefix="clique_sf_")
+    for p in glob.glob(src + "/*.parquet"):
+        t = pq.read_table(p)
+        name = os.path.basename(p)
+        if name == "documents.parquet":
+            txt = t.column("text")[0].as_py()
+            t = t.set_column(
+                t.schema.get_field_index("text"),
+                t.schema.field("text"),
+                pa.array([txt] * len(t), type=t.schema.field("text").type),
+            )
+        elif name == "events.parquet":
+            for fld in ("user_id", "ts"):
+                v = t.column(fld)[0].as_py()
+                t = t.set_column(
+                    t.schema.get_field_index(fld),
+                    t.schema.field(fld),
+                    pa.array([v] * len(t), type=t.schema.field(fld).type),
+                )
+        pq.write_table(t, os.path.join(d, name))
+    return d
+
+
+@pytest.mark.parametrize(
+    "name", ["user_interarrival_stats", "near_dup_clusters_recursive_sql"]
+)
+def test_query_survives_all_duplicates_corpus(spark, clique_sf_dir, name):
+    rows = workload.queries()[name](spark, clique_sf_dir).collect()
+    assert isinstance(rows, list)
