@@ -68,6 +68,15 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _require_payload(payload) -> bytes:
+    """NULL payloads (a nullable binary column) are a codec error, not a
+    TypeError crash: bytes(None) would escape the per-row quarantine
+    catches, aborting the task instead of log-and-drop."""
+    if payload is None:
+        raise ValueError("null payload")
+    return bytes(payload)
+
+
 def decode_image_real(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL image decode, dispatched on magic bytes: PNG and BMP are
     decoded by the pure-Python codecs in this module, baseline JPEG by
@@ -372,7 +381,7 @@ def extract_bmp_features(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, c, pixels = decode_bmp(bytes(payload))
+                w, h, c, pixels = decode_bmp(_require_payload(payload))
                 rows.append(
                     {
                         "doc_id": int(doc_id),
@@ -480,7 +489,7 @@ def extract_image_features(payloads: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
                 try:
-                    w, h, c, pixels = decode_image_real(bytes(payload))
+                    w, h, c, pixels = decode_image_real(_require_payload(payload))
                     feat = {
                         "width": w,
                         "height": h,
@@ -525,7 +534,7 @@ def resize_images(payloads: DataFrame, width: int = 32, height: int = 32) -> Dat
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, _, pix = decode_image_real(bytes(payload))
+                w, h, _, pix = decode_image_real(_require_payload(payload))
                 out = bytearray()
                 for y2 in range(height):
                     ys = y2 * h // height
@@ -667,7 +676,7 @@ def extract_wav_features(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, ch, samples = decode_wav(bytes(payload))
+                rate, ch, samples = decode_wav(_require_payload(payload))
                 rows.append(
                     {
                         "doc_id": int(doc_id),
@@ -698,7 +707,7 @@ def resize_bmp_images(payloads: DataFrame, width: int, height: int) -> DataFrame
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, _, pix = decode_bmp(bytes(payload))
+                w, h, _, pix = decode_bmp(_require_payload(payload))
                 out = bytearray()
                 for y2 in range(height):
                     ys = y2 * h // height
@@ -727,6 +736,8 @@ def sample_frames(payloads: DataFrame, n_frames: int = 3) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # quarantine posture: drop, don't abort
+                    continue
                 data = bytes(payload)
                 # deterministic fake frame extraction: hash of payload slices
                 step = max(1, len(data) // n_frames)

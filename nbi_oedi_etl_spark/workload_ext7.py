@@ -187,7 +187,9 @@ def doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nfc(col: pd.Series) -> pd.Series:
         import unicodedata
 
-        return col.map(lambda s: unicodedata.normalize("NFC", s))
+        # null-safe: a NULL document yields NULL (SQL concat/normalize
+        # semantics), matching DuckDB's nfc_normalize(NULL)
+        return col.map(lambda s: None if s is None else unicodedata.normalize("NFC", s))
 
     docs = read_table(spark, sf_dir, "documents")
     # DECOMPOSED suffix: 'e' + U+0301 COMBINING ACUTE — NFC must fuse it

@@ -208,3 +208,36 @@ def clique_sf_dir() -> str:
 def test_query_survives_all_duplicates_corpus(spark, clique_sf_dir, name):
     rows = workload.queries()[name](spark, clique_sf_dir).collect()
     assert isinstance(rows, list)
+
+
+# ---- null text/value/props columns (nullable-schema corpora) ----
+#
+# The full 240-query null-columns sweep (round 5: documents.text,
+# events.value, events.props all NULL) found two Python-worker crashes:
+# unicodedata.normalize(None) in the NFC pandas_udf, and bytes(None) in
+# the frame sampler. Every codec/UDF path is now null-safe (NULL result
+# or quarantine drop).
+
+_NULL_COLS = {"documents.parquet": ["text"], "events.parquet": ["value", "props"]}
+
+
+@pytest.fixture(scope="module")
+def null_cols_sf_dir() -> str:
+    src = "/root/testdata/sf0.001"
+    d = tempfile.mkdtemp(prefix="null_cols_sf_")
+    for p in glob.glob(src + "/*.parquet"):
+        t = pq.read_table(p)
+        for c in _NULL_COLS.get(os.path.basename(p), []):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, t.schema.field(c), pa.nulls(len(t), type=t.schema.field(c).type))
+        pq.write_table(t, os.path.join(d, os.path.basename(p)))
+    return d
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["doc_unicode_normalize", "multimodal_frame_sample", "multimodal_image_features"],
+)
+def test_query_survives_null_columns(spark, null_cols_sf_dir, name):
+    rows = workload.queries()[name](spark, null_cols_sf_dir).collect()
+    assert isinstance(rows, list)
