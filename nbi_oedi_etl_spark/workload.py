@@ -2093,14 +2093,43 @@ SPECS: list[QuerySpec] = [
     QuerySpec("stateful_session_stats", stateful_session_stats, _STATEFUL_SESSIONS_ORACLE),
 ]
 
-# ---- round-5 correctness-window rotation ------------------------------
+# ---- round-6 correctness-window rotation ------------------------------
 # The external driver hash-verifies a 50-spec PREFIX of SPECS per round.
-# Rounds 1-4 verified 157 distinct specs; 83 registered later had only the
-# local replica (tests/test_oracle_parity.py) as evidence. This round the
-# window holds the 50 oldest of those (registry order preserved); the
-# remaining never-verified specs queue directly behind it so round 6
-# finishes the rotation. Previously-verified specs keep their relative
-# order after the queue; rows-only specs stay last.
+# Rounds 1-5 verified 207 distinct specs; exactly 33 oracled specs have
+# never been inside a driver window (the round-5 queue plus
+# multimodal_jpeg_features and stateful_session_stats). This round's
+# window holds all 33, retiring the verification debt, and fills the
+# remaining 17 slots with the oldest previously-verified specs (round-1
+# window order) as drift refreshers. Everything else keeps registry
+# order behind the window; rows-only specs stay last.
+_R6_WINDOW: list[str] = [
+    # -- the 33 never-driver-verified oracled specs (round-5 queue) --
+    "cumulative_unique_users", "order_ols_price_vs_items",
+    "hll_sliding_weekly_users", "scd2_user_state_history",
+    "part_price_size_skyline", "copurchase_bfs_hops", "classifier_pr_curve",
+    "user_state_snapshot_diff", "customer_k_anonymity_audit",
+    "doc_readability_forcast", "phrase_search_positions",
+    "customer_rfm_segmentation", "event_value_imputation",
+    "purchase_attribution_first_last", "segment_bitmap_overlap",
+    "order_rate_interpolation", "conversion_latency_histogram",
+    "shard_slot_apportionment", "max_concurrent_sessions_daily",
+    "event_value_twap_daily", "hash_uniformity_ks",
+    "order_price_equidepth_histogram", "brand_price_quantity_ols",
+    "median_ci_order_stats", "journey_similarity_matrix", "cohort_ltv_curve",
+    "streaming_cumulative_unique_users", "greedy_coverage_selection",
+    "weighted_median_price", "source_quantile_normalize", "streaming_ewma_daily",
+    "multimodal_jpeg_features", "stateful_session_stats",
+    # -- 17 refreshers: the oldest driver-verified specs (round-1 order) --
+    "flagship_hourly_resample", "ref_q1_count_distinct",
+    "ref_q2_grouped_count_distinct", "ref_q3_topk_per_group",
+    "pricing_summary", "topk_orders", "rollup_revenue",
+    "customer_order_counts", "semi_join_customers", "anti_join_reconciliation",
+    "distinct_user_event_pairs", "upgrade_code_format", "json_props_stats",
+    "doc_token_stats", "doc_quality", "doc_lang_guess", "doc_fingerprints",
+]
+
+# Retained for the rotation audit trail (tests assert the r6 window covers
+# everything the r5 queue deferred).
 _R5_WINDOW: list[str] = [
     "lang_confusion_matrix", "kmeans_lloyd_3iter", "streaming_static_enrichment",
     "supplier_busy_intervals", "copurchase_kcore", "kmv_source_overlap",
@@ -2142,7 +2171,7 @@ _R5_QUEUE: list[str] = [
 
 def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in specs}
-    front = [by_name[n] for n in _R5_WINDOW + _R5_QUEUE if n in by_name]
+    front = [by_name[n] for n in _R6_WINDOW if n in by_name]
     front_set = {s.name for s in front}
     rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
     rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]
