@@ -404,10 +404,30 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("non-interleaved multi-scan JPEG not supported")
     if len(comps) == 1 and (comps[0][1], comps[0][2]) != (1, 1):
         raise ValueError("single-component scan with sampling factors not supported")
+    # SOF fields are untrusted input: a ~150-byte crafted stream can declare
+    # 65535x65535 and force multi-GB plane allocations (MemoryError escapes
+    # the ValueError quarantine contract) or a ~67M-block pure-Python MCU
+    # loop. Validate before sizing anything from the declared geometry.
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid JPEG dimensions {w}x{h}")
+    if not 1 <= len(comps) <= 4:
+        raise ValueError(f"unsupported component count {len(comps)}")
+    for c in comps:
+        if not (1 <= c[1] <= 4 and 1 <= c[2] <= 4):  # T.81 B.2.2: Hi,Vi in 1..4
+            raise ValueError(f"invalid sampling factors {c[1]}x{c[2]}")
+    if w * h > 64 * 1024 * 1024:  # decoder cap, far above any real payload here
+        raise ValueError(f"JPEG dimensions {w}x{h} exceed 64M-pixel decoder cap")
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
+    # every 8x8 block costs at least one bit of entropy data (a DC code plus
+    # EOB can't be shorter), so a scan whose declared MCU grid needs more
+    # blocks than the remaining payload has bits is corrupt — refuse before
+    # entering the MCU loop
+    blocks_per_mcu = sum(c[1] * c[2] for c in comps)
+    if mcus_x * mcus_y * blocks_per_mcu > (len(data) - i) * 8:
+        raise ValueError("JPEG entropy payload too short for declared MCU grid")
     by_id = {c[0]: c for c in comps}
     order = [by_id[cid] for cid, _, _ in scan_comps]
     tables = {cid: (huff_dc[td], huff_ac[ta]) for cid, td, ta in scan_comps}

@@ -550,6 +550,29 @@ def _portable_minhash_pairs(docs: DataFrame, sig: DataFrame | None = None) -> Da
 
 
 _PORTABLE_SIG_CACHE: dict = {}
+_MEMO_MAX_ENTRIES = 8
+
+
+def _memo_get(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """Session-scoped DataFrame memo for the two portable-pipeline caches.
+
+    Keyed by ``(applicationId, sf_dir)`` rather than ``id(spark)``:
+    ``id()`` can be recycled after a stopped session is garbage-collected,
+    which would hand back a localCheckpoint bound to a dead context. The
+    applicationId is minted per SparkContext (``newSession()`` clones share
+    it, and their checkpoints ARE valid across clones), so a restarted
+    context always misses and rebuilds. FIFO-bounded so long-lived
+    processes sweeping many sf_dirs (tools/robustness_sweeps.py) release
+    checkpoint RDDs to the ContextCleaner instead of pinning them forever.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = cache.get(key)
+    if df is None:
+        df = build()
+        cache[key] = df
+        while len(cache) > _MEMO_MAX_ENTRIES:
+            cache.pop(next(iter(cache)))
+    return df
 
 
 def portable_signatures_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,16 +583,15 @@ def portable_signatures_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster queries (via portable_components), and the estimator
     audit; without the cache one bench/driver session re-runs it ~5×.
     Same keying and staleness argument as ``portable_components``:
-    (session, sf_dir), immutable testdata directories. ONLY for the
-    standard corpus — callers with filtered/synthetic doc frames keep
-    building signatures directly."""
-    key = (id(spark), sf_dir)
-    sig = _PORTABLE_SIG_CACHE.get(key)
-    if sig is None:
+    (applicationId, sf_dir) via ``_memo_get``, immutable testdata
+    directories. ONLY for the standard corpus — callers with filtered/
+    synthetic doc frames keep building signatures directly."""
+
+    def build() -> DataFrame:
         docs = read_table(spark, sf_dir, "documents")
-        sig = _portable_signatures(docs).localCheckpoint(eager=True)
-        _PORTABLE_SIG_CACHE[key] = sig
-    return sig
+        return _portable_signatures(docs).localCheckpoint(eager=True)
+
+    return _memo_get(_PORTABLE_SIG_CACHE, spark, sf_dir, build)
 
 
 _PORTABLE_COMPONENTS_CACHE: dict = {}
@@ -585,19 +607,18 @@ def portable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``connected_components`` returns a ``localCheckpoint``-backed frame
     (materialized once, lineage truncated), so caching the DataFrame object
     is full reuse: later actions read the checkpointed partitions instead of
-    re-running the propagation loop. Keyed by (session, sf_dir); testdata
-    directories are immutable so entries never go stale."""
+    re-running the propagation loop. Keyed by (applicationId, sf_dir) via
+    ``_memo_get``; testdata directories are immutable so live entries never
+    go stale."""
     from nbi_oedi_etl_spark.operators import dedup
 
-    key = (id(spark), sf_dir)
-    comp = _PORTABLE_COMPONENTS_CACHE.get(key)
-    if comp is None:
+    def build() -> DataFrame:
         docs = read_table(spark, sf_dir, "documents")
-        comp = dedup.connected_components(
+        return dedup.connected_components(
             _portable_minhash_pairs(docs, sig=portable_signatures_cached(spark, sf_dir))
         )
-        _PORTABLE_COMPONENTS_CACHE[key] = comp
-    return comp
+
+    return _memo_get(_PORTABLE_COMPONENTS_CACHE, spark, sf_dir, build)
 
 
 def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,11 +117,19 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t9_sum"),
         )
     )
+    # a 0-row orders table melts to 0 cells, so `prof` would be empty —
+    # but the profile's contract (and the oracle's no-GROUP-BY UNION ALL
+    # shape) is one row per profiled column regardless of input size.
+    # Left-join the aggregate onto a static 6-row column frame: counts
+    # coalesce to 0, value stats stay NULL. Both sides are column-count
+    # sized, so the join is a broadcast of driver-local rows.
+    names = spark.createDataFrame([(c,) for c in cols], "column string")
+    prof = names.join(F.broadcast(prof), "column", "left")
     return prof.select(
         "column",
-        "n_nonnull",
-        "n_null",
-        "n_distinct",
+        F.coalesce("n_nonnull", F.lit(0)).cast("long").alias("n_nonnull"),
+        F.coalesce("n_null", F.lit(0)).cast("long").alias("n_null"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
         F.when(F.col("column") == "o_totalprice", F.round(F.col("raw_min_num"), 6))
         .otherwise(F.col("raw_min_num"))
         .cast("double")

@@ -241,3 +241,33 @@ def null_cols_sf_dir() -> str:
 def test_query_survives_null_columns(spark, null_cols_sf_dir, name):
     rows = workload.queries()[name](spark, null_cols_sf_dir).collect()
     assert isinstance(rows, list)
+
+
+# ---- empty-input PARITY (not just no-crash) -------------------------
+#
+# Round-5 advice: the melt-based orders_column_profile silently diverged
+# from its oracle on a 0-row table (0 rows vs the oracle's always-6),
+# and the no-crash sweep above couldn't see it. Pin full cross-engine
+# parity on the empty corpus for the profile (fixed via a static
+# column-name frame) plus the aggregate-shaped representatives whose
+# oracles also emit rows unconditionally.
+
+_EMPTY_PARITY_REPRESENTATIVES = [
+    "orders_column_profile",
+    "ref_q1_count_distinct",
+    "table_content_digest",
+]
+
+
+@pytest.mark.parametrize("name", _EMPTY_PARITY_REPRESENTATIVES)
+def test_empty_input_matches_oracle(spark, empty_sf_dir, name):
+    import duckdb
+
+    from .conftest import assert_oracle_match
+
+    con = duckdb.connect()
+    for p in glob.glob(empty_sf_dir + "/*.parquet"):
+        t = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    spec = {s.name: s for s in workload.SPECS}[name]
+    assert_oracle_match(spec.fn(spark, empty_sf_dir), con, spec.oracle)

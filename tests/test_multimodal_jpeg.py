@@ -10,6 +10,7 @@ from __future__ import annotations
 import itertools
 import math
 import random
+import time
 
 import numpy as np
 import pytest
@@ -323,3 +324,40 @@ def test_truncations_of_a_valid_jpeg_raise_valueerror(tail, cut):
         jpeg.decode_jpeg(trunc)
     except ValueError:
         pass
+
+
+def _patch_sof_dims(data: bytes, h: int, w: int) -> bytes:
+    """Rewrite the SOF0 height/width fields of an encoded stream."""
+    i = data.index(b"\xff\xc0")
+    # layout after the marker: L(2) precision(1) H(2) W(2) ...
+    return (
+        data[: i + 5]
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + data[i + 9 :]
+    )
+
+
+def test_adversarial_sof_dimensions_rejected_before_allocation():
+    """SOF fields are untrusted: a tiny stream declaring 65535x65535 must
+    raise ValueError (quarantinable) immediately — not MemoryError from a
+    multi-GB plane allocation, not minutes inside the MCU loop."""
+    valid = jpeg.encode_jpeg_gray(8, 8, [[1] + [0] * 63])
+    t0 = time.time()
+    with pytest.raises(ValueError, match="decoder cap"):
+        jpeg.decode_jpeg(_patch_sof_dims(valid, 65535, 65535))
+    assert time.time() - t0 < 1.0
+    for bad_h, bad_w in ((0, 8), (8, 0)):
+        with pytest.raises(ValueError, match="invalid JPEG dimensions"):
+            jpeg.decode_jpeg(_patch_sof_dims(valid, bad_h, bad_w))
+
+
+def test_declared_grid_larger_than_payload_rejected_fast():
+    """A stream whose SOF declares far more 8x8 blocks than its entropy
+    payload has bits must be refused before the MCU loop: each block costs
+    at least one bit, so the grid is provably undecodable."""
+    valid = jpeg.encode_jpeg_gray(8, 8, [[1] + [0] * 63])
+    t0 = time.time()
+    with pytest.raises(ValueError, match="payload too short"):
+        jpeg.decode_jpeg(_patch_sof_dims(valid, 4096, 4096))  # 16M px, under cap
+    assert time.time() - t0 < 1.0

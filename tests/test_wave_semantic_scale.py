@@ -36,11 +36,22 @@ def _cell_stats(spark, sf_dir):
 
 
 def test_cell_count_tracks_corpus_size(spark):
-    """k must equal ceil(n / TARGET_CELL) at every corpus size — the
-    codebook grows with the data, never a constant."""
+    """The codebook must grow with the data, never stay constant.
+
+    k_used counts NON-EMPTY cells, and a sampled centroid can
+    legitimately win zero points (duplicate embeddings, tie-dominant
+    centroids), so asserting k_used == ceil(n/TARGET) exactly would be
+    flaky. Pin the scale property instead: no more cells than the
+    data-dependent codebook permits, and strictly more occupied cells on
+    the larger corpus than the smaller one's entire codebook — which a
+    reintroduced fixed-k (k=8) codebook cannot satisfy."""
+    stats = {}
     for sf in (SF_SMALL, SF_LARGE):
         _, k_used, n = _cell_stats(spark, sf)
-        assert k_used == math.ceil(n / e12._SEMDEDUP_TARGET_CELL), (sf, k_used, n)
+        k = max(1, math.ceil(n / e12._SEMDEDUP_TARGET_CELL))
+        assert k_used <= k, (sf, k_used, k)
+        stats[sf] = (k_used, k)
+    assert stats[SF_LARGE][0] > stats[SF_SMALL][1], stats
 
 
 def test_max_cell_fraction_shrinks_as_corpus_grows(spark):
