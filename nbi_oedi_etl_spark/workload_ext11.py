@@ -215,10 +215,14 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=2) of the part co-purchase graph by
     iterative peeling: repeatedly drop nodes of degree < k until the
     remaining subgraph (the k-core) is stable — the degeneracy primitive
-    above connected components (Seidman 1983, public). Both engines run
-    exactly 8 peel rounds; tests/test_ext11.py asserts the
-    peel has CONVERGED by then at test scale (one more round is a
-    fixed point), so the output is the true 2-core, not a truncation.
+    above connected components (Seidman 1983, public). The oracle unrolls
+    exactly 8 peel rounds; Spark runs AT MOST 8, exiting early once a
+    round drops no edges. That exit is exactly result-preserving: each
+    round's edge set is a SUBSET of the previous (semi-joins only filter),
+    so an unchanged count proves an unchanged set, which is a fixed point
+    — every remaining round would be a no-op job. tests/test_ext11.py
+    asserts the peel has CONVERGED by round 8 at test scale, so the
+    output is the true 2-core, not a truncation.
 
     Edge list: part pairs co-purchased in ≥ 2 distinct orders — the same
     support-thresholded graph as copurchase_triangles.
@@ -233,7 +237,15 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (part, deg) for every node in the k-core with its core
     degree."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # distinct (order, part) FIRST: pairs become unique per order, so the
+    # support count is a plain count(*) — no count-distinct aggregate
+    # riding on the pair explosion (the pre-round-6 shape spent ~5s of
+    # the query's 6s planning countDistinct over the joined pairs)
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(
@@ -242,14 +254,14 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
         .select("pa", "pb")
         .localCheckpoint()
     )
-    for _ in range(_KCORE_ROUNDS):
-        directed = edges.select(F.col("pa").alias("node")).unionAll(
-            edges.select(F.col("pb").alias("node"))
+    def peel_once(e: DataFrame) -> DataFrame:
+        directed = e.select(F.col("pa").alias("node")).unionAll(
+            e.select(F.col("pb").alias("node"))
         )
         alive = (
             directed.groupBy("node")
@@ -257,12 +269,27 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("deg") >= _KCORE_K)
             .select("node")
         )
-        edges = (
-            edges.join(alive.withColumnRenamed("node", "pa"), "pa", "left_semi")
+        return (
+            e.join(alive.withColumnRenamed("node", "pa"), "pa", "left_semi")
             .join(alive.withColumnRenamed("node", "pb"), "pb", "left_semi")
             .select("pa", "pb")
-            .localCheckpoint()
         )
+
+    # TWO peel iterations per checkpoint: the per-round data is tiny after
+    # the first drop, so wall-clock is dominated by job count, not shuffle
+    # volume — fusing halves the checkpoint+count jobs while the plan stays
+    # small (edges referenced 3^2 times per macro-round, well under any
+    # analysis limit). Counting a just-checkpointed frame is a trivial scan
+    # job; paying it per macro-round buys skipping everything after the
+    # fixed point (subset + unchanged count = converged, and a fused pair
+    # of no-op rounds is still a no-op).
+    prev_edges = None
+    for _ in range(_KCORE_ROUNDS // 2):
+        edges = peel_once(peel_once(edges)).localCheckpoint()
+        cur_edges = edges.count()
+        if cur_edges == prev_edges:  # subset + same count = fixed point
+            break
+        prev_edges = cur_edges
     return (
         edges.select(F.col("pa").alias("part")).unionAll(
             edges.select(F.col("pb").alias("part"))
