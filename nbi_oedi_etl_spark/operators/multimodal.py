@@ -13,11 +13,15 @@ the public uncompressed/stdlib-compressible formats:
 - JPEG (baseline/extended-sequential Huffman): full T.81 decode —
   marker walk, DHT canonical codes, entropy decode, dequant, float64
   IDCT, chroma upsampling, YCbCr→RGB (``operators/jpeg.py``).
+- WebP lossless (VP8L): full bitstream decode — RIFF/VP8X walk, all
+  four transforms, simple + complex prefix codes, meta code groups,
+  color cache, 2D LZ77 distances (``operators/webp.py``).
 
 ``decode_image_real`` dispatches on magic bytes and raises only for
-formats whose codecs genuinely need an external library (WebP — wire
-PIL/libvips there in an environment that has them). There is no
-fake/stub decode path left; every shipped extractor decodes for real.
+the one format whose codec genuinely needs an external library (lossy
+"VP8 " WebP, a full intra video codec — wire PIL/libvips there in an
+environment that has them). There is no fake/stub decode path left;
+every shipped extractor decodes for real.
 
 Scale: mapInPandas streams Arrow record batches (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``) — a 100 TB corpus of
@@ -81,7 +85,9 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL image decode, dispatched on magic bytes: PNG and BMP are
     decoded by the pure-Python codecs in this module, baseline JPEG by
     ``operators/jpeg.py`` (huffman + dequant + IDCT + YCbCr, T.81 public
-    spec); only WebP still needs an external codec library
+    spec), lossless WebP by ``operators/webp.py`` (full VP8L: transforms,
+    prefix codes, color cache, LZ77). Only lossy WebP ("VP8 " chunks, a
+    full intra video codec) still needs an external library
     (NotImplementedError — wire PIL/libvips in an environment that has
     them). Returns (width, height, channels, pixels) with pixels
     row-major top-down."""
@@ -94,7 +100,9 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int, bytes]:
 
         return jpeg.decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        raise NotImplementedError("WebP needs an external codec (PIL/libvips)")
+        from nbi_oedi_etl_spark.operators import webp
+
+        return webp.decode_webp(payload)
     raise ValueError("unrecognized image payload")
 
 
@@ -459,6 +467,47 @@ def with_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "doc_id": i,
                         "payload": jpeg.encode_jpeg_gray(8 * bw, 8 * bh, blocks),
                         "mime": "image/jpeg",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime"])
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("mime", StringType()),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(_mk, schema)
+
+
+def with_webp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL lossless-WebP binary payload per row, closed-form:
+    width = 2·(1 + id % 4), height = 1 + id % 5, pixels alternate two
+    id-derived RGB colors by column parity (so decoded
+    pixel_byte_sum = h · (w/2) · (Σc0 + Σc1), analytically predictable
+    by a SQL oracle). ``operators/webp.encode_webp_vp8l`` codes every
+    channel through the real complex code-length path, so decoding runs
+    genuine VP8L header, code-length and canonical-prefix machinery —
+    any bit-order, canonical-assignment or container bug
+    hash-mismatches. Transforms/backrefs/cache are covered by
+    tests/test_multimodal_webp.py's hand-built streams."""
+    from nbi_oedi_etl_spark.operators import webp
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 2 * (1 + i % 4), 1 + i % 5
+                c0 = ((i * 37 + 11) % 256, (i * 59 + 5) % 256, (i * 83 + 29) % 256)
+                c1 = ((i * 41 + 3) % 256, (i * 67 + 17) % 256, (i * 89 + 7) % 256)
+                row = (bytes(c0) + bytes(c1)) * (w // 2)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "payload": webp.encode_webp_vp8l(w, h, row * h),
+                        "mime": "image/webp",
                     }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime"])

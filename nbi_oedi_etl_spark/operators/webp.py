@@ -1,0 +1,644 @@
+"""Pure-Python lossless WebP (VP8L) codec — the last image format the
+multimodal tier had gated behind an external library.
+
+Decoder: complete VP8L per the public WebP Lossless Bitstream
+Specification (RFC 9649 / Google "WebP Lossless Bitstream Specification",
+format signature 0x2F): RIFF/VP8X container walk, 14-bit dimensions
+header, all four transforms (predictor with the 14 spatial predictor
+modes, color (cross-channel multipliers), subtract-green, color-indexing
+with sub-byte pixel bundling), simple and complex canonical prefix codes
+(including the 19-symbol code-length code with 16/17/18 repeats and the
+max-symbol early stop), meta prefix-code groups via an entropy image,
+the 1..11-bit color cache, and LZ77 backward references with the 120
+two-dimensional distance codes. Lossy WebP ("VP8 " chunks) is a full
+intra video codec and stays NotImplementedError — wire PIL/libvips for
+it in an environment that has them.
+
+Encoder (for closed-form test payloads, the same strategy as
+``operators/jpeg.encode_jpeg_gray``): headerless-simple VP8L writer that
+codes every channel with a complete fixed-8-bit prefix code (256 symbols
+of length 8 — Kraft-complete, so the canonical code for symbol s is s
+itself), emitted through the REAL complex code-length path (code-length
+code + repeat-previous runs + max-symbol stop). The decode of an encoded
+payload therefore exercises genuine header parsing, code-length
+reconstruction, canonical code building and bit-level entropy decode,
+while the pixel bytes stay analytically predictable for a SQL oracle.
+
+Corrupt or adversarial streams raise ValueError (feeding the per-row
+quarantine in ``operators/multimodal.extract_image_features``), never a
+bare IndexError/KeyError/MemoryError: dimensions are validated against
+_MAX_PIXELS before any allocation (the same contract ADVICE r5 pinned on
+the JPEG decoder).
+
+Reference parity note: the reference pipeline (Grant-NBI/nbi-oedi-etl)
+has no image tier; this module extends the engine's multimodal columns
+(SURVEY.md §2.12) so binary payload decode is dependency-free for every
+shipped format.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# refuse to allocate planes for absurd declared dimensions (14-bit w/h can
+# declare up to 16384x16384 = 268M pixels; a pure-Python decode of that is
+# a memory/CPU DoS, not a real payload). ValueError -> quarantine.
+_MAX_PIXELS = 1 << 22
+
+# order in which the 19 code-length-code lengths appear in the stream
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+# The 120 two-dimensional distance codes. The spec's table is exactly the
+# neighborhood window dy in [0,7], dx in [-7,8] (120 pixels), ordered by
+# squared Euclidean distance, ties by larger dy first, then +dx before
+# -dx; dist = dy*xsize + dx (clamped to >= 1). Generated, not typed, so
+# there is nothing to mistype; spot values are pinned in tests.
+_DIST_MAP: list[tuple[int, int]] = [
+    (dx, dy)
+    for _, _, _, dx, dy in sorted(
+        (dx * dx + dy * dy, -dy, 0 if dx >= 0 else 1, dx, dy)
+        for dy in range(0, 8)
+        for dx in range(-7, 9)
+        if not (dy == 0 and dx <= 0)
+    )
+]
+assert len(_DIST_MAP) == 120
+
+
+class _BitReader:
+    """LSB-first bit reader over a bytes payload (VP8L bit order)."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        end = self._pos + n
+        if end > 8 * len(self._data):
+            raise ValueError("truncated VP8L bitstream")
+        v = 0
+        pos = self._pos
+        for i in range(n):
+            byte = self._data[(pos + i) >> 3]
+            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        self._pos = end
+        return v
+
+
+class _BitWriter:
+    """LSB-first bit writer (encoder twin of _BitReader)."""
+
+    def __init__(self):
+        self._bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            self._bits.append((value >> i) & 1)
+
+    def write_code(self, code: int, length: int) -> None:
+        """Emit a canonical prefix code MSB-first (codes are read one bit
+        at a time from the top of the code)."""
+        for i in range(length - 1, -1, -1):
+            self._bits.append((code >> i) & 1)
+
+    def getvalue(self) -> bytes:
+        out = bytearray((len(self._bits) + 7) // 8)
+        for i, b in enumerate(self._bits):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+# ------------------------------------------------------------ prefix codes
+
+
+def _canonical_table(lengths: list[int]) -> dict:
+    """Build a canonical prefix decode table {(bit_len, code): symbol}
+    from per-symbol code lengths (DEFLATE-style assignment: codes in
+    (length, symbol) order). A single-symbol code decodes with zero bits
+    ({"single": sym}). Incomplete or oversubscribed codes are corrupt."""
+    syms = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+    if not syms:
+        raise ValueError("prefix code with no symbols")
+    if len(syms) == 1:
+        return {"single": syms[0][1]}
+    syms.sort()
+    table: dict = {}
+    code = 0
+    prev_len = syms[0][0]
+    for ln, s in syms:
+        if ln > 15:
+            raise ValueError("prefix code length > 15")
+        code <<= ln - prev_len
+        if code >= (1 << ln):
+            raise ValueError("oversubscribed prefix code")
+        table[(ln, code)] = s
+        code += 1
+        prev_len = ln
+    if code != (1 << prev_len):
+        raise ValueError("incomplete prefix code")
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    if "single" in table:
+        return table["single"]
+    code = 0
+    length = 0
+    while length <= 15:
+        code = (code << 1) | br.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid prefix code in stream")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> dict:
+    """Read one prefix code: either the 'simple' 1-2 symbol form or the
+    full code-length-coded form with 16/17/18 repeats."""
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        sym0 = br.read(8 if first_8bit else 1)
+        if sym0 >= alphabet_size:
+            raise ValueError("simple code symbol out of range")
+        if num_symbols == 1:
+            return {"single": sym0}
+        sym1 = br.read(8)
+        if sym1 >= alphabet_size or sym0 == sym1:
+            raise ValueError("invalid simple code symbols")
+        lengths = [0] * alphabet_size
+        lengths[sym0] = lengths[sym1] = 1
+        return _canonical_table(lengths)
+    # complex: first the code-length code
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_table = _canonical_table(cl_lengths)
+    # then the symbol code lengths
+    lengths = [0] * alphabet_size
+    if br.read(1):  # explicit number of coded symbols
+        length_nbits = 2 + 2 * br.read(3)
+        max_reads = 2 + br.read(length_nbits)
+        if max_reads > alphabet_size:
+            raise ValueError("code-length symbol budget exceeds alphabet")
+    else:
+        max_reads = alphabet_size
+    sym = 0
+    prev_len = 8  # spec default when a repeat precedes any literal
+    while sym < alphabet_size:
+        if max_reads == 0:
+            break
+        max_reads -= 1
+        cl = _read_symbol(br, cl_table)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl != 0:
+                prev_len = cl
+        else:
+            if cl == 16:
+                repeat, fill = 3 + br.read(2), prev_len
+            elif cl == 17:
+                repeat, fill = 3 + br.read(3), 0
+            else:
+                repeat, fill = 11 + br.read(7), 0
+            if sym + repeat > alphabet_size:
+                raise ValueError("code-length repeat overruns alphabet")
+            for _ in range(repeat):
+                lengths[sym] = fill
+                sym += 1
+    return _canonical_table(lengths)
+
+
+def _prefix_value(code: int, br: _BitReader) -> int:
+    """LZ77 length/distance prefix decoding: codes 0-3 are values 1-4,
+    above that (2 + (code&1)) << extra_bits plus extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _prefix_code_for(value: int) -> tuple[int, int, int]:
+    """Encoder inverse of _prefix_value: (code, extra_bits, extra_val)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    x = value - 1
+    bl = x.bit_length()
+    code = 2 * bl - 2 + ((x >> (bl - 2)) & 1)
+    extra = bl - 2
+    base = (2 + (code & 1)) << extra
+    return code, extra, value - base - 1
+
+
+def _subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# ------------------------------------------------------------ image data
+
+
+def _decode_image_data(
+    br: _BitReader, width: int, height: int, allow_meta: bool
+) -> list[int]:
+    """Decode one (possibly entropy-only) VP8L image to a list of ARGB
+    ints: color-cache-info, optional meta prefix groups, the 5 prefix
+    codes per group, then literals / backrefs / cache hits."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("invalid color cache size")
+    meta = None
+    huffman_bits = 0
+    meta_w = 0
+    num_groups = 1
+    if allow_meta and br.read(1):
+        huffman_bits = br.read(3) + 2
+        meta_w = _subsample(width, huffman_bits)
+        meta_img = _decode_image_data(br, meta_w, _subsample(height, huffman_bits), False)
+        meta = [((px >> 8) & 0xFFFF) for px in meta_img]
+        num_groups = max(meta) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(num_groups):
+        green = _read_prefix_code(br, 256 + 24 + cache_size)
+        red = _read_prefix_code(br, 256)
+        blue = _read_prefix_code(br, 256)
+        alpha = _read_prefix_code(br, 256)
+        dist = _read_prefix_code(br, 40)
+        groups.append((green, red, blue, alpha, dist))
+    cache = [0] * cache_size
+    n = width * height
+    pixels: list[int] = []
+    pos = 0
+    group = groups[0]
+    while pos < n:
+        if meta is not None:
+            x, y = pos % width, pos // width
+            group = groups[meta[(y >> huffman_bits) * meta_w + (x >> huffman_bits)]]
+        s = _read_symbol(br, group[0])
+        if s < 256:  # literal: green, then red, blue, alpha
+            r = _read_symbol(br, group[1])
+            b = _read_symbol(br, group[2])
+            a = _read_symbol(br, group[3])
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            pixels.append(px)
+            if cache_bits:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+            pos += 1
+        elif s < 280:  # LZ77 backward reference
+            length = _prefix_value(s - 256, br)
+            dcode = _read_symbol(br, group[4])
+            dval = _prefix_value(dcode, br)
+            if dval > 120:
+                dist_px = dval - 120
+            else:
+                dx, dy = _DIST_MAP[dval - 1]
+                dist_px = dy * width + dx
+                if dist_px < 1:
+                    dist_px = 1
+            if dist_px > pos or pos + length > n:
+                raise ValueError("backward reference out of range")
+            for _ in range(length):
+                px = pixels[pos - dist_px]
+                pixels.append(px)
+                if cache_bits:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                pos += 1
+        else:  # color cache hit
+            idx = s - 280
+            if idx >= cache_size:
+                raise ValueError("color cache index out of range")
+            px = cache[idx]
+            pixels.append(px)
+            pos += 1
+    return pixels
+
+
+# ------------------------------------------------------------ transforms
+
+
+def _avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) >> 1) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8
+        | (((a & 0xFF) + (b & 0xFF)) >> 1)
+    )
+
+
+def _select(t: int, l: int, tl: int) -> int:  # noqa: E741 - spec naming
+    p_l = sum(
+        abs(((l >> sh) & 0xFF) - ((tl >> sh) & 0xFF)) for sh in (24, 16, 8, 0)
+    )
+    p_t = sum(
+        abs(((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)) for sh in (24, 16, 8, 0)
+    )
+    return t if p_l <= p_t else l
+
+
+def _clamp_add_sub_full(l: int, t: int, tl: int) -> int:  # noqa: E741
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _clamp_add_sub_half(l: int, t: int, tl: int) -> int:  # noqa: E741
+    ave = _avg2(l, t)
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        b = (tl >> sh) & 0xFF
+        d = a - b
+        half = d // 2 if d >= 0 else -((-d) // 2)  # C truncation toward zero
+        out |= max(0, min(255, a + half)) << sh
+    return out
+
+
+def _add_pixels(residual: int, pred: int) -> int:
+    return (
+        ((((residual >> 24) & 0xFF) + ((pred >> 24) & 0xFF)) & 0xFF) << 24
+        | ((((residual >> 16) & 0xFF) + ((pred >> 16) & 0xFF)) & 0xFF) << 16
+        | ((((residual >> 8) & 0xFF) + ((pred >> 8) & 0xFF)) & 0xFF) << 8
+        | (((residual & 0xFF) + (pred & 0xFF)) & 0xFF)
+    )
+
+
+def _inverse_predictor(
+    data: list[int], width: int, height: int, size_bits: int, pred_img: list[int]
+) -> list[int]:
+    bw = _subsample(width, size_bits)
+    out: list[int] = []
+    for pos in range(width * height):
+        x, y = pos % width, pos // width
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = out[pos - 1]  # mode 1 (L) forced on the top row
+        elif x == 0:
+            pred = out[pos - width]  # mode 2 (T) forced on the left column
+        else:
+            mode = (pred_img[(y >> size_bits) * bw + (x >> size_bits)] >> 8) & 0xFF
+            if mode > 13:
+                raise ValueError("invalid predictor mode")
+            l = out[pos - 1]  # noqa: E741
+            t = out[pos - width]
+            tl = out[pos - width - 1]
+            # for the rightmost column this wraps to the current row's
+            # first pixel (already decoded) — the spec's flat-array rule
+            tr = out[pos - width + 1]
+            if mode == 0:
+                pred = 0xFF000000
+            elif mode == 1:
+                pred = l
+            elif mode == 2:
+                pred = t
+            elif mode == 3:
+                pred = tr
+            elif mode == 4:
+                pred = tl
+            elif mode == 5:
+                pred = _avg2(_avg2(l, tr), t)
+            elif mode == 6:
+                pred = _avg2(l, tl)
+            elif mode == 7:
+                pred = _avg2(l, t)
+            elif mode == 8:
+                pred = _avg2(tl, t)
+            elif mode == 9:
+                pred = _avg2(t, tr)
+            elif mode == 10:
+                pred = _avg2(_avg2(l, tl), _avg2(t, tr))
+            elif mode == 11:
+                pred = _select(t, l, tl)
+            elif mode == 12:
+                pred = _clamp_add_sub_full(l, t, tl)
+            else:
+                pred = _clamp_add_sub_half(l, t, tl)
+        out.append(_add_pixels(data[pos], pred))
+    return out
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _color_delta(t: int, c: int) -> int:
+    return (_s8(t) * _s8(c)) >> 5
+
+
+def _inverse_color(
+    data: list[int], width: int, height: int, size_bits: int, cte_img: list[int]
+) -> list[int]:
+    bw = _subsample(width, size_bits)
+    out = []
+    for pos in range(width * height):
+        x, y = pos % width, pos // width
+        cte = cte_img[(y >> size_bits) * bw + (x >> size_bits)]
+        g2r = cte & 0xFF  # stored in the blue channel
+        g2b = (cte >> 8) & 0xFF  # green channel
+        r2b = (cte >> 16) & 0xFF  # red channel
+        px = data[pos]
+        g = (px >> 8) & 0xFF
+        r = ((px >> 16) & 0xFF) + _color_delta(g2r, g)
+        r &= 0xFF
+        b = (px & 0xFF) + _color_delta(g2b, g) + _color_delta(r2b, r)
+        b &= 0xFF
+        out.append((px & 0xFF00FF00) | (r << 16) | b)
+    return out
+
+
+def _inverse_subtract_green(data: list[int]) -> list[int]:
+    out = []
+    for px in data:
+        g = (px >> 8) & 0xFF
+        r = (((px >> 16) & 0xFF) + g) & 0xFF
+        b = ((px & 0xFF) + g) & 0xFF
+        out.append((px & 0xFF00FF00) | (r << 16) | b)
+    return out
+
+
+def _inverse_color_indexing(
+    data: list[int], width: int, height: int, width_bits: int, palette: list[int]
+) -> list[int]:
+    out = []
+    if width_bits == 0:
+        for px in data:
+            idx = (px >> 8) & 0xFF
+            if idx >= len(palette):
+                raise ValueError("palette index out of range")
+            out.append(palette[idx])
+        return out
+    packed_w = _subsample(width, width_bits)
+    bits_per = 8 >> width_bits
+    mask = (1 << bits_per) - 1
+    for y in range(height):
+        row = data[y * packed_w : (y + 1) * packed_w]
+        for x in range(width):
+            g = (row[x >> width_bits] >> 8) & 0xFF
+            idx = (g >> ((x & ((1 << width_bits) - 1)) * bits_per)) & mask
+            if idx >= len(palette):
+                raise ValueError("palette index out of range")
+            out.append(palette[idx])
+    return out
+
+
+# ------------------------------------------------------------ decoder
+
+
+def decode_vp8l(payload: bytes) -> tuple[int, int, bool, list[int]]:
+    """Decode a VP8L chunk payload to (width, height, alpha_hint, argb)."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _BitReader(payload[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    alpha_hint = bool(br.read(1))
+    if br.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    if width * height > _MAX_PIXELS:
+        raise ValueError("declared VP8L dimensions exceed decode limit")
+    xsize = width
+    transforms = []  # (type, payload...) in stream order; applied in reverse
+    seen: set[int] = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype in (0, 1):  # predictor / color: sub-sampled parameter image
+            size_bits = br.read(3) + 2
+            img = _decode_image_data(
+                br, _subsample(xsize, size_bits), _subsample(height, size_bits), False
+            )
+            transforms.append((ttype, xsize, size_bits, img))
+        elif ttype == 2:  # subtract green
+            transforms.append((2,))
+        else:  # color indexing
+            psize = br.read(8) + 1
+            raw = _decode_image_data(br, psize, 1, False)
+            palette = []
+            prev = 0
+            for px in raw:  # colors are stored as per-channel deltas
+                prev = _add_pixels(px, prev)
+                palette.append(prev)
+            width_bits = 3 if psize <= 2 else 2 if psize <= 4 else 1 if psize <= 16 else 0
+            transforms.append((3, xsize, width_bits, palette))
+            xsize = _subsample(xsize, width_bits)
+    data = _decode_image_data(br, xsize, height, True)
+    for t in reversed(transforms):
+        if t[0] == 0:
+            data = _inverse_predictor(data, t[1], height, t[2], t[3])
+        elif t[0] == 1:
+            data = _inverse_color(data, t[1], height, t[2], t[3])
+        elif t[0] == 2:
+            data = _inverse_subtract_green(data)
+        else:
+            data = _inverse_color_indexing(data, t[1], height, t[2], t[3])
+    if len(data) != width * height:
+        raise ValueError("decoded pixel count mismatch")
+    return width, height, alpha_hint, data
+
+
+def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a WebP container holding a lossless (VP8L) image. Returns
+    (width, height, channels, pixels) row-major top-down — RGB when the
+    header's alpha hint is unset, RGBA when set — matching the
+    ``decode_image_real`` contract. Lossy "VP8 " raises
+    NotImplementedError (external codec); corrupt data raises ValueError."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP RIFF container")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8L":
+            width, height, alpha_hint, argb = decode_vp8l(body)
+            out = bytearray()
+            if alpha_hint:
+                for px in argb:
+                    out += bytes(
+                        ((px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF, (px >> 24) & 0xFF)
+                    )
+                return width, height, 4, bytes(out)
+            for px in argb:
+                out += bytes(((px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF))
+            return width, height, 3, bytes(out)
+        if tag == b"VP8 ":
+            raise NotImplementedError("lossy WebP (VP8) needs an external codec")
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    raise ValueError("no VP8L chunk in WebP container")
+
+
+# ------------------------------------------------------------ encoder
+
+
+def _write_fixed8_code(bw: _BitWriter, alphabet_size: int) -> None:
+    """Write a complete fixed-length prefix code: symbols 0..255 all get
+    length 8 (Kraft-complete; canonical code of symbol s is s). Emitted
+    through the real complex path: a 2-symbol code-length code over
+    {8, 16}, one literal '8', then 85 repeat-previous-x3 runs, stopped by
+    an explicit 86-read budget."""
+    bw.write(0, 1)  # not simple
+    bw.write(14 - 4, 4)  # read 14 code-length-code lengths...
+    for i in range(14):  # ...covering _CL_ORDER positions of symbols 16 and 8
+        bw.write(1 if _CL_ORDER[i] in (8, 16) else 0, 3)
+    bw.write(1, 1)  # explicit read budget
+    bw.write(3, 3)  # length_nbits = 2 + 2*3 = 8
+    bw.write(86 - 2, 8)  # 86 code-length symbols: 1 literal + 85 repeats
+    bw.write(0, 1)  # cl code: symbol 8 -> canonical code 0
+    for _ in range(85):
+        bw.write(1, 1)  # symbol 16 (repeat previous)
+        bw.write(0, 2)  # +0 -> repeat 3
+    assert alphabet_size >= 256
+
+
+def _rev8(v: int) -> int:
+    return int(f"{v:08b}"[::-1], 2)
+
+
+def encode_webp_vp8l(width: int, height: int, pixels_rgb: bytes) -> bytes:
+    """Encode RGB bytes as a REAL lossless WebP: no transforms, no color
+    cache, fixed-8 codes for green/red/blue/alpha and a single-symbol
+    distance code. Every pixel costs exactly 32 coded bits, so payload
+    construction is closed-form while decode runs the full header,
+    code-length and entropy machinery."""
+    if width < 1 or height < 1 or len(pixels_rgb) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    bw = _BitWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version 0
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    _write_fixed8_code(bw, 256 + 24)  # green
+    _write_fixed8_code(bw, 256)  # red
+    _write_fixed8_code(bw, 256)  # blue
+    _write_fixed8_code(bw, 256)  # alpha
+    bw.write(1, 1)  # distance: simple code...
+    bw.write(0, 1)  # ...one symbol...
+    bw.write(0, 1)  # ...1-bit symbol
+    bw.write(0, 1)  # symbol 0 (never referenced: no backrefs emitted)
+    for i in range(0, len(pixels_rgb), 3):
+        r, g, b = pixels_rgb[i], pixels_rgb[i + 1], pixels_rgb[i + 2]
+        bw.write(_rev8(g), 8)  # canonical code g, MSB-first == rev8 LSB-first
+        bw.write(_rev8(r), 8)
+        bw.write(_rev8(b), 8)
+        bw.write(_rev8(255), 8)
+    payload = b"\x2f" + bw.getvalue()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -1539,6 +1539,40 @@ FROM d
 """
 
 
+def multimodal_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP decode, oracle-backed: build a genuine VP8L
+    stream per document (two id-derived colors alternating by column —
+    operators/multimodal.py with_webp_payload, coded through the full
+    complex code-length path by operators/webp.encode_webp_vp8l), then
+    decode it with the pure-Python VP8L decoder (RIFF walk, 14-bit
+    header, canonical prefix reconstruction, entropy decode) via the
+    magic-byte dispatch ``decode_image_real``. The construction is
+    closed-form, so DuckDB predicts the decoded pixel-byte sum
+    analytically: any bit-order, canonical-code or container bug
+    hash-mismatches. Transforms, LZ77 backrefs, the color cache and
+    meta code groups are exercised in tests/test_multimodal_webp.py
+    against hand-computed expected pixels."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.extract_image_features(multimodal.with_webp_payload(docs))
+
+
+_WEBP_FEATURES_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(2 * (1 + doc_id % 4) AS INTEGER) AS width,
+         CAST(1 + doc_id % 5 AS INTEGER) AS height,
+         (doc_id*37+11) % 256 + (doc_id*59+5) % 256 + (doc_id*83+29) % 256 AS s0,
+         (doc_id*41+3) % 256 + (doc_id*67+17) % 256 + (doc_id*89+7) % 256 AS s1
+  FROM documents
+)
+SELECT doc_id, 'image/webp' AS mime, width, height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(height * (width // 2) * (s0 + s1) AS BIGINT) AS pixel_byte_sum,
+       TRUE AS decoded_ok
+FROM d
+"""
+
+
 def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-backed: build a genuine uncompressed
     24-bpp BMP per document (dimensions from doc_id, pixels = md5(text)
@@ -2091,6 +2125,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("near_dup_pipeline", near_dup_pipeline, None),
     QuerySpec("near_dup_clusters", near_dup_clusters, None),
     QuerySpec("stateful_session_stats", stateful_session_stats, _STATEFUL_SESSIONS_ORACLE),
+    # round-6: pure-Python VP8L decoder retires the WebP library gate
+    # (registered BEHIND the r6 window — the window's 50 names are frozen
+    # until the driver verifies the final 33-debt rotation)
+    QuerySpec("multimodal_webp_features", multimodal_webp_features, _WEBP_FEATURES_ORACLE),
 ]
 
 # ---- round-6 correctness-window rotation ------------------------------
@@ -2127,6 +2165,11 @@ _R6_WINDOW: list[str] = [
     "distinct_user_event_pairs", "upgrade_code_format", "json_props_stats",
     "doc_token_stats", "doc_quality", "doc_lang_guess", "doc_fingerprints",
 ]
+
+# Specs registered AFTER the r6 window was frozen: they are next round's
+# verification queue by definition (the window's 50 names must not move
+# until the driver verifies the 33-debt rotation).
+_POST_R6_ADDITIONS: list[str] = ["multimodal_webp_features"]
 
 # Retained for the rotation audit trail (tests assert the r6 window covers
 # everything the r5 queue deferred).

@@ -1,0 +1,443 @@
+"""VP8L (lossless WebP) codec tests.
+
+Strategy mirrors tests/test_multimodal_jpeg.py: the encoder only emits
+the literal path, so every OTHER decoder feature — simple 2-symbol
+codes, LZ77 backrefs (plain and 2D-mapped distances), the color cache,
+all four transforms, and meta prefix-code groups — is exercised by
+hand-built bitstreams whose expected pixels are computed by hand from
+the spec's arithmetic, NOT by the decoder under test."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nbi_oedi_etl_spark.operators.webp import (
+    _DIST_MAP,
+    _BitWriter,
+    _prefix_code_for,
+    _prefix_value,
+    _BitReader,
+    decode_vp8l,
+    decode_webp,
+    encode_webp_vp8l,
+)
+
+
+def _wrap(payload: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _header(bw: _BitWriter, w: int, h: int) -> None:
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint off -> RGB output
+    bw.write(0, 3)  # version
+
+
+def _simple1(bw: _BitWriter, sym: int) -> None:
+    bw.write(1, 1)
+    bw.write(0, 1)
+    if sym < 2:
+        bw.write(0, 1)
+        bw.write(sym, 1)
+    else:
+        bw.write(1, 1)
+        bw.write(sym, 8)
+
+
+def _simple2(bw: _BitWriter, s0: int, s1: int) -> None:
+    bw.write(1, 1)
+    bw.write(1, 1)
+    bw.write(1, 1)
+    bw.write(s0, 8)
+    bw.write(s1, 8)
+
+
+def _code2(bw: _BitWriter, emit_sym: int, s0: int, s1: int) -> None:
+    """Emit the canonical 1-bit code for emit_sym in a 2-symbol code:
+    the smaller symbol gets code 0."""
+    bw.write(0 if emit_sym == min(s0, s1) else 1, 1)
+
+
+def _no_extras(bw: _BitWriter) -> None:
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+
+
+# --------------------------------------------------------------- round trip
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 9),
+    st.integers(1, 7),
+    st.randoms(use_true_random=False),
+)
+def test_roundtrip_random_images(w, h, rnd):
+    px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    got = decode_webp(encode_webp_vp8l(w, h, px))
+    assert got == (w, h, 3, px)
+
+
+def test_prefix_value_inverse_bijection():
+    for value in list(range(1, 300)) + [1000, 4096, 65535]:
+        code, extra, extra_val = _prefix_code_for(value)
+        assert 0 <= code < 40
+        assert 0 <= extra_val < (1 << extra) if extra else extra_val == 0
+        bw = _BitWriter()
+        bw.write(extra_val, extra)
+        assert _prefix_value(code, _BitReader(bw.getvalue())) == value
+
+
+def test_distance_map_spot_values():
+    # the spec's published table: generated here from the neighborhood
+    # rule (dy 0..7, dx -7..8, sorted by d^2 then dy desc then +dx first);
+    # pin the entries the encoder/tests rely on plus the shape invariants
+    assert len(_DIST_MAP) == 120
+    assert _DIST_MAP[:8] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    ]
+    assert _DIST_MAP[96] == (8, 0)
+    assert _DIST_MAP[97:102] == [(4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1)]
+    assert len(set(_DIST_MAP)) == 120
+
+
+# ------------------------------------------------------- hand-built streams
+
+
+def test_simple_two_symbol_codes():
+    """2x2 literals through 2-symbol simple codes."""
+    bw = _BitWriter()
+    _header(bw, 2, 2)
+    bw.write(0, 1)  # no transforms
+    _no_extras(bw)
+    _simple2(bw, 10, 20)  # green
+    _simple1(bw, 1)  # red
+    _simple1(bw, 2)  # blue
+    _simple1(bw, 255)  # alpha
+    _simple1(bw, 0)  # distance
+    for g in (10, 20, 20, 10):
+        _code2(bw, g, 10, 20)
+    w, h, c, px = decode_webp(_wrap(b"\x2f" + bw.getvalue()))
+    assert (w, h, c) == (2, 2, 3)
+    assert px == bytes([1, 10, 2, 1, 20, 2, 1, 20, 2, 1, 10, 2])
+
+
+def _green_code_with_backref(bw: _BitWriter, g0: int, g1: int, len_sym: int) -> dict:
+    """Write a complex green code: lengths {g0:1, g1:2, len_sym:2} over
+    the 280 alphabet (no cache), via the real code-length-code path.
+    Returns the canonical emit map {symbol: (code, nbits)}."""
+    assert g0 < g1 < 256 <= len_sym
+    bw.write(0, 1)  # complex
+    bw.write(5 - 4, 4)  # 5 code-length-code lengths: covers 17,18,0,1,2
+    for ln in (2, 3, 3, 2, 2):  # symbols 17, 18, 0, 1, 2 in stream order
+        bw.write(ln, 3)
+    # canonical cl code: len2: 1->00, 2->01, 17->10; len3: 0->110, 18->111
+    cl = {1: (0b00, 2), 2: (0b01, 2), 17: (0b10, 2), 0: (0b110, 3), 18: (0b111, 3)}
+
+    def emit(sym):
+        bw.write_code(*cl[sym])
+
+    reads = 0
+
+    def zeros(n):
+        nonlocal reads
+        while n:
+            if n < 3:
+                for _ in range(n):
+                    emit(0)
+                    reads += 1
+                return
+            take = min(n, 138)
+            if take <= 10:
+                emit(17)
+                bw.write(take - 3, 3)
+            else:
+                emit(18)
+                bw.write(take - 11, 7)
+            reads += 1
+            n -= take
+
+    # budget written AFTER computing it -> assemble in a sub-writer
+    sub = _BitWriter()
+    bw_outer, bw = bw, sub  # redirect emit()/zeros() into sub
+    zeros(g0)
+    emit(1)
+    reads += 1
+    zeros(g1 - g0 - 1)
+    emit(2)
+    reads += 1
+    zeros(len_sym - g1 - 1)
+    emit(2)
+    reads += 1
+    bw = bw_outer
+    bw.write(1, 1)  # explicit read budget
+    bw.write(3, 3)  # length_nbits = 8
+    bw.write(reads - 2, 8)
+    bw._bits.extend(sub._bits)
+    # canonical over {g0:1, g1:2, len_sym:2}: g0 -> 0; g1 -> 10; len -> 11
+    return {g0: (0b0, 1), g1: (0b10, 2), len_sym: (0b11, 2)}
+
+
+@pytest.mark.parametrize("use_2d_code", [False, True])
+def test_backref_plain_and_2d_distance(use_2d_code):
+    """4x2: literal first row, second row copied with len=4 dist=4 —
+    once as plain distance (dval 124), once as 2D code (0,1) == one row
+    up. Both must produce identical pixels, pinning _DIST_MAP[0]."""
+    w = 4
+    len_code, _, _ = _prefix_code_for(4)  # length 4 -> code 3, no extras
+    len_sym = 256 + len_code
+    bw = _BitWriter()
+    _header(bw, w, 2)
+    bw.write(0, 1)
+    _no_extras(bw)
+    green = _green_code_with_backref(bw, 5, 9, len_sym)
+    _simple1(bw, 30)  # red
+    _simple1(bw, 40)  # blue
+    _simple1(bw, 255)  # alpha
+    if use_2d_code:
+        dcode, dx, dxv = _prefix_code_for(1)  # dval 1 -> (0,1) -> dist = w
+    else:
+        dcode, dx, dxv = _prefix_code_for(120 + w)  # plain dist w
+    _simple1(bw, dcode)  # distance code: single symbol, extras follow refs
+    for g in (5, 9, 9, 5):
+        bw.write_code(*green[g])
+    bw.write_code(*green[len_sym])  # backref, length 4 (no length extras)
+    bw.write(dxv, dx)  # distance extra bits
+    got = decode_webp(_wrap(b"\x2f" + bw.getvalue()))
+    row = [30, 5, 40, 30, 9, 40, 30, 9, 40, 30, 5, 40]
+    assert got == (4, 2, 3, bytes(row + row))
+
+
+def test_color_cache_hit():
+    """2x1: literal pixel, then the same pixel via its color-cache slot."""
+    cache_bits = 4
+    px = 0xFF000700  # a=255 r=0 g=7 b=0
+    idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+    cache_sym = 280 + idx
+    bw = _BitWriter()
+    _header(bw, 2, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache on
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta
+    green = _green_code_with_backref(bw, 7, 8, cache_sym)  # 8 = unused filler
+    _simple1(bw, 0)  # red
+    _simple1(bw, 0)  # blue
+    _simple1(bw, 255)  # alpha
+    _simple1(bw, 0)  # distance
+    bw.write_code(*green[7])  # literal g=7
+    bw.write_code(*green[cache_sym])  # cache hit
+    got = decode_webp(_wrap(b"\x2f" + bw.getvalue()))
+    assert got == (2, 1, 3, bytes([0, 7, 0, 0, 7, 0]))
+
+
+def test_subtract_green_transform():
+    """1x2 with subtract-green: stored residuals add green back."""
+    bw = _BitWriter()
+    _header(bw, 1, 2)
+    bw.write(1, 1)  # a transform
+    bw.write(2, 2)  # subtract green
+    bw.write(0, 1)  # no more transforms
+    _no_extras(bw)
+    _simple1(bw, 30)  # green
+    _simple1(bw, 70)  # red residual -> 70+30=100
+    _simple1(bw, 10)  # blue residual -> 10+30=40
+    _simple1(bw, 255)
+    _simple1(bw, 0)
+    got = decode_webp(_wrap(b"\x2f" + bw.getvalue()))
+    assert got == (1, 2, 3, bytes([100, 30, 40, 100, 30, 40]))
+
+
+def test_predictor_transform():
+    """2x2 with predictor mode 7 (avg(L,T)) in a single 4-px block; the
+    top row and left column use the forced L/T predictors. Expected
+    pixels computed by hand from the spec arithmetic."""
+    bw = _BitWriter()
+    _header(bw, 2, 2)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor transform
+    bw.write(0, 3)  # size_bits = 2 -> one 4x4 block -> 1x1 mode image
+    # predictor sub-image (entropy-coded, no meta): mode 7 in green
+    bw.write(0, 1)  # no cache
+    _simple1(bw, 7)  # green = mode
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    bw.write(0, 1)  # no more transforms
+    # main image: residuals (a,r,g,b) = (0,10,20,30) then (0,1,1,1) x3
+    _no_extras(bw)
+    _simple2(bw, 20, 1)  # green
+    _simple2(bw, 10, 1)  # red
+    _simple2(bw, 30, 1)  # blue
+    _simple1(bw, 0)  # alpha residual
+    _simple1(bw, 0)  # distance
+    for g, r, b in ((20, 10, 30), (1, 1, 1), (1, 1, 1), (1, 1, 1)):
+        _code2(bw, g, 20, 1)
+        _code2(bw, r, 10, 1)
+        _code2(bw, b, 30, 1)
+    got = decode_webp(_wrap(b"\x2f" + bw.getvalue()))
+    # out00 = res + ARGB black = (255,10,20,30); out01 = L + res;
+    # out10 = T + res; out11 = avg2(L,T) + res = (11,21,31)+(1,1,1)
+    assert got == (
+        2, 2, 3,
+        bytes([10, 20, 30, 11, 21, 31, 11, 21, 31, 12, 22, 32]),
+    )
+
+
+def test_color_transform():
+    """2x1 with a cross-channel color transform: g2r=2 so red gains
+    (2*64)>>5 = 4 at green=64."""
+    bw = _BitWriter()
+    _header(bw, 2, 1)
+    bw.write(1, 1)
+    bw.write(1, 2)  # color transform
+    bw.write(0, 3)  # size_bits=2 -> 1x1 cte image
+    # cte sub-image: g2r lives in the BLUE channel of the cte pixel
+    bw.write(0, 1)  # no cache
+    _simple1(bw, 0)  # green (g2b = 0)
+    _simple1(bw, 0)  # red (r2b = 0)
+    _simple1(bw, 2)  # blue (g2r = 2)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    bw.write(0, 1)  # no more transforms
+    # main image: both pixels residual g=64, r=10, b=20
+    _no_extras(bw)
+    _simple1(bw, 64)
+    _simple1(bw, 10)
+    _simple1(bw, 20)
+    _simple1(bw, 255)
+    _simple1(bw, 0)
+    got = decode_webp(_wrap(b"\x2f" + bw.getvalue()))
+    assert got == (2, 1, 3, bytes([14, 64, 20, 14, 64, 20]))
+
+
+def test_color_indexing_with_bundling():
+    """4x1 palette image, 4 colors -> 2-bit bundled indices: one packed
+    pixel carries all four indices in its green byte; palette colors are
+    delta-coded in the stream."""
+    bw = _BitWriter()
+    _header(bw, 4, 1)
+    bw.write(1, 1)
+    bw.write(3, 2)  # color indexing
+    bw.write(3, 8)  # palette size - 1
+    # palette image 4x1, delta-coded: first color (255,10,0,0) then +(0,10,5,1)
+    bw.write(0, 1)  # no cache
+    _simple2(bw, 0, 5)  # green deltas: 0 then 5,5,5
+    _simple1(bw, 10)  # red delta always 10
+    _simple2(bw, 0, 1)  # blue deltas: 0 then 1,1,1
+    _simple2(bw, 0, 255)  # alpha deltas: 255 then 0,0,0
+    _simple1(bw, 0)
+    for g, b, a in ((0, 0, 255), (5, 1, 0), (5, 1, 0), (5, 1, 0)):
+        _code2(bw, g, 0, 5)
+        _code2(bw, b, 0, 1)
+        _code2(bw, a, 0, 255)
+    bw.write(0, 1)  # no more transforms
+    # main (packed 1x1): green byte 27 = indices 3,2,1,0 for x=0..3
+    _no_extras(bw)
+    _simple1(bw, 27)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    got = decode_webp(_wrap(b"\x2f" + bw.getvalue()))
+    # palette: c0=(10,0,0) c1=(20,5,1) c2=(30,10,2) c3=(40,15,3)
+    assert got == (4, 1, 3, bytes([40, 15, 3, 30, 10, 2, 20, 5, 1, 10, 0, 0]))
+
+
+def test_meta_prefix_groups():
+    """8x1 with huffman_bits=2: two 4-px blocks select two different
+    prefix-code groups (greens 100 vs 200)."""
+    bw = _BitWriter()
+    _header(bw, 8, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta prefix codes
+    bw.write(0, 3)  # huffman_bits = 2 -> meta image 2x1
+    # meta image (entropy-coded): group index = (red<<8)|green
+    bw.write(0, 1)  # no cache in meta image
+    _simple2(bw, 0, 1)  # green: block0 -> 0, block1 -> 1
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _code2(bw, 0, 0, 1)
+    _code2(bw, 1, 0, 1)
+    for g in (100, 200):  # two groups, all single-symbol codes
+        _simple1(bw, g)
+        _simple1(bw, 1)
+        _simple1(bw, 2)
+        _simple1(bw, 255)
+        _simple1(bw, 0)
+    # 8 pixels: zero bits each (every code in both groups is single-symbol)
+    got = decode_webp(_wrap(b"\x2f" + bw.getvalue()))
+    assert got == (8, 1, 3, bytes([1, 100, 2] * 4 + [1, 200, 2] * 4))
+
+
+# ----------------------------------------------------------- containers
+
+
+def test_vp8x_container_walk_reaches_vp8l():
+    inner = encode_webp_vp8l(2, 1, bytes([9, 8, 7, 6, 5, 4]))
+    vp8l_chunk = inner[12:]  # strip RIFF/WEBP header, keep chunk(s)
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    data = b"RIFF" + struct.pack("<I", 4 + len(vp8x) + len(vp8l_chunk)) + b"WEBP" + vp8x + vp8l_chunk
+    assert decode_webp(data) == (2, 1, 3, bytes([9, 8, 7, 6, 5, 4]))
+
+
+def test_lossy_vp8_stays_gated():
+    data = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError):
+        decode_webp(data)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"RIFF",
+        b"RIFF\x00\x00\x00\x00WEBPJUNK",
+        b"RIFF\x04\x00\x00\x00WEBPVP8L\xff\xff\xff\x00",  # truncated chunk
+    ],
+)
+def test_corrupt_containers_raise_valueerror(payload):
+    with pytest.raises(ValueError):
+        decode_webp(payload)
+
+
+def test_dimension_bomb_rejected_before_allocation():
+    """A ~20-byte stream declaring 16384x16384 must raise ValueError
+    (quarantine) rather than attempting a multi-GB decode."""
+    bw = _BitWriter()
+    bw.write(16383, 14)
+    bw.write(16383, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    with pytest.raises(ValueError):
+        decode_vp8l(b"\x2f" + bw.getvalue())
+
+
+def test_truncated_bitstream_raises_valueerror():
+    good = encode_webp_vp8l(4, 4, bytes(range(48)))
+    for cut in (20, 25, 30, len(good) - 3):
+        bad = _wrap(good[20:cut])  # re-wrap a truncated VP8L body
+        with pytest.raises(ValueError):
+            decode_webp(bad)
+
+
+def test_oversubscribed_simple_code_rejected():
+    bw = _BitWriter()
+    _header(bw, 1, 1)
+    bw.write(0, 1)
+    _no_extras(bw)
+    _simple2(bw, 7, 7)  # duplicate symbols -> corrupt
+    with pytest.raises(ValueError):
+        decode_vp8l(b"\x2f" + bw.getvalue())

@@ -34,7 +34,7 @@ def test_window_retires_all_verification_debt():
     verified = _driver_verified_names()
     if not verified:  # fresh checkout without driver artifacts
         return
-    window = set(workload._R6_WINDOW)
+    window = set(workload._R6_WINDOW) | set(workload._POST_R6_ADDITIONS)
     debt = [
         s.name
         for s in workload.SPECS
