@@ -227,8 +227,10 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge list: part pairs co-purchased in ≥ 2 distinct orders — the same
     support-thresholded graph as copurchase_triangles.
 
-    Plan/scale: the fact table is touched ONCE (the self-join building
-    the edge aggregate); every peel round then runs on the edge list —
+    Plan/scale: the fact table is touched ONCE (a single order-keyed
+    group builds per-order part sets; pairs expand map-side — no
+    self-join, no second fact shuffle); every peel round then runs on
+    the edge list —
     two semi-joins against the surviving-node set + one degree aggregate
     — with ``localCheckpoint`` truncating the per-round lineage exactly
     like connected_components. At 100 TB the edge list after support
@@ -237,26 +239,34 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (part, deg) for every node in the k-core with its core
     degree."""
-    # distinct (order, part) FIRST: pairs become unique per order, so the
-    # support count is a plain count(*) — no count-distinct aggregate
-    # riding on the pair explosion (the pre-round-6 shape spent ~5s of
-    # the query's 6s planning countDistinct over the joined pairs)
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .dropDuplicates(["l_orderkey", "l_partkey"])
+    # pair expansion WITHOUT a self-join: one shuffle groups the fact by
+    # order into a sorted part set (collect_set dedups in the same pass,
+    # retiring the former dropDuplicates shuffle), then the unique pairs
+    # per order expand map-side via posexplode + slice — pa < pb by the
+    # sort. Two shuffles total (order group, pair support) where the
+    # self-join shape paid three and shuffled the fact twice; per-order
+    # arrays are basket-sized, so the expansion is narrow at any scale.
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select("parts", F.posexplode("parts").alias("i", "pa"))
+        .select(
+            "pa",
+            F.explode(
+                F.slice(F.col("parts"), F.col("i") + F.lit(2), F.size("parts"))
+            ).alias("pb"),
         )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
         .select("pa", "pb")
+        # checkpoint, NOT cache: the peel plan references the edge list
+        # three times per round; a cache() here leaves the build lineage
+        # inside the peel plan, which disables AQE's runtime coalescing
+        # for every downstream shuffle (measured 2x slower) — the
+        # materialized checkpoint keeps each round's stages sized by AQE
         .localCheckpoint()
     )
     def peel_once(e: DataFrame) -> DataFrame:
@@ -277,16 +287,23 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # TWO peel iterations per checkpoint: the per-round data is tiny after
     # the first drop, so wall-clock is dominated by job count, not shuffle
-    # volume — fusing halves the checkpoint+count jobs while the plan stays
+    # volume — fusing halves the checkpoint jobs while the plan stays
     # small (edges referenced 3^2 times per macro-round, well under any
-    # analysis limit). Counting a just-checkpointed frame is a trivial scan
-    # job; paying it per macro-round buys skipping everything after the
-    # fixed point (subset + unchanged count = converged, and a fused pair
-    # of no-op rounds is still a no-op).
+    # analysis limit). The convergence count rides the checkpoint job
+    # itself via observe() — no separate count() scan per round (subset +
+    # unchanged count = converged, and a fused pair of no-op rounds is
+    # still a no-op).
+    from pyspark.sql import Observation
+
     prev_edges = None
-    for _ in range(_KCORE_ROUNDS // 2):
-        edges = peel_once(peel_once(edges)).localCheckpoint()
-        cur_edges = edges.count()
+    for r in range(_KCORE_ROUNDS // 2):
+        obs = Observation(f"kcore_round_{r}")
+        edges = (
+            peel_once(peel_once(edges))
+            .observe(obs, F.count(F.lit(1)).alias("n_edges"))
+            .localCheckpoint()
+        )
+        cur_edges = obs.get["n_edges"]
         if cur_edges == prev_edges:  # subset + same count = fixed point
             break
         prev_edges = cur_edges
