@@ -261,8 +261,14 @@ def test_decode_dispatch_unavailable_codecs_raise():
     # with JPEG magic but no frame is a decode error, not a codec gap
     with pytest.raises(ValueError, match="truncated JPEG"):
         multimodal.decode_image_real(b"\xff\xd8\xff\xe0\x00\x04--")
-    with pytest.raises(NotImplementedError):
+    # WebP routes to the real VP8L decoder (round 6): a container with
+    # no VP8L chunk is a decode error; only lossy "VP8 " stays a codec gap
+    with pytest.raises(ValueError):
         multimodal.decode_image_real(b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(
+            b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00"
+        )
     with pytest.raises(ValueError):
         multimodal.decode_image_real(b"not an image at all")
     with pytest.raises(ValueError):
