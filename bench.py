@@ -142,6 +142,10 @@ HEADLINE = [
     # round-4 wave 7 (workload_ext13.py)
     "rapid_reorder_pairs",
     "part_name_sorted_neighborhood",
+    # round-6 addition: the composed ER pipeline (candidates -> window
+    # contraction -> star closure -> survivorship) was the heaviest
+    # query NOT in the headline set — measuring it closes a silent cap
+    "part_golden_records",
     "event_value_mad_outliers",
     "minhash_estimator_audit",
     # round-4 wave 8 (workload_ext14.py)

@@ -364,19 +364,11 @@ def connected_components_star(
             "u", F.least("mn", F.col("u")).alias("m")
         )
 
-    def _checksum(e: DataFrame):
-        # order-insensitive edge-set signature: (count, sum of row hashes);
-        # the sum accumulates in decimal(38,0) — a long sum of 64-bit
-        # hashes overflows (and ANSI mode makes that an error, correctly)
-        row = e.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return row["n"], row["h"]
+    from pyspark.sql import Observation
 
     small = edges
     prev_sig = None
-    for _ in range(max_iterations):
+    for r in range(max_iterations):
         # ---- large-star: (v, m(u)) for each v ∈ N(u) with v > u
         m = _closed_min(edges)
         large = (
@@ -384,7 +376,6 @@ def connected_components_star(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint()
         )
         # ---- small-star over high→low oriented edges: (v, m(u)) for each
         # v ∈ N(u) ∪ {u} − {m(u)}
@@ -392,6 +383,15 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
         m2 = _closed_min(oriented)
+        # ONE materialization job per round: only ``small`` checkpoints
+        # (large/oriented are within-round lineage whose repeated
+        # subtrees collapse to ReusedExchange), and the convergence
+        # signature rides the checkpoint job as an Observation instead
+        # of a separate collect — measured 4 jobs/round → 1. The
+        # signature is order-insensitive: (count, sum of row hashes),
+        # accumulated in decimal(38,0) — a long sum of 64-bit hashes
+        # overflows (and ANSI mode makes that an error, correctly).
+        obs = Observation(f"star_round_{r}")
         small = (
             oriented.join(m2, "u")
             .select(F.col("v").alias("n"), F.col("m"))
@@ -399,18 +399,22 @@ def connected_components_star(
             .where(F.col("n") != F.col("m"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            )
             .localCheckpoint()
         )
-        sig = _checksum(small)
+        sig = (obs.get["n"], obs.get["h"])
         if sig == prev_sig:
             break
         prev_sig = sig
-        # re-symmetrize for the next large-star round
-        edges = (
-            small.union(small.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct()
-            .localCheckpoint()
-        )
+        # re-symmetrize for the next large-star round (lineage is one
+        # union+distinct above the checkpointed ``small`` — no growth)
+        edges = small.union(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
     # At the fixpoint ``small`` IS the star forest (node → component min);
     # add the centers' self-rows so the output matches min-label
     # propagation's contract exactly (every node of ``pairs`` appears).
