@@ -38,6 +38,7 @@ shipped format.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 # refuse to allocate planes for absurd declared dimensions (14-bit w/h can
@@ -66,23 +67,47 @@ assert len(_DIST_MAP) == 120
 
 
 class _BitReader:
-    """LSB-first bit reader over a bytes payload (VP8L bit order)."""
+    """LSB-first bit reader over a bytes payload (VP8L bit order), with a
+    64-bit-style refill buffer: read() is O(1) amortized instead of a
+    per-bit loop, and peek()/skip() support table-based prefix decode."""
 
     def __init__(self, data: bytes):
         self._data = data
-        self._pos = 0  # bit position
+        self._total = 8 * len(data)
+        self._pos = 0  # consumed bits
+        self._buf = 0
+        self._nbits = 0
+        self._bytepos = 0
 
     def read(self, n: int) -> int:
-        end = self._pos + n
-        if end > 8 * len(self._data):
+        if self._pos + n > self._total:
             raise ValueError("truncated VP8L bitstream")
-        v = 0
-        pos = self._pos
-        for i in range(n):
-            byte = self._data[(pos + i) >> 3]
-            v |= ((byte >> ((pos + i) & 7)) & 1) << i
-        self._pos = end
+        while self._nbits < n:
+            self._buf |= self._data[self._bytepos] << self._nbits
+            self._bytepos += 1
+            self._nbits += 8
+        v = self._buf & ((1 << n) - 1)
+        self._buf >>= n
+        self._nbits -= n
+        self._pos += n
         return v
+
+    def peek(self, n: int) -> int:
+        """Next n bits without consuming; zero-padded past stream end."""
+        while self._nbits < n and self._bytepos < len(self._data):
+            self._buf |= self._data[self._bytepos] << self._nbits
+            self._bytepos += 1
+            self._nbits += 8
+        return self._buf & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if self._pos + n > self._total:
+            raise ValueError("truncated VP8L bitstream")
+        # a prior peek(>=n) always leaves >= n buffered bits when the
+        # stream has them (the bound above guarantees it does)
+        self._buf >>= n
+        self._nbits -= n
+        self._pos += n
 
 
 class _BitWriter:
@@ -112,43 +137,90 @@ class _BitWriter:
 # ------------------------------------------------------------ prefix codes
 
 
-def _canonical_table(lengths: list[int]) -> dict:
-    """Build a canonical prefix decode table {(bit_len, code): symbol}
-    from per-symbol code lengths (DEFLATE-style assignment: codes in
-    (length, symbol) order). A single-symbol code decodes with zero bits
-    ({"single": sym}). Incomplete or oversubscribed codes are corrupt."""
+_FAST_BITS = 11  # fast-path lookup width (covers codes up to 11 bits)
+
+
+class _PrefixTable:
+    """Canonical prefix decode table: a flat 2^min(maxlen,11) lookup
+    array keyed on the next LSB-first bits (one peek per symbol for the
+    common case) plus a {(bit_len, code): symbol} dict fallback for
+    codes deeper than the fast width. ``single`` marks a one-symbol
+    code, which decodes with zero bits."""
+
+    __slots__ = ("single", "codes", "fast", "fast_bits")
+
+    def __init__(self, single, codes, fast, fast_bits):
+        self.single = single
+        self.codes = codes
+        self.fast = fast
+        self.fast_bits = fast_bits
+
+
+def _build_canonical_table(lengths: tuple[int, ...]) -> _PrefixTable:
     syms = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
     if not syms:
         raise ValueError("prefix code with no symbols")
     if len(syms) == 1:
-        return {"single": syms[0][1]}
+        return _PrefixTable(syms[0][1], None, None, 0)
     syms.sort()
-    table: dict = {}
+    codes: dict = {}
     code = 0
     prev_len = syms[0][0]
+    max_len = syms[-1][0]
     for ln, s in syms:
         if ln > 15:
             raise ValueError("prefix code length > 15")
         code <<= ln - prev_len
         if code >= (1 << ln):
             raise ValueError("oversubscribed prefix code")
-        table[(ln, code)] = s
+        codes[(ln, code)] = s
         code += 1
         prev_len = ln
     if code != (1 << prev_len):
         raise ValueError("incomplete prefix code")
-    return table
+    fast_bits = min(max_len, _FAST_BITS)
+    fast: list = [None] * (1 << fast_bits)
+    for (ln, c), s in codes.items():
+        if ln > fast_bits:
+            continue
+        # the first bit read is the code's MSB; peek() returns bits
+        # LSB-first, so index by the bit-reversed code plus every
+        # possible suffix beyond the code length
+        rc = 0
+        for i in range(ln):
+            rc |= ((c >> i) & 1) << (ln - 1 - i)
+        for suffix in range(1 << (fast_bits - ln)):
+            fast[rc | (suffix << ln)] = (s, ln)
+    return _PrefixTable(None, codes, fast, fast_bits)
 
 
-def _read_symbol(br: _BitReader, table: dict) -> int:
-    if "single" in table:
-        return table["single"]
+@functools.lru_cache(maxsize=512)
+def _canonical_table_cached(lengths: tuple[int, ...]) -> _PrefixTable:
+    return _build_canonical_table(lengths)
+
+
+def _canonical_table(lengths) -> _PrefixTable:
+    """Build (or reuse — the fixed code layouts the encoder emits make
+    identical length vectors extremely common across payloads) a
+    canonical prefix decode table."""
+    return _canonical_table_cached(tuple(lengths))
+
+
+def _read_symbol(br: _BitReader, table: _PrefixTable) -> int:
+    if table.single is not None:
+        return table.single
+    ent = table.fast[br.peek(table.fast_bits)]
+    if ent is not None:
+        br.skip(ent[1])
+        return ent[0]
+    # deep code (> fast_bits): bit-by-bit walk of the canonical dict
     code = 0
     length = 0
+    codes = table.codes
     while length <= 15:
         code = (code << 1) | br.read(1)
         length += 1
-        sym = table.get((length, code))
+        sym = codes.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid prefix code in stream")
@@ -164,7 +236,7 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> dict:
         if sym0 >= alphabet_size:
             raise ValueError("simple code symbol out of range")
         if num_symbols == 1:
-            return {"single": sym0}
+            return _PrefixTable(sym0, None, None, 0)
         sym1 = br.read(8)
         if sym1 >= alphabet_size or sym0 == sym1:
             raise ValueError("invalid simple code symbols")
@@ -607,6 +679,32 @@ def _rev8(v: int) -> int:
     return int(f"{v:08b}"[::-1], 2)
 
 
+# canonical fixed-8 code for byte v is v itself, emitted MSB-first — as
+# an LSB-first bit tuple that is simply v's bits from the MSB down
+_MSB_FIRST_BITS = [tuple((v >> (7 - i)) & 1 for i in range(8)) for v in range(256)]
+
+
+@functools.lru_cache(maxsize=1)
+def _encoder_prologue() -> tuple[int, ...]:
+    """The bit sequence between the 32-bit size/alpha/version header and
+    the pixel data is identical for every encoded payload (no
+    transforms/cache/meta, four fixed-8 codes, 1-symbol distance code) —
+    build it once per process."""
+    bw = _BitWriter()
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    _write_fixed8_code(bw, 256 + 24)  # green
+    _write_fixed8_code(bw, 256)  # red
+    _write_fixed8_code(bw, 256)  # blue
+    _write_fixed8_code(bw, 256)  # alpha
+    bw.write(1, 1)  # distance: simple code...
+    bw.write(0, 1)  # ...one symbol...
+    bw.write(0, 1)  # ...1-bit symbol
+    bw.write(0, 1)  # symbol 0 (never referenced: no backrefs emitted)
+    return tuple(bw._bits)
+
+
 def encode_webp_vp8l(width: int, height: int, pixels_rgb: bytes) -> bytes:
     """Encode RGB bytes as a REAL lossless WebP: no transforms, no color
     cache, fixed-8 codes for green/red/blue/alpha and a single-symbol
@@ -620,23 +718,15 @@ def encode_webp_vp8l(width: int, height: int, pixels_rgb: bytes) -> bytes:
     bw.write(height - 1, 14)
     bw.write(0, 1)  # no alpha
     bw.write(0, 3)  # version 0
-    bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta prefix codes
-    _write_fixed8_code(bw, 256 + 24)  # green
-    _write_fixed8_code(bw, 256)  # red
-    _write_fixed8_code(bw, 256)  # blue
-    _write_fixed8_code(bw, 256)  # alpha
-    bw.write(1, 1)  # distance: simple code...
-    bw.write(0, 1)  # ...one symbol...
-    bw.write(0, 1)  # ...1-bit symbol
-    bw.write(0, 1)  # symbol 0 (never referenced: no backrefs emitted)
+    bits = bw._bits
+    bits.extend(_encoder_prologue())
+    alpha_bits = _MSB_FIRST_BITS[255]
     for i in range(0, len(pixels_rgb), 3):
-        r, g, b = pixels_rgb[i], pixels_rgb[i + 1], pixels_rgb[i + 2]
-        bw.write(_rev8(g), 8)  # canonical code g, MSB-first == rev8 LSB-first
-        bw.write(_rev8(r), 8)
-        bw.write(_rev8(b), 8)
-        bw.write(_rev8(255), 8)
+        # literal pixel symbol order: green, red, blue, alpha
+        bits.extend(_MSB_FIRST_BITS[pixels_rgb[i + 1]])
+        bits.extend(_MSB_FIRST_BITS[pixels_rgb[i]])
+        bits.extend(_MSB_FIRST_BITS[pixels_rgb[i + 2]])
+        bits.extend(alpha_bits)
     payload = b"\x2f" + bw.getvalue()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
