@@ -66,7 +66,22 @@ def _emit(user_id: int, start_us: int, last_us: int, n: int) -> pd.DataFrame:
 
 
 def make_sessionizer(gap_seconds: int):
-    """Build the applyInPandasWithState function for a session gap."""
+    """Build the applyInPandasWithState function for a session gap.
+
+    The per-batch group work is vectorized (the framework already calls
+    this once per user per micro-batch; a per-EVENT Python loop plus a
+    1-row DataFrame per closed session made the big first batch ~4x
+    slower): session boundaries fall out of one numpy diff-vs-gap mask
+    over the sorted event times, and every closed session ships in ONE
+    emitted frame. Semantics are unchanged — exactly-gap starts a new
+    session (session_window's strictly-before merge rule), and carried
+    state merges into the first run only when the first event is within
+    gap of it; events later than the carried bounds can only extend
+    them, never regress them (max(l0, arr[i-1]) collapses to arr[i-1]
+    for every event after the first boundary, so one uniform mask
+    covers both the merged and the closed-carried cases)."""
+    import numpy as np
+
     gap_us = gap_seconds * 1_000_000
 
     def sessionize(
@@ -78,29 +93,59 @@ def make_sessionizer(gap_seconds: int):
             state.remove()
             yield _emit(user_id, start_us, last_us, n)
             return
-        ts_us = (
-            pd.concat(list(pdfs))["ts"].astype("int64") // 1000
-        ).sort_values()  # ns → µs
-        start_us, last_us, n = state.get if state.exists else (None, None, 0)
-        closed: list[pd.DataFrame] = []
-        for t in ts_us:
-            t = int(t)
-            if start_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us >= gap_us:  # exactly-gap starts a new session,
-                # matching session_window's strictly-before merge rule
-                # (operators/sessions.py semantics note)
-                closed.append(_emit(user_id, start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
+        arr = np.sort(
+            (pd.concat(list(pdfs))["ts"].astype("int64") // 1000).to_numpy()
+        )  # ns → µs, ascending
+        exists = state.exists
+        s0, l0, n0 = state.get if exists else (None, None, 0)
+        if len(arr) == 0:  # defensive: nothing to fold, keep state alive
+            if exists:
+                state.update((s0, l0, n0))
+                state.setTimeoutTimestamp(l0 // 1000 + gap_seconds * 1000)
+            return
+        # effective predecessor of event i: max(carried last, arr[i-1]);
+        # after any boundary the carried term is dominated, so the
+        # uniform maximum is exact for the whole array
+        prev_eff = np.empty_like(arr)
+        prev_eff[0] = l0 if exists else arr[0] - gap_us  # forces boundary 0 off
+        prev_eff[1:] = arr[:-1]
+        if exists:
+            np.maximum(prev_eff, l0, out=prev_eff)
+        boundary = (arr - prev_eff) >= gap_us
+        closed_rows: list[tuple[int, int, int]] = []  # (start, end, n)
+        if exists and boundary[0]:
+            closed_rows.append((s0, l0, n0))  # carried session closes alone
+        starts = np.flatnonzero(boundary)
+        if len(starts) == 0 or starts[0] != 0:
+            starts = np.concatenate(([0], starts))
+        ends = np.append(starts[1:], len(arr))
+        merge_first = exists and not boundary[0]
+        for k in range(len(starts)):
+            st = int(arr[starts[k]])
+            en = int(arr[ends[k] - 1])
+            cnt = int(ends[k] - starts[k])
+            if k == 0 and merge_first:
+                st, en, cnt = min(s0, st), max(l0, en), n0 + cnt
+            if k < len(starts) - 1:
+                closed_rows.append((st, en, cnt))
             else:
-                # A later microbatch can deliver an event older than the
-                # carried state (late but within watermark): extend the
-                # session bounds, never regress them.
-                start_us, last_us, n = min(start_us, t), max(last_us, t), n + 1
+                start_us, last_us, n = st, en, cnt
         state.update((start_us, last_us, n))
         # close the open session when the watermark passes last_ts + gap
         state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
-        yield from closed
+        if closed_rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed_rows),
+                    "session_start": [
+                        pd.Timestamp(r[0], unit="us") for r in closed_rows
+                    ],
+                    "session_end": [
+                        pd.Timestamp(r[1], unit="us") for r in closed_rows
+                    ],
+                    "n_events": [r[2] for r in closed_rows],
+                }
+            )
 
     return sessionize
 
