@@ -42,9 +42,11 @@ import functools
 import struct
 
 # refuse to allocate planes for absurd declared dimensions (14-bit w/h can
-# declare up to 16384x16384 = 268M pixels; a pure-Python decode of that is
-# a memory/CPU DoS, not a real payload). ValueError -> quarantine.
-_MAX_PIXELS = 1 << 22
+# declare up to 16384x16384 = 268M pixels; a crafted header that large is a
+# memory/CPU DoS, not a real payload). ValueError -> quarantine. Cap
+# matches the JPEG decoder's 64M pixels (jpeg.py) so the codecs treat the
+# same real-world sizes as legitimate.
+_MAX_PIXELS = 64 * 1024 * 1024
 
 # order in which the 19 code-length-code lengths appear in the stream
 _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -673,10 +675,6 @@ def _write_fixed8_code(bw: _BitWriter, alphabet_size: int) -> None:
         bw.write(1, 1)  # symbol 16 (repeat previous)
         bw.write(0, 2)  # +0 -> repeat 3
     assert alphabet_size >= 256
-
-
-def _rev8(v: int) -> int:
-    return int(f"{v:08b}"[::-1], 2)
 
 
 # canonical fixed-8 code for byte v is v itself, emitted MSB-first — as

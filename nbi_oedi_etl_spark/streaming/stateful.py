@@ -107,7 +107,9 @@ def make_sessionizer(gap_seconds: int):
         # after any boundary the carried term is dominated, so the
         # uniform maximum is exact for the whole array
         prev_eff = np.empty_like(arr)
-        prev_eff[0] = l0 if exists else arr[0] - gap_us  # forces boundary 0 off
+        # boundary[0]'s value is irrelevant without carried state: the
+        # starts normalization below always includes index 0 regardless
+        prev_eff[0] = l0 if exists else arr[0] - gap_us
         prev_eff[1:] = arr[:-1]
         if exists:
             np.maximum(prev_eff, l0, out=prev_eff)

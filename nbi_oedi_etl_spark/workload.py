@@ -2131,15 +2131,53 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_webp_features", multimodal_webp_features, _WEBP_FEATURES_ORACLE),
 ]
 
-# ---- round-6 correctness-window rotation ------------------------------
+# ---- round-7 correctness-window rotation ------------------------------
 # The external driver hash-verifies a 50-spec PREFIX of SPECS per round.
-# Rounds 1-5 verified 207 distinct specs; exactly 33 oracled specs have
-# never been inside a driver window (the round-5 queue plus
-# multimodal_jpeg_features and stateful_session_stats). This round's
-# window holds all 33, retiring the verification debt, and fills the
-# remaining 17 slots with the oldest previously-verified specs (round-1
-# window order) as drift refreshers. Everything else keeps registry
-# order behind the window; rows-only specs stay last.
+# Round-7 policy (codified in tools/rotation_audit.py + tests/
+# test_rotation.py): the window must contain every spec whose driver
+# evidence is STALE — never verified, or whose implementation digest
+# (dep-function sources + referenced module constants + oracle SQL)
+# changed after its last driver-green round boundary. The audit found 27
+# such specs (the r6 perf work: dedup star-closure rewrite, minhash memo
+# keying, multimodal quarantine hardening, streaming helper edits, plus
+# the never-verified webp spec). Positions 28-35 add the specs the r6
+# verdict named at file granularity (ext11/ext16 siblings whose own
+# functions did not change — included anyway as belt-and-braces) and
+# stateful_session_stats (its file takes a comment fix this round).
+# Positions 36-50 are the oldest-green refreshers (r2-green).
+_R7_WINDOW: list[str] = [
+    # -- 27 audit-flagged stale specs (tools/rotation_audit.py) --
+    "copurchase_kcore", "doc_containment_pairs", "doc_unicode_normalize",
+    "embedding_topk_cosine", "event_value_anomalies", "exact_dedup_docs",
+    "minhash_lsh_portable", "multimodal_bmp_resize", "multimodal_bmp_roundtrip",
+    "multimodal_frame_sample", "multimodal_image_features", "multimodal_resize",
+    "multimodal_wav_features", "multimodal_webp_features",
+    "near_dup_clusters_portable", "near_dup_clusters_recursive_sql",
+    "near_dup_clusters_star", "near_dup_keep_best", "near_dup_pipeline_portable",
+    "ngram_jaccard_small", "orders_column_profile", "part_golden_records",
+    "streaming_click_purchase_join", "streaming_exact_dedup",
+    "streaming_hourly_resample", "streaming_sliding_window_counts",
+    "streaming_watermark_dedup",
+    # -- 8 verdict-named (file-granular) + this round's touched file --
+    "doc_lexical_diversity", "embedding_covariance", "kmv_source_overlap",
+    "resample_incremental_merge", "stateful_session_stats",
+    "streaming_click_purchase_left_join", "streaming_static_enrichment",
+    "supplier_busy_intervals",
+    # -- 15 oldest-green refreshers (last green r2) --
+    "asof_last_purchase", "brand_revenue", "cube_order_stats",
+    "customers_without_orders", "disjunctive_filter_revenue",
+    "doc_base64_codec", "grouping_sets_revenue", "large_order_customers",
+    "late_shipment_priority_counts", "lineitem_dispersion_stats",
+    "nation_pair_volume", "order_date_format", "orders_above_customer_avg",
+    "pandas_demean_values", "pandas_normalize_text",
+]
+
+# Specs registered AFTER the r7 window froze (none: the registry is
+# frozen at 242 per the r6 verdict; any future addition must land here
+# and be benched in the same round).
+_POST_R7_ADDITIONS: list[str] = []
+
+# Retained for the rotation audit trail.
 _R6_WINDOW: list[str] = [
     # -- the 33 never-driver-verified oracled specs (round-5 queue) --
     "cumulative_unique_users", "order_ols_price_vs_items",
@@ -2166,9 +2204,8 @@ _R6_WINDOW: list[str] = [
     "doc_token_stats", "doc_quality", "doc_lang_guess", "doc_fingerprints",
 ]
 
-# Specs registered AFTER the r6 window was frozen: they are next round's
-# verification queue by definition (the window's 50 names must not move
-# until the driver verifies the 33-debt rotation).
+# r6 bookkeeping (retained): the webp spec was registered after the r6
+# window froze and entered the r7 window above.
 _POST_R6_ADDITIONS: list[str] = ["multimodal_webp_features"]
 
 # Retained for the rotation audit trail (tests assert the r6 window covers
@@ -2214,7 +2251,7 @@ _R5_QUEUE: list[str] = [
 
 def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in specs}
-    front = [by_name[n] for n in _R6_WINDOW if n in by_name]
+    front = [by_name[n] for n in _R7_WINDOW if n in by_name]
     front_set = {s.name for s in front}
     rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
     rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]

@@ -1,47 +1,57 @@
-"""Round-6 rotation audit: the driver hash-verifies a 50-spec PREFIX of
+"""Round-7 rotation audit: the driver hash-verifies a 50-spec PREFIX of
 ``workload.SPECS`` per round, so correctness evidence only accrues to
-specs that have actually been inside a window. This pins the r6 window's
-contract: it must contain every oracled spec that rounds 1-5 never
-verified (the r5 queue plus multimodal_jpeg_features and
-stateful_session_stats), leaving zero verification debt after this round.
+specs that have actually been inside a window — and only stays valid
+while the spec's implementation is unchanged.
+
+The round-7 policy (VERDICT r6 task 1) is *changed-since-green*: every
+oracled spec that was never driver-verified, or whose content digest
+(dep-function sources + referenced module-level constants + oracle SQL,
+see ``tools/rotation_audit.py``) differs from the digest it had at its
+last driver-green round boundary, MUST sit inside the current window or
+the documented ``_POST_R*_ADDITIONS`` overflow queue.  This makes every
+future window self-auditing: touch a file mid-round and the affected
+specs demand a window slot before the round can ship.
 """
 
 from __future__ import annotations
 
-import json
 import pathlib
+import sys
 
 from nbi_oedi_etl_spark import workload
 
 _REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO / "tools"))
 
-
-def _driver_verified_names() -> set[str]:
-    names: set[str] = set()
-    for path in sorted(_REPO.glob("CORRECTNESS_r0[1-5].json")):
-        names |= set(json.loads(path.read_text()))
-    return names
+import rotation_audit  # noqa: E402
 
 
 def test_window_is_prefix_and_fully_oracled():
     names = [s.name for s in workload.SPECS]
-    assert names[:50] == workload._R6_WINDOW
+    assert names[:50] == workload._R7_WINDOW
     by_name = {s.name: s for s in workload.SPECS}
-    assert all(by_name[n].oracle is not None for n in workload._R6_WINDOW)
+    assert all(by_name[n].oracle is not None for n in workload._R7_WINDOW)
 
 
-def test_window_retires_all_verification_debt():
-    verified = _driver_verified_names()
-    if not verified:  # fresh checkout without driver artifacts
-        return
-    window = set(workload._R6_WINDOW) | set(workload._POST_R6_ADDITIONS)
-    debt = [
-        s.name
-        for s in workload.SPECS
-        if s.oracle is not None and s.name not in verified and s.name not in window
-    ]
-    assert debt == [], f"oracled specs never driver-verified and not in window: {debt}"
+def test_changed_since_green_debt_is_inside_window():
+    """The codified rotation policy: stale evidence => window slot.
+
+    Uses the committed per-round digest snapshots
+    (tools/spec_digests/r{N}.json); if a boundary snapshot is missing it
+    is rebuilt from a temporary git worktree at that round's driver
+    commit, so the check works on any checkout with history.
+    """
+    if not list(_REPO.glob("CORRECTNESS_r[0-9]*.json")):
+        return  # fresh checkout without driver artifacts
+    debt = rotation_audit.verification_debt()
+    allowed = set(workload._R7_WINDOW) | set(workload._POST_R7_ADDITIONS)
+    outside = sorted(set(debt) - allowed)
+    assert outside == [], (
+        "specs with stale driver evidence not scheduled for re-verification: "
+        + ", ".join(f"{n} ({debt[n]})" for n in outside)
+    )
 
 
-def test_r5_queue_fully_promoted():
-    assert set(workload._R5_QUEUE) <= set(workload._R6_WINDOW)
+def test_window_covers_r6_leftovers():
+    # the one spec registered behind the frozen r6 window must be here
+    assert set(workload._POST_R6_ADDITIONS) <= set(workload._R7_WINDOW)
