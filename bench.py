@@ -227,6 +227,10 @@ HEADLINE = [
     "weighted_median_price",
     "source_quantile_normalize",
     "streaming_ewma_daily",
+    # round-6 addition, benched from round 7 (a registered+oracled spec
+    # outside the headline set can hide a perf cliff — the JPEG twin
+    # costs 1.67 s, so the WebP decode path gets measured too)
+    "multimodal_webp_features",
 ]
 
 
@@ -247,29 +251,36 @@ def main() -> None:
     qs["ref_q1_count_distinct"](spark, "/root/testdata/sf0.001").collect()
     qs["embedding_ivf_topk"](spark, "/root/testdata/sf0.001").collect()
 
-    # Min of two runs per query: the host has intermittent external load
-    # spikes (VM steal / GC) that can inflate a single run 5-30×; the
-    # per-query minimum is the standard noise-robust wall-clock estimator.
-    # If both runs land slow (>3 s) a spike may have spanned them both —
-    # round 2's shingle_novelty read 20 s in-bench vs 2.7 s clean — so one
-    # extra attempt is bought only for those queries (bounded overhead).
+    # Median of three runs per query (round-7 change, r6 verdict task 7):
+    # the host has intermittent external load spikes (VM steal / GC) that
+    # can inflate a single run 5-30×. The per-query MIN is the classic
+    # noise-robust estimator but biases the headline low run-to-run; the
+    # median of 3 is robust to a single spike AND unbiased, so totals are
+    # comparable across rounds. Min/max are kept as the spread.
     times: dict[str, float] = {}
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for attempt in range(3):
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-            if attempt == 1 and best <= 3.0:
-                break
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[1], 3)
+        lo[name] = round(samples[0], 3)
+        hi[name] = round(samples[2], 3)
 
     total = round(sum(times.values()), 3)
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "estimator": "median3",
         "queries": times,
+        "queries_min": lo,
+        "queries_max": hi,
+        "spread": [round(sum(lo.values()), 3), round(sum(hi.values()), 3)],
         "sf": sf,
     }
     # Per-query detail goes to a file + an early stdout line; the FINAL stdout
@@ -286,6 +297,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
+                "estimator": "median3",
+                "spread": detail["spread"],
             }
         ),
         flush=True,
