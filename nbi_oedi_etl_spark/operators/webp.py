@@ -48,6 +48,18 @@ import struct
 # same real-world sizes as legitimate.
 _MAX_PIXELS = 64 * 1024 * 1024
 
+# VP8L differs from JPEG in that LZ77 backward references emit up to 4096
+# pixels per ~4-byte reference, so a tiny crafted stream can legitimately
+# *declare* dimensions under _MAX_PIXELS yet still demand minutes of
+# pure-Python decode (ADVICE r7, medium). Bound decoded pixels by a
+# payload-size expansion ratio as well: a k-byte payload may decode at
+# most k * _MAX_EXPANSION_PX_PER_BYTE pixels. 1024 px/byte is ~3 orders
+# of magnitude above anything the repo encoder produces (fixed-8 prefix
+# codes ≈ 1-4 px/byte) and above typical cwebp output for photographic
+# content; only degenerate ultra-compressible streams (the DoS shape)
+# exceed it, and those quarantine with ValueError by design.
+_MAX_EXPANSION_PX_PER_BYTE = 1024
+
 # order in which the 19 code-length-code lengths appear in the stream
 _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
@@ -579,6 +591,10 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, bool, list[int]]:
         raise ValueError("unsupported VP8L version")
     if width * height > _MAX_PIXELS:
         raise ValueError("declared VP8L dimensions exceed decode limit")
+    if width * height > _MAX_EXPANSION_PX_PER_BYTE * len(payload):
+        raise ValueError(
+            "declared VP8L dimensions exceed payload expansion limit"
+        )
     xsize = width
     transforms = []  # (type, payload...) in stream order; applied in reverse
     seen: set[int] = set()

@@ -2131,20 +2131,52 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_webp_features", multimodal_webp_features, _WEBP_FEATURES_ORACLE),
 ]
 
-# ---- round-7 correctness-window rotation ------------------------------
+# ---- round-8 correctness-window rotation ------------------------------
 # The external driver hash-verifies a 50-spec PREFIX of SPECS per round.
-# Round-7 policy (codified in tools/rotation_audit.py + tests/
-# test_rotation.py): the window must contain every spec whose driver
-# evidence is STALE — never verified, or whose implementation digest
-# (dep-function sources + referenced module constants + oracle SQL)
-# changed after its last driver-green round boundary. The audit found 27
-# such specs (the r6 perf work: dedup star-closure rewrite, minhash memo
-# keying, multimodal quarantine hardening, streaming helper edits, plus
-# the never-verified webp spec). Positions 28-35 add the specs the r6
-# verdict named at file granularity (ext11/ext16 siblings whose own
-# functions did not change — included anyway as belt-and-braces) and
-# stateful_session_stats (its file takes a comment fix this round).
-# Positions 36-50 are the oldest-green refreshers (r2-green).
+# Window = verification debt first (everything tools/rotation_audit.py
+# flags), then oldest-green refreshers. The r8 audit runs the v2 digest
+# algorithm (ADVICE r7 fixes: stable-value hashing of imported/default
+# constants, AST walk of function-local imports, fail-closed on missing
+# boundary commits) and flags 16 specs: the 8 multimodal siblings (this
+# round's webp.py expansion-bound fix propagates through the
+# decode_image_real local-import edge the v1 audit could not see), and 8
+# genuine v1 blind-spot escapes from r3-r5 (sketch/streaming/dedup specs
+# whose imported-constant or default-arg dependencies drifted unseen).
+# Positions 17-31 are the r2-green refreshers, 32-50 the oldest r3-green.
+_R8_WINDOW: list[str] = [
+    # -- 16 audit-flagged stale specs (tools/rotation_audit.py, algo v2) --
+    "corpus_prep_pipeline", "embedding_near_dup_exact_small",
+    "kmeans_assign_embeddings", "latest_event_per_user",
+    "minhash_estimator_audit", "multimodal_bmp_resize",
+    "multimodal_bmp_roundtrip", "multimodal_frame_sample",
+    "multimodal_image_features", "multimodal_jpeg_features",
+    "multimodal_resize", "multimodal_wav_features",
+    "multimodal_webp_features", "streaming_cms_token_topk",
+    "streaming_foreachbatch_upsert", "streaming_hll_distinct_tokens",
+    # -- 15 r2-green refreshers --
+    "pivot_qty_by_linestatus", "price_percentiles", "priority_shipping_counts",
+    "promo_revenue_by_month", "range_join_order_revenue",
+    "regional_supplier_volume", "salted_event_value_sum",
+    "set_ops_customer_years", "shipping_priority", "sliding_window_counts",
+    "supplier_part_brand_counts", "top_tokens", "unpivot_lineitem_measures",
+    "user_sessions", "window_functions_demo",
+    # -- 19 oldest r3-green refreshers --
+    "cascade_daily_rollup", "char_stats_udtf", "cross_join_region_matrix",
+    "doc_chunking", "doc_gopher_filter", "doc_pii_scrub",
+    "doc_regex_token_estimate", "doc_tfidf_top_terms", "doc_word_repetition",
+    "embedding_norm_stats", "events_hourly_gapfill",
+    "full_outer_nation_activity", "hash_sample_documents",
+    "idle_rich_customers", "monthly_revenue_growth", "order_price_deciles",
+    "order_price_histogram", "part_name_fuzzy_pairs",
+    "python_datasource_resample",
+]
+
+# Specs registered AFTER the r8 window froze (none: the registry stays
+# frozen at 242 per the r7 verdict; any future addition must land here
+# and be benched in the same round).
+_POST_R8_ADDITIONS: list[str] = []
+
+# Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [
     # -- 27 audit-flagged stale specs (tools/rotation_audit.py) --
     "copurchase_kcore", "doc_containment_pairs", "doc_unicode_normalize",
@@ -2251,7 +2283,7 @@ _R5_QUEUE: list[str] = [
 
 def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in specs}
-    front = [by_name[n] for n in _R7_WINDOW if n in by_name]
+    front = [by_name[n] for n in _R8_WINDOW if n in by_name]
     front_set = {s.name for s in front}
     rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
     rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]

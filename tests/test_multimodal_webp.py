@@ -425,6 +425,34 @@ def test_dimension_bomb_rejected_before_allocation():
         decode_vp8l(b"\x2f" + bw.getvalue())
 
 
+def test_expansion_bomb_rejected_before_allocation():
+    """A tiny stream whose declared dimensions pass the absolute pixel cap
+    but exceed 1024 decoded pixels per payload byte must quarantine: VP8L
+    LZ77 backrefs amplify ~4096 px per ~4-byte reference, so without this
+    bound a ~100 KB crafted file could demand a 64M-pixel pure-Python
+    decode (ADVICE r7, medium)."""
+    bw = _BitWriter()
+    bw.write(8191, 14)  # 8192 x 8192 = 64M px: exactly the absolute cap,
+    bw.write(8191, 14)  # but vastly over 1024 px/byte for this tiny stream
+    bw.write(0, 1)
+    bw.write(0, 3)
+    payload = b"\x2f" + bw.getvalue()
+    assert 8192 * 8192 <= 64 * 1024 * 1024  # would pass the absolute cap
+    with pytest.raises(ValueError, match="expansion"):
+        decode_vp8l(payload)
+
+
+def test_expansion_bound_admits_real_encoder_output():
+    """The repo encoder's fixed-8 literal coding is ~1-4 px/byte — three
+    orders of magnitude under the 1024 px/byte bound — so legitimate
+    payloads are unaffected."""
+    w, h = 16, 16
+    container = encode_webp_vp8l(w, h, bytes((i * 7) % 256 for i in range(w * h * 3)))
+    dw, dh, _, rgb = decode_webp(container)
+    assert (dw, dh) == (w, h)
+    assert len(rgb) == w * h * 3
+
+
 def test_truncated_bitstream_raises_valueerror():
     good = encode_webp_vp8l(4, 4, bytes(range(48)))
     for cut in (20, 25, 30, len(good) - 3):

@@ -49,6 +49,17 @@ _REPO = _THIS.parent.parent
 _PKG = "nbi_oedi_etl_spark"
 _DIGEST_DIR = _REPO / "tools" / "spec_digests"
 
+# Bump whenever the digest computation changes. Snapshot caches record the
+# version they were computed with; a mismatch forces recomputation (via the
+# CURRENT script run against the historical worktree), so new-algorithm
+# current digests are never compared against old-algorithm snapshots
+# (ADVICE r7). v2: + stable-value hashing of referenced simple-valued
+# globals (covers ``from mod import CONST``) and of function default
+# arguments (covers constants that never appear in co_names), + AST walk
+# of function-LOCAL imports (the executor-import idiom binds to locals,
+# invisible to the __globals__ walk — e.g. the multimodal→webp edge).
+_ALGO_VERSION = 2
+
 
 # ---------------------------------------------------------------- git side
 def round_boundaries() -> dict[int, str]:
@@ -102,6 +113,43 @@ def _collect_code_names(code: types.CodeType, names: set[str]) -> None:
     for const in code.co_consts:
         if isinstance(const, types.CodeType):
             _collect_code_names(const, names)
+
+
+_LOCAL_IMPORT_CACHE: dict[types.CodeType, list[tuple[str, str | None]]] = {}
+
+
+def _local_imports(fn: types.FunctionType) -> list[tuple[str, str | None]]:
+    """In-package imports appearing anywhere in ``fn``'s source, as
+    ``(module, member-or-None)`` pairs. ``import pkg.mod`` yields
+    ``(pkg.mod, None)``; ``from pkg.mod import x`` yields
+    ``(pkg.mod, 'x')``."""
+    code = fn.__code__
+    if code in _LOCAL_IMPORT_CACHE:
+        return _LOCAL_IMPORT_CACHE[code]
+    import inspect
+    import textwrap
+
+    out: list[tuple[str, str | None]] = []
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, SyntaxError, TypeError):
+        tree = None
+    if tree is not None:
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.startswith(_PKG):
+                        out.append((alias.name, None))
+            elif (
+                isinstance(node, ast.ImportFrom)
+                and node.level == 0
+                and node.module
+                and node.module.startswith(_PKG)
+            ):
+                for alias in node.names:
+                    out.append((node.module, alias.name))
+    _LOCAL_IMPORT_CACHE[code] = out
+    return out
 
 
 def _expand(
@@ -162,6 +210,44 @@ def _expand(
                 _expand(cell.cell_contents, files, fns, classes, seen)
             except ValueError:
                 pass
+        # default-argument values never appear in co_names; callables
+        # hiding there (strategy objects, helper fns) must still expand
+        for dflt in (obj.__defaults__ or ()) + tuple(
+            (obj.__kwdefaults__ or {}).values()
+        ):
+            if isinstance(dflt, (types.ModuleType, types.FunctionType, type)):
+                _expand(dflt, files, fns, classes, seen)
+        # function-LOCAL imports (`from nbi_oedi_etl_spark.operators
+        # import webp` inside a body — the executor-import idiom used by
+        # the multimodal UDFs) bind to locals, never __globals__, so the
+        # co_names walk above cannot reach them; walk the AST for them
+        for modname, member in _local_imports(obj):
+            try:
+                mod = __import__(modname, fromlist=["_"])
+            except ImportError:
+                continue
+            if "workload" in modname:
+                continue  # same guard as the module walk above
+            if member is None:
+                _expand(mod, files, fns, classes, seen)
+                continue
+            f = getattr(mod, "__file__", None)
+            if f:
+                # constants imported by name are then covered by the
+                # ref_names ∩ assigns hash (IMPORT_FROM puts the name
+                # in co_names)
+                files.add(str(pathlib.Path(f).resolve()))
+            target = getattr(mod, member, None)
+            if target is None:
+                # `from pkg.operators import webp` where webp is a lazily
+                # imported SUBMODULE: not bound on the package until its
+                # first import, so import it explicitly
+                try:
+                    target = __import__(f"{modname}.{member}", fromlist=["_"])
+                except ImportError:
+                    target = None
+            if isinstance(target, (types.ModuleType, types.FunctionType, type)):
+                _expand(target, files, fns, classes, seen)
     elif isinstance(obj, type):
         if not getattr(obj, "__module__", "").startswith(_PKG):
             return
@@ -205,6 +291,35 @@ class _ModuleIndex:
 # rotation bookkeeping churns every round without touching semantics;
 # keep those names out of the digest
 _BOOKKEEPING_RE = re.compile(r"^_(R\d+_(WINDOW|QUEUE)|POST_R\d+_ADDITIONS)$")
+
+
+def _stable_repr(value: object, depth: int = 0) -> str | None:
+    """Deterministic repr for digesting constant VALUES, or None when the
+    value's repr cannot be trusted across processes (arbitrary objects
+    embed addresses; set iteration order depends on PYTHONHASHSEED)."""
+    if depth > 6:
+        return None
+    if value is None or isinstance(value, (bool, int, float, str, bytes)):
+        return repr(value)
+    if isinstance(value, (tuple, list)):
+        parts = [_stable_repr(v, depth + 1) for v in value]
+        if any(p is None for p in parts):
+            return None
+        return f"{type(value).__name__}[{','.join(parts)}]"  # type: ignore[arg-type]
+    if isinstance(value, (set, frozenset)):
+        parts = [_stable_repr(v, depth + 1) for v in value]
+        if any(p is None for p in parts):
+            return None
+        return f"{type(value).__name__}{{{','.join(sorted(parts))}}}"  # type: ignore[arg-type]
+    if isinstance(value, dict):
+        items = [
+            (_stable_repr(k, depth + 1), _stable_repr(v, depth + 1))
+            for k, v in value.items()
+        ]
+        if any(k is None or v is None for k, v in items):
+            return None
+        return "dict{%s}" % ",".join(f"{k}:{v}" for k, v in sorted(items))
+    return None
 
 
 def spec_digests(root: pathlib.Path) -> dict[str, str]:
@@ -263,6 +378,32 @@ def spec_digests(root: pathlib.Path) -> dict[str, str]:
                 h.update(rel(f).encode())
                 h.update(name.encode())
                 h.update(idx.assigns[name].encode())
+        # VALUE-level coverage for constants the assign index misses
+        # (ADVICE r7): names bound by ``from mod import CONST`` resolve
+        # through __globals__ to a plain value with no Assign in the
+        # importing file, and default-argument values never appear in
+        # co_names at all. Hash their stable reprs directly.
+        value_entries: set[tuple[str, str]] = set()
+        for fn in fns:
+            g = fn.__globals__
+            fn_names: set[str] = set()
+            _collect_code_names(fn.__code__, fn_names)
+            for name in fn_names:
+                if name in g and not _BOOKKEEPING_RE.match(name):
+                    sr = _stable_repr(g[name])
+                    if sr is not None:
+                        value_entries.add((name, sr))
+            for i, dflt in enumerate(fn.__defaults__ or ()):
+                sr = _stable_repr(dflt)
+                if sr is not None:
+                    value_entries.add((f"{fn.__qualname__}:default:{i}", sr))
+            for kw, dflt in (fn.__kwdefaults__ or {}).items():
+                sr = _stable_repr(dflt)
+                if sr is not None:
+                    value_entries.add((f"{fn.__qualname__}:kwdefault:{kw}", sr))
+        for name, sr in sorted(value_entries):
+            h.update(name.encode())
+            h.update(sr.encode())
         if spec.oracle is not None:
             h.update(spec.oracle.encode())
         digests[spec.name] = h.hexdigest()
@@ -284,7 +425,12 @@ def boundary_digests(rnd: int, sha: str) -> dict[str, str]:
     _DIGEST_DIR.mkdir(parents=True, exist_ok=True)
     cache = _DIGEST_DIR / f"r{rnd}.json"
     if cache.exists():
-        return json.loads(cache.read_text())
+        data = json.loads(cache.read_text())
+        # versioned snapshots only (ADVICE r7): a flat dict is a pre-v2
+        # cache, and any algo mismatch forces recomputation with the
+        # current script so digests are always compared like-for-like
+        if isinstance(data, dict) and data.get("algo") == _ALGO_VERSION:
+            return data["digests"]
     with tempfile.TemporaryDirectory(prefix=f"rot-audit-r{rnd}-") as tmp:
         wt = pathlib.Path(tmp) / "wt"
         subprocess.run(
@@ -308,7 +454,11 @@ def boundary_digests(rnd: int, sha: str) -> dict[str, str]:
                 cwd=_REPO,
                 capture_output=True,
             )
-    cache.write_text(json.dumps(digests, indent=1, sort_keys=True))
+    cache.write_text(
+        json.dumps(
+            {"algo": _ALGO_VERSION, "digests": digests}, indent=1, sort_keys=True
+        )
+    )
     return digests
 
 
@@ -335,7 +485,12 @@ def verification_debt() -> dict[str, str]:
             debt[spec.name] = "never-verified"
             continue
         if rnd not in bounds:
-            continue  # no boundary commit recorded (fresh checkout)
+            # FAIL CLOSED (ADVICE r7): a green record with no matching
+            # boundary commit (shallow clone, reworded driver subject,
+            # evidence committed ahead of the boundary) means we cannot
+            # prove the code hasn't drifted — that is debt, not freshness
+            debt[spec.name] = f"boundary-missing-r{rnd}"
+            continue
         if rnd not in hist_cache:
             hist_cache[rnd] = boundary_digests(rnd, bounds[rnd])
         then = hist_cache[rnd].get(spec.name)
