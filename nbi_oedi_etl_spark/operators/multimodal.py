@@ -121,6 +121,12 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int, bytes]:
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+#: Same allocation-before-validation contract as operators/jpeg.py and
+#: operators/webp.py (ADVICE r5): refuse absurd declared dimensions with
+#: ValueError (-> per-row quarantine) before any plane allocation or
+#: decompression. 64M pixels matches the other codecs' cap.
+_MAX_PIXELS = 64 * 1024 * 1024
+
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     return (
@@ -223,10 +229,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
-    raw = zlib.decompress(bytes(idat))
+    if width <= 0 or height <= 0 or width * height > _MAX_PIXELS:
+        raise ValueError("PNG dimensions out of range")
     bpp = 3
     stride = width * bpp
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate (fault_sweep r8): zlib expands up to ~1000x, so a
+    # tiny crafted IDAT could demand gigabytes if decompressed before the
+    # length check — cap the inflate at expected+1 and verify exactness
+    dec = zlib.decompressobj()
+    try:
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT stream: {e}") from None
+    if len(raw) != expected or not dec.eof or dec.unconsumed_tail:
         raise ValueError("scanline stream length mismatch")
     pixels = bytearray()
     prior = bytes(stride)
@@ -305,8 +321,15 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={compression}")
     height = abs(raw_height)
     bottom_up = raw_height > 0
+    if width <= 0 or height <= 0 or width * height > _MAX_PIXELS:
+        raise ValueError("BMP dimensions out of range")
     row_len = width * 3
     stride = row_len + ((-row_len) % 4)
+    # truncation check (fault_sweep r8): a cut file keeps a valid header,
+    # and short slices would otherwise flow downstream as a wrong-length
+    # pixel buffer — silently-wrong output instead of loud quarantine
+    if offset + stride * (height - 1) + row_len > len(data):
+        raise ValueError("truncated BMP pixel data")
     rows = []
     for i in range(height):
         y = (height - 1 - i) if bottom_up else i
@@ -583,7 +606,10 @@ def resize_images(payloads: DataFrame, width: int = 32, height: int = 32) -> Dat
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, _, pix = decode_image_real(_require_payload(payload))
+                try:
+                    w, h, _, pix = decode_image_real(_require_payload(payload))
+                except (ValueError, NotImplementedError):
+                    continue  # reference log-and-drop posture, per row
                 out = bytearray()
                 for y2 in range(height):
                     ys = y2 * h // height
@@ -644,6 +670,10 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
         body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # declared size beyond the payload: decoding the short slice
+            # would silently return partial audio (fault_sweep r8)
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
             audio_format = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
@@ -670,6 +700,7 @@ WAV_FEATURES_SCHEMA = StructType(
         StructField("n_channels", IntegerType()),
         StructField("n_samples", IntegerType()),
         StructField("sum_abs_amplitude", LongType()),
+        StructField("decoded_ok", BooleanType()),
     ]
 )
 
@@ -719,22 +750,39 @@ def extract_wav_features(payloads: DataFrame) -> DataFrame:
     """REAL audio decode over WAV binary payloads: chunk-walk the RIFF
     container, parse PCM-16 samples, reduce to integer features (sum of
     absolute amplitudes — exact, so value-hash-checkable). Arrow-batched
-    mapInPandas, narrow stage, no shuffle."""
+    mapInPandas, narrow stage, no shuffle. Same per-row quarantine
+    contract as ``extract_image_features`` (found by
+    tools/fault_sweep.py r8): an undecodable payload yields a
+    ``decoded_ok=False`` row with null features, never a job failure —
+    the reference's log-and-drop semantics (transform.py:168-170)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, ch, samples = decode_wav(_require_payload(payload))
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "sample_rate": rate,
-                        "n_channels": ch,
-                        "n_samples": len(samples),
-                        "sum_abs_amplitude": sum(abs(s) for s in samples),
-                    }
-                )
+                try:
+                    rate, ch, samples = decode_wav(_require_payload(payload))
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "sample_rate": rate,
+                            "n_channels": ch,
+                            "n_samples": len(samples),
+                            "sum_abs_amplitude": sum(abs(s) for s in samples),
+                            "decoded_ok": True,
+                        }
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "sample_rate": None,
+                            "n_channels": None,
+                            "n_samples": None,
+                            "sum_abs_amplitude": None,
+                            "decoded_ok": False,
+                        }
+                    )
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_FEATURES_SCHEMA.fields])
 
     return payloads.mapInPandas(_extract, WAV_FEATURES_SCHEMA)
@@ -756,7 +804,10 @@ def resize_bmp_images(payloads: DataFrame, width: int, height: int) -> DataFrame
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, _, pix = decode_bmp(_require_payload(payload))
+                try:
+                    w, h, _, pix = decode_bmp(_require_payload(payload))
+                except (ValueError, NotImplementedError):
+                    continue  # reference log-and-drop posture, per row
                 out = bytearray()
                 for y2 in range(height):
                     ys = y2 * h // height

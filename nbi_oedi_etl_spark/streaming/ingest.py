@@ -92,14 +92,26 @@ def events_file_stream(
     This is the ONE place ``nanosAsLong`` is ever set — always on the
     scoped streaming clone the caller passes in, never the shared session.
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     reader = spark.readStream.schema(raw_schema)
-    if stream_dir is None:
-        reader = reader.option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(stream_dir if stream_dir is not None else sf_dir)
+    # FileStreamSource needs a DIRECTORY basePath. ``events.parquet`` may
+    # be a directory of part files (every real warehouse layout — caught
+    # by tools/fault_sweep.py's cleaned-replica registry run in r8): read
+    # it directly. The sf fixtures keep it as a single FILE: stream the
+    # parent with a glob filter pinned to that one file instead.
+    if stream_dir is not None:
+        path = stream_dir
+    elif os.path.isdir(f"{sf_dir}/events.parquet"):
+        path = f"{sf_dir}/events.parquet"
+    else:
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        path = sf_dir
+    stream = reader.parquet(path)
     ts_dtype = dict(stream.dtypes).get("ts")
     if ts_dtype == "bigint":
         # ns-as-long: truncate to µs exactly like DuckDB/pyarrow.
@@ -229,9 +241,21 @@ def heartbeat_drain_dir(
     import pyarrow.parquet as pq
 
     d = tempfile.mkdtemp(prefix="heartbeat_drain_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-    t = pq.read_table(f"{sf_dir}/events.parquet")
-    base = os.path.getmtime(f"{d}/events.parquet")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        # directory-of-parts layout (real warehouses; fault_sweep cleaned
+        # replicas): copy every data file, keeping names that sort (and
+        # mtime-order) before the z-prefixed sentinels below
+        parts = sorted(
+            f for f in os.listdir(src)
+            if not f.startswith((".", "_")) and os.path.isfile(os.path.join(src, f))
+        )
+        for i, f in enumerate(parts):
+            shutil.copy(os.path.join(src, f), os.path.join(d, f"events-{i:05d}.parquet"))
+    else:
+        shutil.copy(src, f"{d}/events.parquet")
+    t = pq.read_table(src)
+    base = max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
     for i, year in enumerate(years):
         n = len(sentinel_rows)
         if len(t) == 0:

@@ -1683,7 +1683,8 @@ WITH d AS (
 SELECT doc_id, sample_rate, CAST(1 AS INTEGER) AS n_channels,
        CAST(n AS INTEGER) AS n_samples,
        CAST(list_sum(list_transform(vals, v -> abs(v))) AS BIGINT)
-         AS sum_abs_amplitude
+         AS sum_abs_amplitude,
+       TRUE AS decoded_ok
 FROM s
 """
 

@@ -47,18 +47,19 @@ def test_headline_query_bounded(spark, name):
     assert dt <= MAX_SECONDS, f"{name} took {dt:.1f}s at sf0.01 (budget {MAX_SECONDS}s)"
 
 
-# ---- per-query regression guard against the round-5 reference bench ----
+# ---- per-query regression guard against the round-7 reference bench ----
 #
-# tests/bench_reference_r5.json freezes every headline query's sf0.1 time
-# from the round-5 bench (refreshed from r4 so improved queries —
-# minhash_lsh_portable 2.49->0.24 s, semantic_dedup_cells 4.66->1.37 s —
-# are guarded at their NEW level, not the stale ceiling). Whenever
-# bench.py runs (it rewrites BENCH_DETAIL.json), this test compares the
-# fresh numbers query-by-query: >3x the reference (with a 5 s absolute
-# floor absorbing the measured 5-30x shared-host noise spikes on
-# sub-second queries) fails — so wave work can't silently regress an
-# existing query. Skips when no sf0.1 detail file exists (e.g. a fresh
-# clone before the first bench run).
+# tests/bench_reference_r7.json freezes every headline query's sf0.1
+# MEDIAN-OF-3 from the round-7 bench (r7 verdict task 6: the r5 reference
+# was per-query MIN while bench.py now reports median3 — comparing a
+# median against a min-based ceiling is biased, so guard and headline now
+# use the same estimator). Whenever bench.py runs (it rewrites
+# BENCH_DETAIL.json), this test compares the fresh numbers
+# query-by-query: >3x the reference (with a 5 s absolute floor absorbing
+# the measured 5-30x shared-host noise spikes on sub-second queries)
+# fails — so wave work can't silently regress an existing query. Skips
+# when no sf0.1 detail file exists (e.g. a fresh clone before the first
+# bench run).
 
 import json as _json
 import os as _os
@@ -67,7 +68,7 @@ _HERE = _os.path.dirname(__file__)
 _REPO = _os.path.dirname(_HERE)
 
 
-def test_no_per_query_regression_vs_r5_reference():
+def test_no_per_query_regression_vs_r7_reference():
     detail_path = _os.path.join(_REPO, "BENCH_DETAIL.json")
     if not _os.path.exists(detail_path):
         pytest.skip("no BENCH_DETAIL.json — run bench.py first")
@@ -75,14 +76,14 @@ def test_no_per_query_regression_vs_r5_reference():
         detail = _json.load(f)
     if detail.get("sf") != 0.1:
         pytest.skip("BENCH_DETAIL.json is not an sf0.1 run")
-    with open(_os.path.join(_HERE, "bench_reference_r5.json")) as f:
+    with open(_os.path.join(_HERE, "bench_reference_r7.json")) as f:
         ref = _json.load(f)["queries"]
     regressions = []
     for name, ref_sec in ref.items():
         cur = detail["queries"].get(name)
-        if cur is None:  # renamed/retired since r5 — rotation handles it
+        if cur is None:  # renamed/retired since r7 — rotation handles it
             continue
         budget = max(3.0 * ref_sec, 5.0)
         if cur > budget:
-            regressions.append(f"{name}: {cur:.2f}s vs r5 {ref_sec:.2f}s (>{budget:.1f}s)")
-    assert not regressions, "per-query bench regressions vs round-5:\n" + "\n".join(regressions)
+            regressions.append(f"{name}: {cur:.2f}s vs r7 {ref_sec:.2f}s (>{budget:.1f}s)")
+    assert not regressions, "per-query bench regressions vs round-7:\n" + "\n".join(regressions)

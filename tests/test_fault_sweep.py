@@ -1,0 +1,177 @@
+"""Fault-injection representatives (r8 headline, VERDICT r7 task 1).
+
+Pytest-sized pins of what ``tools/fault_sweep.py`` proves exhaustively:
+the reference's drop-and-report contract (monitor.py:87-136,
+transform.py:168-170 — a file that fails transformation is dropped and
+surfaced, never silently half-processed) under injected parquet faults,
+and bounded-work ValueError quarantine for adversarial codec payloads.
+The exhaustive sweep's committed results live in FAULT_SWEEP.json.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import sys
+import time
+
+import pandas as pd
+import pytest
+
+from nbi_oedi_etl_spark.operators import multimodal as mm
+from nbi_oedi_etl_spark.sources.quarantine import read_with_quarantine
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO / "tools"))
+
+import fault_sweep  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def faulted_orders(tmp_path_factory):
+    """orders.parquet as a directory: pristine part + 3 planted corruptions."""
+    d = tmp_path_factory.mktemp("faulted") / "orders.parquet"
+    d.mkdir()
+    data = (pathlib.Path(SF) / "orders.parquet").read_bytes()
+    (d / "part-00000.parquet").write_bytes(data)
+    for name, blob in fault_sweep._corruptions(data).items():
+        (d / name).write_bytes(blob)
+    return d
+
+
+def test_default_read_fails_loudly(spark, faulted_orders):
+    """Anti-silent-loss: a default scan over a dir with corrupt parts must
+    raise, not return a subset."""
+    with pytest.raises(Exception):
+        spark.read.parquet(str(faulted_orders)).count()
+
+
+def test_quarantine_drops_exactly_the_planted_files(spark, faulted_orders):
+    parts = sorted(str(p) for p in faulted_orders.iterdir())
+    df, rep = read_with_quarantine(spark, parts)
+    assert sorted(pathlib.Path(p).name for p in rep.quarantined) == sorted(
+        fault_sweep._PLANTED
+    )
+    pristine = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert df.count() == pristine
+
+
+def test_quarantine_no_false_positives_on_pristine(spark):
+    _, rep = read_with_quarantine(spark, [f"{SF}/orders.parquet"])
+    assert rep.quarantined == []
+
+
+def test_cleaned_replica_registry_representative(spark, faulted_orders, tmp_path):
+    """File-level clean (copy quarantine-approved parts) -> a registry query
+    over the mixed single-file/directory layout matches pristine exactly."""
+    from nbi_oedi_etl_spark import workload
+
+    for t in fault_sweep._tables():
+        if t == "orders":
+            d = tmp_path / "orders.parquet"
+            d.mkdir()
+            parts = sorted(str(p) for p in faulted_orders.iterdir())
+            _, rep = read_with_quarantine(spark, parts)
+            for i, p in enumerate(rep.readable):
+                shutil.copyfile(p, d / f"part-{i:05d}.parquet")
+        else:
+            (tmp_path / f"{t}.parquet").symlink_to(f"{SF}/{t}.parquet")
+    q = workload.queries()["customer_order_counts"]
+    got = sorted(map(tuple, q(spark, str(tmp_path)).collect()))
+    want = sorted(map(tuple, q(spark, SF).collect()))
+    assert got == want
+
+
+def test_streaming_reads_directory_layout(spark, tmp_path):
+    """The r8 sweep found the streaming tier assumed single-file
+    ``events.parquet``; both the glob path and the heartbeat drain must
+    handle a directory of parts (every real warehouse layout)."""
+    from nbi_oedi_etl_spark import workload
+
+    for t in fault_sweep._tables():
+        d = tmp_path / f"{t}.parquet"
+        d.mkdir()
+        shutil.copyfile(f"{SF}/{t}.parquet", d / "part-00000.parquet")
+    q = workload.queries()["streaming_sliding_window_counts"]
+    got = sorted(map(tuple, q(spark, str(tmp_path)).collect()))
+    want = sorted(map(tuple, q(spark, SF).collect()))
+    assert got == want
+
+
+# ------------------------------------------------------------ codecs
+
+_FAMS = fault_sweep._adversarial_payloads()
+
+
+@pytest.mark.parametrize("fam", sorted(_FAMS))
+def test_adversarial_payloads_quarantine_in_bounded_time(fam):
+    """Every adversarial payload must raise ValueError (or the documented
+    NotImplementedError) within the budget — never MemoryError, never a
+    wrong-type crash, never a hang. DECODED is allowed only for
+    truncation prefixes that happen to be complete streams."""
+    decode = mm.decode_wav if fam == "wav" else mm.decode_image_real
+    for i, payload in enumerate(_FAMS[fam]):
+        t0 = time.monotonic()
+        try:
+            decode(payload)
+        except (ValueError, NotImplementedError):
+            pass
+        dt = time.monotonic() - t0
+        assert dt <= fault_sweep.TIME_BUDGET_S, f"{fam} case {i}: {dt:.2f}s"
+
+
+def test_wav_query_surface_quarantines_per_row(spark):
+    """extract_wav_features crashed the job on undecodable payloads before
+    r8 (found by the sweep); now it must emit decoded_ok=False rows."""
+    cases = [p for p in _FAMS["wav"][:20] if p]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(cases)),
+            "payload": cases,
+            "mime": ["audio/wav"] * len(cases),
+        }
+    )
+    rows = {r["doc_id"]: r for r in mm.extract_wav_features(spark.createDataFrame(pdf)).collect()}
+    assert len(rows) == len(cases)
+    for i, payload in enumerate(cases):
+        try:
+            mm.decode_wav(payload)
+            direct_ok = True
+        except (ValueError, NotImplementedError):
+            direct_ok = False
+        assert rows[i]["decoded_ok"] is direct_ok
+        if not direct_ok:
+            assert rows[i]["sum_abs_amplitude"] is None
+    # at least the magic-only and cyclic cases must quarantine
+    assert any(not r["decoded_ok"] for r in rows.values())
+
+
+def test_image_query_surface_quarantines_per_row(spark):
+    cases = [p for fam in ("png", "bmp", "jpeg", "webp") for p in _FAMS[fam][:3] if p]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(cases)),
+            "payload": cases,
+            "mime": ["application/octet-stream"] * len(cases),
+        }
+    )
+    rows = mm.extract_image_features(spark.createDataFrame(pdf)).collect()
+    assert len(rows) == len(cases)
+    assert all(not r["decoded_ok"] for r in rows)
+
+
+def test_resize_drops_undecodable_rows(spark):
+    """resize_bmp_images crashed on corrupt payloads before r8; now it
+    drops the row (reference log-and-drop) and keeps the good ones."""
+    good = mm.encode_bmp(4, 3, bytes(range(36)))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [good, b"BMgarbage", good[: len(good) // 2]],
+            "mime": ["image/bmp"] * 3,
+        }
+    )
+    rows = mm.resize_bmp_images(spark.createDataFrame(pdf), 2, 2).collect()
+    assert [r["doc_id"] for r in rows] == [1]

@@ -2,15 +2,16 @@
 distribution is pathologically hot, complementing tools/scale_probe.py
 (which measures volume growth with healthy distributions).
 
-Builds a skewed twin of sf0.1 with IDENTICAL row counts — only the key
-distributions change:
+Builds skewed twins of sf0.1 with IDENTICAL row counts — only the key
+distributions change, at a configurable hot fraction (r7 verdict task 4
+asks for 0.3 AND 0.6/0.9):
 
-- ``lineitem``: 30% of rows reassigned to ONE l_partkey (hot-product
+- ``lineitem``: ``frac`` of rows reassigned to ONE l_partkey (hot-product
   join/agg skew against the part dimension);
-- ``events``: 30% of rows reassigned to ONE user_id (hot-entity skew
+- ``events``: ``frac`` of rows reassigned to ONE user_id (hot-entity skew
   for keyed windows, sessionization, per-user aggregates).
 
-Each probed query runs on base sf0.1 and on the skewed twin; the ratio
+Each probed query runs on base sf0.1 and on each skewed twin; the ratio
 isolates the cost of skew at constant volume. What the postures in
 SCALE.md predict, and this probe checks:
 
@@ -19,18 +20,24 @@ SCALE.md predict, and this probe checks:
   map-combine work but no reducer hotspot;
 - equi-joins stay ~flat: AQE splits skewed shuffle partitions
   (spark.sql.adaptive.skewJoin) or the dim side is broadcast;
-- keyed WINDOW functions are the honest exception: one partition key
-  must be sorted by one task, so a 30%-hot entity concentrates ~30% of
-  the sort on one core. The probe reports it rather than hiding it —
-  the mitigation at corpus scale is the two-pass spine documented in
-  SCALE.md, not a silent cap.
+- keyed WINDOW / sessionization shapes are the honest exception: one
+  partition key must be processed by one task, so a ``frac``-hot entity
+  serializes ``frac`` of that stage. The LOAD-IMBALANCE BOUND for the
+  stage is ``t_skew/t_base <= frac*P`` (P = effective parallelism, 32
+  here): the hot task does ``frac`` of the stage's rows that base
+  spread over P tasks. A full-query ratio above that is SUPER-SHARE —
+  algorithmic degradation (quadratic state, reducer collapse), not mere
+  imbalance — and is what this probe flags for the two-pass-spine
+  mitigation documented in SCALE.md. Sub-bound imbalance is reported,
+  not hidden.
 
-A ratio above THRESHOLD (default 3.0 — generous against shared-host
-noise; a quadratic or single-reducer collapse shows up as 10x+) flags
-the query.
+Flag rule per query: ratio > max(BASE_THRESHOLD, frac*P) for the window
+class; ratio > BASE_THRESHOLD for everything else (generous against
+shared-host noise; a quadratic collapse shows up as 10x+).
 
 Usage:
-    python tools/skew_probe.py [--json OUT] [--queries name...]
+    python tools/skew_probe.py [--json OUT] [--fractions 0.3 0.6 0.9]
+                               [--queries name...]
 """
 
 from __future__ import annotations
@@ -44,13 +51,13 @@ import tempfile
 import time
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = os.environ.get("SKEW_PROBE_SRC", "/root/testdata/sf0.1")
-HOT_FRACTION = 0.3
+BASE_THRESHOLD = 3.0
+PARALLELISM = 32
 
 # (query, why it is skew-relevant)
 DEFAULT_QUERIES = [
@@ -60,25 +67,36 @@ DEFAULT_QUERIES = [
     "daily_active_wau",  # per-day distinct users: hot user collapses map-side
     "scd2_user_state_history",  # user-keyed windows: the honest hot spot
     "max_concurrent_sessions_daily",  # user-keyed sessionization
+    "session_window_stats",  # gap-based sessionization over user_id
+    "user_event_sequences",  # per-user ordered collect
     "part_golden_records",  # part-keyed survivorship over lineitem
     "copurchase_kcore",  # hot part inflates co-purchase pair counts
 ]
 
+#: Queries whose core stage is a per-key window/sort: the honest
+#: load-imbalance class, held to the frac*P bound instead of 3x.
+WINDOW_CLASS = {
+    "scd2_user_state_history",
+    "max_concurrent_sessions_daily",
+    "session_window_stats",
+    "user_event_sequences",
+}
 
-def _skew_column(t: pa.Table, col: str) -> pa.Table:
-    """Reassign ~HOT_FRACTION of rows (deterministically, by row index)
-    to the column's first value, preserving type and row count."""
+
+def _skew_column(t: pa.Table, col: str, frac: float) -> pa.Table:
+    """Reassign ~frac of rows (deterministically, by row index) to the
+    column's first value, preserving type and row count."""
     i = t.schema.get_field_index(col)
     typ = t.schema.field(col).type
     values = t.column(col).to_pylist()
     hot = values[0]
-    cut = int(HOT_FRACTION * 10)  # j % 10 < 3 -> exactly 30% of rows
-    skewed = [hot if j % 10 < cut else v for j, v in enumerate(values)]
+    cut = int(round(frac * 100))  # j % 100 < cut -> exactly frac of rows
+    skewed = [hot if j % 100 < cut else v for j, v in enumerate(values)]
     return t.set_column(i, t.schema.field(col), pa.array(skewed, type=typ))
 
 
-def build_skewed() -> str:
-    d = os.path.join(tempfile.gettempdir(), "skew_probe_corpus")
+def build_skewed(frac: float) -> str:
+    d = os.path.join(tempfile.gettempdir(), f"skew_probe_corpus_{int(frac * 100)}")
     marker = os.path.join(d, ".complete")
     if os.path.exists(marker):
         return d
@@ -87,9 +105,9 @@ def build_skewed() -> str:
         name = os.path.basename(p)
         t = pq.read_table(p)
         if name == "lineitem.parquet":
-            t = _skew_column(t, "l_partkey")
+            t = _skew_column(t, "l_partkey", frac)
         elif name == "events.parquet":
-            t = _skew_column(t, "user_id")
+            t = _skew_column(t, "user_id", frac)
         pq.write_table(t, os.path.join(d, name))
     with open(marker, "w") as f:
         f.write("ok")
@@ -99,52 +117,71 @@ def build_skewed() -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default="SKEW_PROBE.json")
-    ap.add_argument("--threshold", type=float, default=3.0)
+    ap.add_argument("--fractions", nargs="*", type=float, default=[0.3, 0.6, 0.9])
     ap.add_argument("--queries", nargs="*")
     args = ap.parse_args()
 
     from nbi_oedi_etl_spark import get_spark, workload
 
     names = args.queries or DEFAULT_QUERIES
-    skewed = build_skewed()
     spark = get_spark(app_name="skew_probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = workload.queries()
     qs["pricing_summary"](spark, SRC).collect()  # warm the JVM
 
-    results: dict[str, dict] = {}
+    # base timings once, shared across fractions
+    base: dict[str, tuple[float, int]] = {}
     for n in names:
-        fn = qs[n]
         t0 = time.perf_counter()
-        rows_base = len(fn(spark, SRC).collect())
-        t_base = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        rows_skew = len(fn(spark, skewed).collect())
-        t_skew = time.perf_counter() - t0
-        ratio = t_skew / t_base if t_base > 0 else float("inf")
-        results[n] = {
-            "t_base_sec": round(t_base, 3),
-            "t_skewed_sec": round(t_skew, 3),
-            "ratio": round(ratio, 2),
-            "rows_base": rows_base,
-            "rows_skewed": rows_skew,
-            "flagged": bool(ratio > args.threshold),
-        }
-        print(
-            f"{n}: base={t_base:.2f}s skewed={t_skew:.2f}s ratio={ratio:.2f}"
-            + ("  ** FLAGGED **" if results[n]["flagged"] else "")
-        )
+        rows = len(qs[n](spark, SRC).collect())
+        base[n] = (time.perf_counter() - t0, rows)
+
+    runs: dict[str, dict] = {}
+    all_flagged: list[str] = []
+    for frac in args.fractions:
+        skewed = build_skewed(frac)
+        results: dict[str, dict] = {}
+        for n in names:
+            t_base, rows_base = base[n]
+            t0 = time.perf_counter()
+            rows_skew = len(qs[n](spark, skewed).collect())
+            t_skew = time.perf_counter() - t0
+            ratio = t_skew / t_base if t_base > 0 else float("inf")
+            bound = (
+                max(BASE_THRESHOLD, frac * PARALLELISM)
+                if n in WINDOW_CLASS
+                else BASE_THRESHOLD
+            )
+            results[n] = {
+                "t_base_sec": round(t_base, 3),
+                "t_skewed_sec": round(t_skew, 3),
+                "ratio": round(ratio, 2),
+                "bound": round(bound, 1),
+                "rows_base": rows_base,
+                "rows_skewed": rows_skew,
+                "flagged": bool(ratio > bound),
+            }
+            print(
+                f"[{frac}] {n}: base={t_base:.2f}s skewed={t_skew:.2f}s "
+                f"ratio={ratio:.2f} bound={bound:.1f}"
+                + ("  ** FLAGGED **" if results[n]["flagged"] else "")
+            )
+        flagged = [n for n, r in results.items() if r["flagged"]]
+        all_flagged += [f"{n}@{frac}" for n in flagged]
+        runs[str(frac)] = {"queries": results, "flagged": flagged}
 
     out = {
-        "hot_fraction": HOT_FRACTION,
         "source_sf_dir": SRC,
-        "queries": results,
-        "flagged": [n for n, r in results.items() if r["flagged"]],
+        "parallelism": PARALLELISM,
+        "base_threshold": BASE_THRESHOLD,
+        "window_class": sorted(WINDOW_CLASS),
+        "runs": runs,
+        "flagged": all_flagged,
     }
     with open(args.json, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(f"wrote {args.json}; flagged: {out['flagged']}")
-    return 1 if out["flagged"] else 0
+    print(f"wrote {args.json}; flagged: {all_flagged}")
+    return 1 if all_flagged else 0
 
 
 if __name__ == "__main__":
