@@ -51,19 +51,32 @@ def partitioned_overwrite_sink(
 def ledger_append_sink(
     output_dir: str, ledger_dir: str
 ) -> Callable[[DataFrame, int], None]:
-    """Append-only sink made exactly-once by a batch-id ledger: a batch id
-    that already has a ledger marker is a retry and is skipped. The marker
-    is written AFTER the data commit, so a crash between the two replays
-    the append — the parquet files of the half-committed attempt are
-    shadowed because Spark's own _SUCCESS-committed files from the retry
-    replace the uncommitted temporary ones; the ledger closes the window
-    where the batch would be appended twice."""
+    """Append-only sink made exactly-once by writing each batch into its
+    OWN deterministic partition directory (``batch_id=<id>``, static
+    overwrite) plus a batch-id ledger marker written after the commit.
+
+    Why per-batch overwrite instead of a plain ``append``: a crash BETWEEN
+    a successful append and the marker write would replay the append —
+    plain-append part files get fresh names, nothing shadows the first
+    attempt, and the batch lands twice (found by the r8 checkpoint-loss
+    drill, tests/test_checkpoint_recovery.py; the pre-r8 docstring's
+    shadowing claim was wrong). With a per-batch directory the replay
+    OVERWRITES the same path with identical bytes, so the final state is
+    independent of where the crash landed; the ledger marker only skips
+    recomputation on replay, it no longer carries the correctness burden.
+
+    Reader contract: ``spark.read.parquet(output_dir)`` sees the data
+    plus a ``batch_id`` partition column (drop it if unwanted). This is
+    the plain-parquet shape of a table-format transactional append
+    (Delta/Iceberg commit per batch)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(ledger_dir, f"batch-{batch_id}")
         if os.path.exists(marker):
             return
-        batch_df.write.mode("append").parquet(output_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch_id={batch_id}")
+        )
         os.makedirs(ledger_dir, exist_ok=True)
         with open(marker, "w") as f:
             f.write("committed")
