@@ -68,6 +68,29 @@ def read_file_stream(
     return reader.parquet(path)
 
 
+def table_file_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Schema-pinned file stream over ``{sf_dir}/{table}.parquet``,
+    layout-agnostic: FileStreamSource needs a DIRECTORY basePath, so a
+    directory-of-parts table (every real warehouse layout — caught by
+    tools/fault_sweep.py's cleaned-replica registry run in r8) is
+    streamed directly while the single-file fixtures stream the parent
+    with a glob filter pinned to that one file."""
+    import os
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isdir(f"{sf_dir}/{table}.parquet"):
+        return reader.parquet(f"{sf_dir}/{table}.parquet")
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
 def events_file_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -1387,12 +1387,7 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nbi_oedi_etl_spark.streaming import ingest
 
     s = ingest.scoped_streaming_session(spark)
-    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        s.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = ingest.table_file_stream(s, sf_dir, "documents")
     agg = stream.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("dup_count"),
@@ -2138,22 +2133,30 @@ SPECS: list[QuerySpec] = [
 # flags), then oldest-green refreshers. The r8 audit runs the v2 digest
 # algorithm (ADVICE r7 fixes: stable-value hashing of imported/default
 # constants, AST walk of function-local imports, fail-closed on missing
-# boundary commits) and flags 16 specs: the 8 multimodal siblings (this
-# round's webp.py expansion-bound fix propagates through the
-# decode_image_real local-import edge the v1 audit could not see), and 8
-# genuine v1 blind-spot escapes from r3-r5 (sketch/streaming/dedup specs
-# whose imported-constant or default-arg dependencies drifted unseen).
-# Positions 17-31 are the r2-green refreshers, 32-50 the oldest r3-green.
+# boundary commits) and flags 27 specs: the 8 multimodal siblings (the
+# webp expansion-bound fix + the codec hardening the fault sweep forced
+# propagate through the decode_image_real local-import edge the v1 audit
+# could not see), the 11 streaming specs touched by the r8
+# directory-layout fixes (ingest.table_file_stream), and 8 genuine v1
+# blind-spot escapes from r3-r5 (sketch/streaming/dedup specs whose
+# imported-constant or default-arg dependencies drifted unseen).
+# Positions 28-42 are the r2-green refreshers, 43-50 the oldest r3-green.
 _R8_WINDOW: list[str] = [
-    # -- 16 audit-flagged stale specs (tools/rotation_audit.py, algo v2) --
+    # -- 27 audit-flagged stale specs (tools/rotation_audit.py, algo v2) --
     "corpus_prep_pipeline", "embedding_near_dup_exact_small",
     "kmeans_assign_embeddings", "latest_event_per_user",
     "minhash_estimator_audit", "multimodal_bmp_resize",
     "multimodal_bmp_roundtrip", "multimodal_frame_sample",
     "multimodal_image_features", "multimodal_jpeg_features",
     "multimodal_resize", "multimodal_wav_features",
-    "multimodal_webp_features", "streaming_cms_token_topk",
+    "multimodal_webp_features", "stateful_session_stats",
+    "streaming_click_purchase_join", "streaming_click_purchase_left_join",
+    "streaming_cms_token_topk", "streaming_cumulative_unique_users",
+    "streaming_ewma_daily", "streaming_exact_dedup",
     "streaming_foreachbatch_upsert", "streaming_hll_distinct_tokens",
+    "streaming_hourly_resample", "streaming_session_window_stats",
+    "streaming_sliding_window_counts", "streaming_static_enrichment",
+    "streaming_watermark_dedup",
     # -- 15 r2-green refreshers --
     "pivot_qty_by_linestatus", "price_percentiles", "priority_shipping_counts",
     "promo_revenue_by_month", "range_join_order_revenue",
@@ -2161,15 +2164,10 @@ _R8_WINDOW: list[str] = [
     "set_ops_customer_years", "shipping_priority", "sliding_window_counts",
     "supplier_part_brand_counts", "top_tokens", "unpivot_lineitem_measures",
     "user_sessions", "window_functions_demo",
-    # -- 19 oldest r3-green refreshers --
+    # -- 8 oldest r3-green refreshers --
     "cascade_daily_rollup", "char_stats_udtf", "cross_join_region_matrix",
     "doc_chunking", "doc_gopher_filter", "doc_pii_scrub",
-    "doc_regex_token_estimate", "doc_tfidf_top_terms", "doc_word_repetition",
-    "embedding_norm_stats", "events_hourly_gapfill",
-    "full_outer_nation_activity", "hash_sample_documents",
-    "idle_rich_customers", "monthly_revenue_growth", "order_price_deciles",
-    "order_price_histogram", "part_name_fuzzy_pairs",
-    "python_datasource_resample",
+    "doc_regex_token_estimate", "doc_tfidf_top_terms",
 ]
 
 # Specs registered AFTER the r8 window froze (none: the registry stays

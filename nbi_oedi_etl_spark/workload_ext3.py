@@ -383,12 +383,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    raw_schema = s.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        s.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = ingest.table_file_stream(s, sf_dir, "events")
     running = transform_state.running_user_totals(stream)
     q = ingest.run_available_now(
         running,

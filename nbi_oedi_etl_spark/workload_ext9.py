@@ -36,13 +36,11 @@ from nbi_oedi_etl_spark.sources.parquet import read_table
 def _documents_file_stream(s: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of read_table(..., "documents"): schema-pinned file
     stream over the documents parquet — the shared setup for every
-    streaming sketch query (one tokenization path, one schema probe)."""
-    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
-        s.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    streaming sketch query (one tokenization path, one schema probe).
+    Layout-agnostic via ingest.table_file_stream (fault_sweep r8)."""
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    return ingest.table_file_stream(s, sf_dir, "documents")
 
 
 # ------------------------------------------ streaming CMS maintenance

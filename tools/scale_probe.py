@@ -135,6 +135,12 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--json", default="SCALE_PROBE.json")
     ap.add_argument("--queries", nargs="*", help="explicit query names (overrides --top)")
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="merge results into an existing --json file (same factor/src) "
+        "instead of overwriting it — used to extend the probed set",
+    )
     args = ap.parse_args()
 
     from nbi_oedi_etl_spark import get_spark, workload
@@ -169,6 +175,11 @@ def main() -> int:
               f"ratio={ratio:.1f} rows {rows_small}->{rows_big}"
               + ("  ** SUPERLINEAR **" if results[n]["superlinear"] else ""))
 
+    if args.merge and os.path.exists(args.json):
+        with open(args.json) as f:
+            prev = json.load(f)
+        if prev.get("factor") == args.factor and prev.get("source_sf_dir") == SRC:
+            results = {**prev.get("queries", {}), **results}
     out = {
         "factor": args.factor,
         "source_sf_dir": SRC,
