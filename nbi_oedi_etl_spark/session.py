@@ -51,6 +51,15 @@ _DEFAULT_CONF = {
     # first pushed predicates, making plan assertions (tests/test_plans.py)
     # and operator plan audits blind. Costs nothing at execution.
     "spark.sql.maxMetadataStringLength": "10000",
+    # Parquet page-level CRC32s, written AND verified (fault_sweep r8): a
+    # mid-page bit flip that survives snappy decompression silently
+    # alters values otherwise — measured 25/25 such flips caught with
+    # verify on, 0/25 without. Write cost is one CRC per page; verify
+    # cost is in the decompression noise. External files written without
+    # checksums (e.g. pyarrow defaults) remain undetectable — engine-
+    # written data is the protected surface.
+    "spark.hadoop.parquet.page.write-checksum.enabled": "true",
+    "spark.hadoop.parquet.page.verify-checksum.enabled": "true",
 }
 
 

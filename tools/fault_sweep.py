@@ -158,12 +158,19 @@ def sweep_parquet(spark, quick: bool) -> dict:
         _, rep_ok = read_with_quarantine(spark, [f"{SRC_SF}/{t}.parquet"])
         rec["pristine_false_positives"] = len(rep_ok.quarantined)
 
-        # 5. bitflip-mid probe: record, don't assert
+        # 5. bitflip-mid probe: record, don't assert — and compare VALUES,
+        # not counts (a flip inside a data page can decode to altered
+        # values at the same cardinality; whether the reader detects it
+        # depends on page CRCs being written AND verified)
         try:
-            n = spark.read.parquet(str(flipped / f"{t}.parquet")).count()
-            rec["bitflip_mid"] = (
-                "read-ok-rows-equal" if n == pristine_rows else "read-ok-rows-differ"
-            )
+            a = _result_digest(spark.read.parquet(str(flipped / f"{t}.parquet")))
+            b = _result_digest(spark.read.parquet(f"{SRC_SF}/{t}.parquet"))
+            if a == b:
+                rec["bitflip_mid"] = "read-ok-values-equal"
+            elif a[0] == b[0]:
+                rec["bitflip_mid"] = "read-ok-values-SILENTLY-ALTERED"
+            else:
+                rec["bitflip_mid"] = "read-ok-rows-differ"
         except Exception:
             rec["bitflip_mid"] = "loud-fail"
         out["tables"][t] = rec
