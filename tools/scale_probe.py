@@ -11,13 +11,19 @@ structure replicate the way real growth does —
   those keys replicate with the same shift, so referential integrity and
   join selectivity are preserved;
 - region/nation stay fixed (bounded dims stay bounded at 100 TB too);
-- document text gets a per-replica tag appended to EVERY word (one
-  prefix token is not enough: 97% of shingles would survive, minhash
-  signatures would collide across replicas, and near-dup clusters would
-  fuse into one 10x-dense clique — measuring the corpus's pathology,
-  not the engine's scaling). The same word->word map inside a replica
-  preserves intra-replica Jaccard exactly while zeroing it across
-  replicas, so clusters replicate as disjoint copies;
+- document text gets a per-replica CAESAR SHIFT of every non-stopword
+  word's letters (one prefix token is not enough: 97% of shingles would
+  survive, minhash signatures would collide across replicas, and
+  near-dup clusters would fuse into one 10x-dense clique — measuring
+  the corpus's pathology, not the engine's scaling). A same-length
+  letters-to-letters bijection per replica preserves intra-replica
+  Jaccard exactly while collapsing it across replicas, so clusters
+  replicate as disjoint copies — AND, unlike the r6 symbol-suffix tag,
+  preserves every Gopher quality feature (word count, mean word length,
+  symbol ratio, stopword presence: stopwords pass through verbatim), so
+  quality-gated pipelines see 10x data at every stage, not just the
+  scan (the r6 tag made replicas 1..9 fail symbols_ok/has_stopword and
+  corpus_prep_pipeline's dedup+chunk stages silently ran at 1x);
 - embeddings get a deterministic per-replica PERMUTATION of coordinates:
   a permutation preserves norms and intra-replica cosines exactly and
   decorrelates replicas — same reasoning for cosine-similarity cells.
@@ -78,10 +84,28 @@ def _replicate(t: pa.Table, name: str, rep: int) -> pa.Table:
             shifted = pc.add(t.column(col), pa.scalar(rep * off, type=typ))
             t = t.set_column(i, t.schema.field(col), shifted.cast(typ))
     if name == "documents.parquet":
+        import string
+
+        from nbi_oedi_etl_spark.operators.text import LANG_STOPWORDS
+
+        stop = set(LANG_STOPWORDS["en"])
+        k = rep % 25 + 1  # never the identity shift
+
+        def shift(w: str) -> str:
+            if w.strip(string.punctuation).lower() in stop:
+                return w  # preserve has_stopword verbatim
+            return "".join(
+                chr((ord(c) - 97 + k) % 26 + 97)
+                if "a" <= c <= "z"
+                else chr((ord(c) - 65 + k) % 26 + 65)
+                if "A" <= c <= "Z"
+                else c
+                for c in w
+            )
+
         i = t.schema.get_field_index("text")
-        tag = f"▂{rep}"  # per-word suffix: same map within a replica
         texts = [
-            None if tx is None else " ".join(w + tag for w in tx.split())
+            None if tx is None else " ".join(shift(w) for w in tx.split())
             for tx in t.column("text").to_pylist()
         ]
         t = t.set_column(
@@ -103,7 +127,8 @@ def _replicate(t: pa.Table, name: str, rep: int) -> pa.Table:
 
 
 def build_corpus(factor: int) -> str:
-    d = os.path.join(tempfile.gettempdir(), f"scale_probe_{factor}x")
+    # v2: caesar-shift document replication (gopher-feature-preserving)
+    d = os.path.join(tempfile.gettempdir(), f"scale_probe_{factor}x_v2")
     marker = os.path.join(d, ".complete")
     if os.path.exists(marker):
         return d
