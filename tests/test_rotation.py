@@ -52,6 +52,29 @@ def test_changed_since_green_debt_is_inside_window():
     )
 
 
+def test_digests_ignore_memo_cache_warmth():
+    """v3 regression pin: module-level memo caches (mutable dicts) must
+    not enter the digest — v2 hashed them by value, so running queries
+    (warming caches) spuriously flagged the minhash/dedup specs when the
+    audit ran late in a pytest session."""
+    digests_cold = rotation_audit.spec_digests(_REPO)
+    # simulate cache warmth without a Spark session: mutate a module-level
+    # dict that spec functions reference
+    from nbi_oedi_etl_spark import workload_ext
+
+    poisoned = []
+    for name, val in vars(workload_ext).items():
+        if isinstance(val, dict) and not name.startswith("__"):
+            val["__digest_warmth_probe__"] = object()
+            poisoned.append(val)
+    try:
+        digests_warm = rotation_audit.spec_digests(_REPO)
+    finally:
+        for val in poisoned:
+            val.pop("__digest_warmth_probe__", None)
+    assert digests_cold == digests_warm
+
+
 def test_window_covers_post_round_additions():
     # anything registered behind a frozen window must enter the NEXT one
     assert set(workload._POST_R7_ADDITIONS) <= set(workload._R8_WINDOW)

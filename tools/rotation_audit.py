@@ -58,7 +58,13 @@ _DIGEST_DIR = _REPO / "tools" / "spec_digests"
 # arguments (covers constants that never appear in co_names), + AST walk
 # of function-LOCAL imports (the executor-import idiom binds to locals,
 # invisible to the __globals__ walk — e.g. the multimodal→webp edge).
-_ALGO_VERSION = 2
+# v3: value hashing restricted to IMMUTABLE values (scalars, tuples,
+# frozensets) — v2 hashed dict/list/set contents, and module-level memo
+# CACHES are exactly that shape, so digests drifted with cache warmth
+# (the full pytest suite warmed the minhash signature memo and three
+# dedup specs spuriously flagged). Mutable lookup tables keep coverage
+# through their assignment SOURCE in the dep-file index.
+_ALGO_VERSION = 3
 
 
 # ---------------------------------------------------------------- git side
@@ -295,30 +301,26 @@ _BOOKKEEPING_RE = re.compile(r"^_(R\d+_(WINDOW|QUEUE)|POST_R\d+_ADDITIONS)$")
 
 def _stable_repr(value: object, depth: int = 0) -> str | None:
     """Deterministic repr for digesting constant VALUES, or None when the
-    value's repr cannot be trusted across processes (arbitrary objects
-    embed addresses; set iteration order depends on PYTHONHASHSEED)."""
+    value cannot be trusted as a constant: arbitrary objects embed
+    addresses in repr, set iteration order depends on PYTHONHASHSEED, and
+    MUTABLE containers (dict/list/set) are deliberately excluded — they
+    are the shape of module-level memo caches, whose contents vary with
+    process history (v3; see _ALGO_VERSION). Mutable lookup tables stay
+    covered through their assignment source in _ModuleIndex."""
     if depth > 6:
         return None
     if value is None or isinstance(value, (bool, int, float, str, bytes)):
         return repr(value)
-    if isinstance(value, (tuple, list)):
+    if isinstance(value, tuple):
         parts = [_stable_repr(v, depth + 1) for v in value]
         if any(p is None for p in parts):
             return None
-        return f"{type(value).__name__}[{','.join(parts)}]"  # type: ignore[arg-type]
-    if isinstance(value, (set, frozenset)):
+        return f"tuple[{','.join(parts)}]"  # type: ignore[arg-type]
+    if isinstance(value, frozenset):
         parts = [_stable_repr(v, depth + 1) for v in value]
         if any(p is None for p in parts):
             return None
-        return f"{type(value).__name__}{{{','.join(sorted(parts))}}}"  # type: ignore[arg-type]
-    if isinstance(value, dict):
-        items = [
-            (_stable_repr(k, depth + 1), _stable_repr(v, depth + 1))
-            for k, v in value.items()
-        ]
-        if any(k is None or v is None for k, v in items):
-            return None
-        return "dict{%s}" % ",".join(f"{k}:{v}" for k, v in sorted(items))
+        return f"frozenset{{{','.join(sorted(parts))}}}"  # type: ignore[arg-type]
     return None
 
 
