@@ -51,14 +51,22 @@ _MAX_PIXELS = 64 * 1024 * 1024
 # VP8L differs from JPEG in that LZ77 backward references emit up to 4096
 # pixels per ~4-byte reference, so a tiny crafted stream can legitimately
 # *declare* dimensions under _MAX_PIXELS yet still demand minutes of
-# pure-Python decode (ADVICE r7, medium). Bound decoded pixels by a
-# payload-size expansion ratio as well: a k-byte payload may decode at
-# most k * _MAX_EXPANSION_PX_PER_BYTE pixels. 1024 px/byte is ~3 orders
-# of magnitude above anything the repo encoder produces (fixed-8 prefix
-# codes ≈ 1-4 px/byte) and above typical cwebp output for photographic
-# content; only degenerate ultra-compressible streams (the DoS shape)
-# exceed it, and those quarantine with ValueError by design.
-_MAX_EXPANSION_PX_PER_BYTE = 1024
+# pure-Python decode (ADVICE r7, medium). Two work bounds on top of the
+# header cap:
+# - expansion ratio: a k-byte payload may decode at most
+#   k * _MAX_EXPANSION_PX_PER_BYTE pixels. 64 px/byte is ~2 orders of
+#   magnitude above the repo encoder (fixed-8 codes ≈ 0.25 px/byte) and
+#   ~20x above cwebp photographic output; at 64, reaching _MAX_PIXELS_VP8L
+#   needs a ≥256 KiB payload, so tiny files stay cheap by construction.
+# - absolute VP8L cap: 16M px (4096x4096) for this PURE-PYTHON path —
+#   ~8-15 s worst-case decode at ~2M px/s — tighter than the generic 64M
+#   header sanity cap the container walk shares with the JPEG decoder.
+# Honest tradeoff, chosen for the r8 bounded-work contract
+# (tools/fault_sweep.py): degenerate ultra-compressible streams (giant
+# solid-color images, the DoS shape) quarantine with ValueError even when
+# a native decoder would accept them; swap in libwebp for those.
+_MAX_EXPANSION_PX_PER_BYTE = 64
+_MAX_PIXELS_VP8L = 16 * 1024 * 1024
 
 # order in which the 19 code-length-code lengths appear in the stream
 _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -589,7 +597,7 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, bool, list[int]]:
     alpha_hint = bool(br.read(1))
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")
-    if width * height > _MAX_PIXELS:
+    if width * height > min(_MAX_PIXELS, _MAX_PIXELS_VP8L):
         raise ValueError("declared VP8L dimensions exceed decode limit")
     if width * height > _MAX_EXPANSION_PX_PER_BYTE * len(payload):
         raise ValueError(

@@ -13,9 +13,12 @@ state. Two standard shapes:
   Idempotent with no transaction log; the 100 TB pattern for time- or
   key-partitioned continuous ingest (each micro-batch owns whole
   partitions, e.g. event-date).
-- ``ledger_append_sink``: append guarded by a batch-id ledger — a replayed
-  batch_id is skipped. Covers sinks where overwrite granularity doesn't
-  match the batch (e.g. appending to a shared fact directory).
+- ``ledger_append_sink``: append realized as per-BATCH partition
+  overwrite (each batch owns ``batch_id=<id>``) plus a batch-id ledger
+  marker that skips replayed recomputation. Readers see the data plus a
+  ``batch_id`` partition column. The r8 checkpoint drill proved the
+  naive plain-append-then-marker shape is NOT exactly-once (a crash
+  between commit and marker double-appends on replay), hence this form.
 """
 
 from __future__ import annotations

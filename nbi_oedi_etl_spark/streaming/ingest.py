@@ -115,26 +115,18 @@ def events_file_stream(
     This is the ONE place ``nanosAsLong`` is ever set — always on the
     scoped streaming clone the caller passes in, never the shared session.
     """
-    import os
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    reader = spark.readStream.schema(raw_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # FileStreamSource needs a DIRECTORY basePath. ``events.parquet`` may
-    # be a directory of part files (every real warehouse layout — caught
-    # by tools/fault_sweep.py's cleaned-replica registry run in r8): read
-    # it directly. The sf fixtures keep it as a single FILE: stream the
-    # parent with a glob filter pinned to that one file instead.
     if stream_dir is not None:
-        path = stream_dir
-    elif os.path.isdir(f"{sf_dir}/events.parquet"):
-        path = f"{sf_dir}/events.parquet"
+        # prepared drain directory: events-shaped files only, schema
+        # still pinned from the sf_dir fixture
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        reader = spark.readStream.schema(raw_schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(stream_dir)
     else:
-        reader = reader.option("pathGlobFilter", "events.parquet")
-        path = sf_dir
-    stream = reader.parquet(path)
+        # layout dispatch (file vs directory-of-parts) lives in ONE place
+        stream = table_file_stream(spark, sf_dir, "events", max_files_per_trigger)
     ts_dtype = dict(stream.dtypes).get("ts")
     if ts_dtype == "bigint":
         # ns-as-long: truncate to µs exactly like DuckDB/pyarrow.

@@ -432,14 +432,24 @@ def test_expansion_bomb_rejected_before_allocation():
     bound a ~100 KB crafted file could demand a 64M-pixel pure-Python
     decode (ADVICE r7, medium)."""
     bw = _BitWriter()
-    bw.write(8191, 14)  # 8192 x 8192 = 64M px: exactly the absolute cap,
-    bw.write(8191, 14)  # but vastly over 1024 px/byte for this tiny stream
+    bw.write(3999, 14)  # 4000 x 4000 = 16M px: passes the 16M VP8L cap,
+    bw.write(3999, 14)  # but vastly over 64 px/byte for this tiny stream
     bw.write(0, 1)
     bw.write(0, 3)
     payload = b"\x2f" + bw.getvalue()
-    assert 8192 * 8192 <= 64 * 1024 * 1024  # would pass the absolute cap
+    assert 4000 * 4000 <= 16 * 1024 * 1024  # would pass the absolute cap
     with pytest.raises(ValueError, match="expansion"):
         decode_vp8l(payload)
+    # and the pure-Python VP8L absolute cap (16M px) fires even for a
+    # payload large enough to satisfy the expansion ratio
+    bw2 = _BitWriter()
+    bw2.write(8191, 14)
+    bw2.write(8191, 14)
+    bw2.write(0, 1)
+    bw2.write(0, 3)
+    big = b"\x2f" + bw2.getvalue() + b"\x00" * (8192 * 8192 // 64)
+    with pytest.raises(ValueError, match="decode limit"):
+        decode_vp8l(big)
 
 
 def test_expansion_bound_admits_real_encoder_output():

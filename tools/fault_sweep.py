@@ -119,9 +119,6 @@ def clean_replica(faulted: pathlib.Path, cleaned: pathlib.Path,
 def sweep_parquet(spark, quick: bool) -> dict:
     import tempfile
 
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PySparkException
-
     from nbi_oedi_etl_spark.sources.parquet import TABLES
     from nbi_oedi_etl_spark.sources.quarantine import read_with_quarantine
 
@@ -137,11 +134,13 @@ def sweep_parquet(spark, quick: bool) -> dict:
         tdir = faulted / f"{t}.parquet"
         pristine_rows = spark.read.parquet(f"{SRC_SF}/{t}.parquet").count()
 
-        # 2. loud-fail under default semantics
+        # 2. loud-fail under default semantics (any exception is a valid
+        # loud failure; setup errors can't hide here because the pristine
+        # read above already succeeded for this table)
         try:
             spark.read.parquet(str(tdir)).count()
             rec["loud_fail"] = False  # silent success = contract violation
-        except (Py4JJavaError, PySparkException, Exception):
+        except Exception:
             rec["loud_fail"] = True
 
         # 3. quarantine drop-and-report
@@ -253,7 +252,7 @@ def _adversarial_payloads() -> dict[str, list[bytes]]:
         # WAV data chunk declaring 2^31 bytes with a 16-byte body
         "wav": b"RIFF\xff\xff\xff\x7fWAVEfmt "
         + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
-        + b"data" + struct.pack("<I", 1 << 31 - 1) + b"\x00" * 16,
+        + b"data" + struct.pack("<I", (1 << 31) - 1) + b"\x00" * 16,
     }
     fams: dict[str, list[bytes]] = {}
     for fam, blob in real.items():
@@ -320,6 +319,7 @@ def sweep_codecs(spark) -> dict:
     feats = mm.extract_image_features(sdf).collect()
     n_false = sum(1 for r in feats if not r["decoded_ok"])
     out["query_level"]["image"] = {
+        "n_inputs": len(img_cases),
         "rows": len(feats),
         "decoded_ok_false": n_false,
         "decoded_ok_true": len(feats) - n_false,
@@ -333,6 +333,7 @@ def sweep_codecs(spark) -> dict:
     ).loc[lambda d: d.payload.map(len) > 0]
     wfeats = mm.extract_wav_features(spark.createDataFrame(wav_pdf)).collect()
     out["query_level"]["wav"] = {
+        "n_inputs": len(wav_pdf),
         "rows": len(wfeats),
         "decoded_ok_false": sum(1 for r in wfeats if not r["decoded_ok"]),
     }
@@ -376,11 +377,22 @@ def main() -> None:
     failures += [f"registry error: {e['query']}: {e['err']}" for e in reg["errors"]]
     for fam, rec in result["codecs"]["families"].items():
         failures += [f"codec {fam} {v}" for v in rec["violations"]]
+    # query-level surfaces must return one row per input payload — a row
+    # deficit means a payload crashed the mapInPandas batch instead of
+    # quarantining per-row. decoded_ok=True cases are NOT failures here
+    # (truncation prefixes of a valid stream can be complete streams);
+    # per-payload agreement with direct decode is pinned in
+    # tests/test_fault_sweep.py.
     img = result["codecs"]["query_level"]["image"]
-    if img["decoded_ok_true"]:
-        # adversarial image payloads that "decode": truncation prefixes of a
-        # valid stream can be complete by construction — only flag crashes
-        pass
+    if img["rows"] != img["n_inputs"]:
+        failures.append(
+            f"image query surface dropped rows: {img['rows']}/{img['n_inputs']}"
+        )
+    wav = result["codecs"]["query_level"]["wav"]
+    if wav["rows"] != wav["n_inputs"]:
+        failures.append(
+            f"wav query surface dropped rows: {wav['rows']}/{wav['n_inputs']}"
+        )
     result["failures"] = failures
     result["ok"] = not failures
 

@@ -96,7 +96,12 @@ def _skew_column(t: pa.Table, col: str, frac: float) -> pa.Table:
 
 
 def build_skewed(frac: float) -> str:
-    d = os.path.join(tempfile.gettempdir(), f"skew_probe_corpus_{int(frac * 100)}")
+    # int(round(...)) matches _skew_column's cut exactly — plain int()
+    # truncates (0.29*100 -> 28) and nearby fractions would collide on
+    # the same cached corpus
+    d = os.path.join(
+        tempfile.gettempdir(), f"skew_probe_corpus_{int(round(frac * 100))}"
+    )
     marker = os.path.join(d, ".complete")
     if os.path.exists(marker):
         return d
