@@ -1,6 +1,8 @@
 from nbi_oedi_etl_spark.sources.formats import (
     read_csv,
+    read_csv_with_quarantine,
     read_json,
+    read_json_with_quarantine,
     read_orc,
     write_csv,
     write_json,
@@ -28,7 +30,9 @@ __all__ = [
     "read_table",
     "register_views",
     "read_csv",
+    "read_csv_with_quarantine",
     "read_json",
+    "read_json_with_quarantine",
     "read_orc",
     "write_csv",
     "write_json",

@@ -16,14 +16,24 @@ pushdown) — these exist for interchange, not for the hot path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructType
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
-def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_csv(
+    spark: SparkSession, path: str, schema=None, mode: str | None = None
+) -> DataFrame:
+    """``mode``: Spark's malformed-record policy — ``PERMISSIVE``
+    (default: null-fill bad rows), ``DROPMALFORMED`` (silent drop — the
+    anti-pattern the quarantine variant below replaces), or ``FAILFAST``
+    (loud job failure, the right default for a warehouse)."""
     reader = spark.read.option("header", "true")
+    if mode is not None:
+        reader = reader.option("mode", mode)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -35,11 +45,70 @@ def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).json(path)
 
 
-def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_json(
+    spark: SparkSession, path: str, schema=None, mode: str | None = None
+) -> DataFrame:
     reader = spark.read
+    if mode is not None:
+        reader = reader.option("mode", mode)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+_CORRUPT_COL = "_corrupt_record"
+
+
+def _split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    # Spark refuses a query that references ONLY the corrupt column of an
+    # uncached PERMISSIVE scan (it would have to re-parse to know which
+    # rows are corrupt) — the documented workaround is to cache first.
+    df = df.cache()
+    clean = df.where(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
+    quarantined = df.where(F.col(_CORRUPT_COL).isNotNull()).select(
+        F.col(_CORRUPT_COL).alias("raw_record")
+    )
+    return clean, quarantined
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level drop-and-report for CSV — the row-grain analogue of
+    ``sources.quarantine.read_with_quarantine`` (file grain, parquet) and
+    the reference's log-and-drop (transform.py:168-170): malformed lines
+    are split into a quarantine DataFrame carrying the RAW text
+    (``raw_record``) instead of being silently null-filled (PERMISSIVE)
+    or dropped (DROPMALFORMED). Returns (clean, quarantined).
+
+    Scale: one PERMISSIVE scan, split by the corrupt column; the cache
+    holds schema-width rows only for the scanned partitions — at 100 TB
+    prefer FAILFAST ingest into parquet once, then this only on the
+    untrusted edge."""
+    full = StructType(list(schema.fields)).add(_CORRUPT_COL, StringType())
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+        .schema(full)
+        .csv(path)
+    )
+    return _split_corrupt(df)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level drop-and-report for line-delimited JSON; see
+    ``read_csv_with_quarantine``."""
+    full = StructType(list(schema.fields)).add(_CORRUPT_COL, StringType())
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+        .schema(full)
+        .json(path)
+    )
+    return _split_corrupt(df)
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:

@@ -100,6 +100,62 @@ def test_streaming_reads_directory_layout(spark, tmp_path):
     assert got == want
 
 
+def test_csv_row_quarantine_drop_and_report(spark, tmp_path):
+    """Row-level drop-and-report for CSV (the row-grain analogue of the
+    parquet file-level quarantine): malformed lines land in the
+    quarantine frame with their RAW text; clean rows are untouched."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nbi_oedi_etl_spark.sources import read_csv, read_csv_with_quarantine
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "part-0.csv").write_text(
+        "k,v\n1,alpha\n2,beta\nnot-a-number,gamma\n4,delta\n"
+    )
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    clean, bad = read_csv_with_quarantine(spark, str(d), schema)
+    assert sorted((r["k"], r["v"]) for r in clean.collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+        (4, "delta"),
+    ]
+    assert [r["raw_record"] for r in bad.collect()] == ["not-a-number,gamma"]
+    # the loud-ingest policy raises instead
+    with pytest.raises(Exception):
+        read_csv(spark, str(d), schema=schema, mode="FAILFAST").collect()
+    # and DROPMALFORMED silently drops — the shape quarantine replaces.
+    # collect(), not count(): count() prunes every column, so nothing is
+    # parsed and nothing counts as malformed (classic CSV-mode trap)
+    assert (
+        len(read_csv(spark, str(d), schema=schema, mode="DROPMALFORMED").collect())
+        == 3
+    )
+
+
+def test_json_row_quarantine_drop_and_report(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nbi_oedi_etl_spark.sources import read_json_with_quarantine
+
+    d = tmp_path / "json"
+    d.mkdir()
+    (d / "part-0.json").write_text(
+        '{"k": 1, "v": "alpha"}\n{"k": 2 "v": "broken"}\n{"k": 3, "v": "gamma"}\n'
+    )
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    clean, bad = read_json_with_quarantine(spark, str(d), schema)
+    assert sorted((r["k"], r["v"]) for r in clean.collect()) == [
+        (1, "alpha"),
+        (3, "gamma"),
+    ]
+    assert [r["raw_record"] for r in bad.collect()] == ['{"k": 2 "v": "broken"}']
+
+
 def test_page_crc_catches_silent_bitflip(spark, tmp_path):
     """Engine-written parquet carries page CRC32s and the session verifies
     them (both confs on in session.py): a mid-page bit flip that survives
