@@ -141,6 +141,87 @@ def test_lost_checkpoint_with_surviving_ledger_stays_exactly_once(spark, tmp_pat
     assert got == list(range(40))
 
 
+def test_stateful_sessionizer_restart_recovers_state(spark, tmp_path):
+    """The applyInPandasWithState sessionizer killed between micro-batches
+    and restarted on the same checkpoint: carried GroupState must be
+    recovered from the state store, so the final emitted sessions equal an
+    uninterrupted drain. Batch 1 opens a session (10:00, 10:10); batch 2 —
+    delivered only AFTER the restart — adds a late 10:05 and a 13:00
+    closer. A sessionizer that lost state would emit a 1- or 2-event
+    session."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.streaming import stateful
+
+    def write_events(path, ts_list):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([1] * len(ts_list), pa.int64()),
+                    "ts": pa.array(ts_list, pa.timestamp("us", tz="UTC")),
+                }
+            ),
+            path,
+        )
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc)
+    m = dt.timedelta(minutes=1)
+    write_events(d / "a.parquet", [base, base + 10 * m])
+    os.utime(d / "a.parquet", (1_000_000, 1_000_000))
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    schema = s.read.parquet(str(d)).schema
+    # memory sinks refuse checkpoint recovery ("does not support
+    # recovering from checkpoint location") — restart drills need a
+    # recoverable sink, so route through the exactly-once ledger sink
+    sink = foreach_batch.ledger_append_sink(out, ledger)
+
+    def drain():
+        stream = (
+            s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d))
+        )
+        sess = stateful.stateful_user_sessions(
+            stream, gap_seconds=1800, watermark="30 minutes"
+        )
+        q = (
+            sess.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # batch 1 only; session stays OPEN in state
+    emitted = (
+        s.read.parquet(out).count() if pathlib.Path(out).exists() else 0
+    )
+    assert emitted == 0
+    # "kill": the first query is gone; new files land while we're down
+    write_events(d / "b.parquet", [base + 5 * m, base + 180 * m])
+    os.utime(d / "b.parquet", (2_000_000, 2_000_000))
+
+    drain()  # restart on the same checkpoint
+    rows = s.read.parquet(out).collect()
+    assert len(rows) == 1, rows
+    naive = base.replace(tzinfo=None)
+    assert rows[0]["session_start"] == naive
+    assert rows[0]["session_end"] == naive + 10 * m
+    assert rows[0]["n_events"] == 3, "state lost across restart"
+
+
 def test_partitioned_overwrite_sink_idempotent_across_restart(spark, tmp_path):
     """Same drill through the dynamic-partition-overwrite sink: crash at
     batch 1, restart, per-partition state must equal the batch view."""
