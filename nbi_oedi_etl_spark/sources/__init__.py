@@ -8,6 +8,12 @@ from nbi_oedi_etl_spark.sources.formats import (
     write_json,
     write_orc,
 )
+from nbi_oedi_etl_spark.sources.quarantine import (
+    IngestReport,
+    QuarantineReport,
+    ingest_untrusted,
+    read_with_quarantine,
+)
 from nbi_oedi_etl_spark.sources.parquet import (
     TABLES,
     load_tables,
@@ -37,6 +43,10 @@ __all__ = [
     "write_csv",
     "write_json",
     "write_orc",
+    "IngestReport",
+    "QuarantineReport",
+    "ingest_untrusted",
+    "read_with_quarantine",
     "bypass_copy",
     "write_bucketed",
     "write_clustered",

@@ -66,3 +66,61 @@ def read_with_quarantine(
 
 def _normalize(path: str) -> str:
     return path.removeprefix("file://").removeprefix("file:")
+
+
+@dataclass
+class IngestReport:
+    """Outcome of one ``ingest_untrusted`` run — the engine's analogue of
+    the reference's per-run discrepancy report (monitor.py:87-136): what was
+    listed, what was dropped, and whether input and output rows reconcile."""
+
+    files: QuarantineReport
+    rows_read: int
+    rows_written: int
+
+    @property
+    def reconciled(self) -> bool:
+        return self.rows_read == self.rows_written
+
+
+def ingest_untrusted(
+    spark: SparkSession,
+    paths: list[str],
+    dest: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "error",
+) -> IngestReport:
+    """Trust boundary for external parquet: quarantine unreadable files,
+    re-encode the survivors through the engine's page-CRC-checksummed sink,
+    and reconcile row counts in vs out.
+
+    Why this exists: the r8 fault sweep measured that a mid-page bit flip
+    in CRC-less external parquet (e.g. pyarrow defaults) can SILENTLY alter
+    values — Spark only verifies page checksums that are present. Engine
+    writes carry CRC32s (session.py ``parquet.page.write-checksum``), so
+    one defensive re-encode at the trust boundary upgrades all downstream
+    reads to verified pages. Mirrors the reference's fetch→transform→
+    upload→reconcile loop (etl_job.py stage counters; the listed-vs-
+    uploaded diff of monitor.py:87-106) at the ingestion edge.
+
+    Pass structure at 100 TB: one metadata-scale probe + one full scan for
+    file quarantine (``read_with_quarantine``), one scan fused with the
+    re-encode write (``observe`` counts rows during the write job — no
+    extra pass), and one footer-level count of the output. The output
+    count is the only post-write read and touches statistics, not data.
+    """
+    from pyspark.sql.observation import Observation
+
+    from nbi_oedi_etl_spark.sources.sinks import write_parquet
+
+    df, files = read_with_quarantine(spark, paths)
+    obs = Observation("ingest_untrusted")
+    write_parquet(
+        df.observe(obs, F.count(F.lit(1)).alias("rows")),
+        dest,
+        partition_by=partition_by,
+        mode=mode,
+    )
+    rows_read = int(obs.get["rows"])
+    rows_written = int(spark.read.parquet(dest).count())
+    return IngestReport(files, rows_read, rows_written)

@@ -156,6 +156,54 @@ def test_json_row_quarantine_drop_and_report(spark, tmp_path):
     assert [r["raw_record"] for r in bad.collect()] == ['{"k": 2 "v": "broken"}']
 
 
+def test_ingest_untrusted_quarantines_reconciles_and_checksums(
+    spark, faulted_orders, tmp_path
+):
+    """The trust-boundary ingest (sources.quarantine.ingest_untrusted):
+    unreadable external files are quarantined, survivors are re-encoded
+    through the engine's CRC-checksummed sink in ONE fused scan+write pass
+    (observe counts rows during the write job), and the report reconciles
+    rows in vs out. The re-encoded copy must then catch mid-page bit flips
+    LOUDLY — the exact silent-alteration hazard FAULT_SWEEP.json records
+    for CRC-less external parquet."""
+    import random
+
+    from nbi_oedi_etl_spark.sources import ingest_untrusted
+
+    parts = sorted(str(p) for p in faulted_orders.iterdir())
+    dest = tmp_path / "orders_ingested"
+    rep = ingest_untrusted(spark, parts, str(dest))
+    assert sorted(pathlib.Path(p).name for p in rep.files.quarantined) == sorted(
+        fault_sweep._PLANTED
+    )
+    pristine = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert rep.rows_read == rep.rows_written == pristine
+    assert rep.reconciled
+    # the defensive copy carries page CRCs: a flip is caught or lands in
+    # dead bytes — NEVER a silent value change
+    f = max(
+        (p for p in dest.iterdir() if p.name.endswith(".parquet")),
+        key=lambda p: p.stat().st_size,
+    )
+    orig = f.read_bytes()
+    ref = sorted(map(tuple, spark.read.parquet(str(f)).collect()))
+    rnd = random.Random(11)
+    caught = 0
+    for trial in range(6):
+        data = bytearray(orig)
+        data[rnd.randrange(1000, len(orig) - 2000)] ^= 0xFF
+        fd = tmp_path / f"ingest_flip{trial}"
+        fd.mkdir()
+        (fd / "part-0.parquet").write_bytes(bytes(data))
+        try:
+            got = sorted(map(tuple, spark.read.parquet(str(fd)).collect()))
+            if got != ref:
+                pytest.fail(f"trial {trial}: flip silently altered ingested copy")
+        except Exception:
+            caught += 1
+    assert caught >= 1
+
+
 def test_page_crc_catches_silent_bitflip(spark, tmp_path):
     """Engine-written parquet carries page CRC32s and the session verifies
     them (both confs on in session.py): a mid-page bit flip that survives

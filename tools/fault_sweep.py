@@ -31,6 +31,11 @@ Part A — corrupt parquet inputs, full registry:
      pyarrow writes; record whether Spark detects (loud) or the flip lands
      in dead bytes. Detection here is format-dependent, so the sweep
      RECORDS the observed behavior per table instead of asserting it.
+  6. TRUST-BOUNDARY INGEST (asserted): ``ingest_untrusted`` re-encodes the
+     faulted replica through the CRC-checksummed engine sink — quarantine
+     set exact, rows reconciled, and a mid-file flip on the RE-ENCODED
+     copy must fail loudly or land in dead bytes, never silently alter
+     values (closing the step-5 residue for data the engine re-owns).
 
 Part B — adversarial payloads through all 5 codecs (PNG, BMP, JPEG, WebP,
 WAV): empty / magic-only / truncations of a real payload at every 7th byte
@@ -198,6 +203,53 @@ def sweep_parquet(spark, quick: bool) -> dict:
         "mismatches": mismatches,
         "errors": errors,
     }
+
+    # 6. trust-boundary ingest (sources.quarantine.ingest_untrusted): the
+    # faulted replica re-encoded through the CRC-checksummed engine sink
+    # must (a) quarantine exactly the planted files, (b) reconcile rows
+    # in vs out against pristine, and (c) close the bitflip_mid residue —
+    # a mid-file flip on the RE-ENCODED copy must be caught loudly or land
+    # in dead bytes, never silently alter values (the external CRC-less
+    # hazard recorded above no longer applies after the defensive copy).
+    from nbi_oedi_etl_spark.sources.quarantine import ingest_untrusted
+
+    ingest: dict[str, dict] = {}
+    for t in TABLES:
+        parts = sorted(str(p) for p in (faulted / f"{t}.parquet").iterdir())
+        dest = tmp / "ingested" / f"{t}.parquet"
+        rep = ingest_untrusted(spark, parts, str(dest))
+        rec = {
+            "quarantine_exact": sorted(
+                pathlib.Path(p).name for p in rep.files.quarantined
+            ) == sorted(_PLANTED),
+            "rows_read": rep.rows_read,
+            "rows_written": rep.rows_written,
+            "reconciled": rep.reconciled
+            and rep.rows_read == out["tables"][t]["rows_pristine"],
+        }
+        part = max(
+            (p for p in dest.iterdir() if p.name.endswith(".parquet")),
+            key=lambda p: p.stat().st_size,
+        )
+        data = bytearray(part.read_bytes())
+        data[len(data) // 2] ^= 0xFF
+        fd = tmp / "ingest_flip" / t
+        fd.mkdir(parents=True)
+        (fd / "part-00000.parquet").write_bytes(bytes(data))
+        try:
+            a = _result_digest(spark.read.parquet(str(fd)))
+            b = _result_digest(spark.read.parquet(str(part)))
+            if a == b:
+                rec["reencoded_bitflip"] = "read-ok-values-equal"
+            elif a[0] == b[0]:
+                rec["reencoded_bitflip"] = "read-ok-values-SILENTLY-ALTERED"
+            else:
+                rec["reencoded_bitflip"] = "read-ok-rows-differ"
+        except Exception:
+            rec["reencoded_bitflip"] = "loud-fail"
+        ingest[t] = rec
+    out["ingest"] = ingest
+
     shutil.rmtree(tmp, ignore_errors=True)
     return out
 
@@ -372,6 +424,22 @@ def main() -> None:
             failures.append(f"{t}: rows lost after quarantine")
         if rec["pristine_false_positives"]:
             failures.append(f"{t}: quarantine false positive on pristine input")
+    for t, rec in result["parquet"]["ingest"].items():
+        if not rec["quarantine_exact"]:
+            failures.append(f"ingest {t}: wrong quarantine set")
+        if not rec["reconciled"]:
+            failures.append(
+                f"ingest {t}: rows not reconciled "
+                f"({rec['rows_read']} read / {rec['rows_written']} written)"
+            )
+        if rec["reencoded_bitflip"] in (
+            "read-ok-values-SILENTLY-ALTERED",
+            "read-ok-rows-differ",
+        ):
+            failures.append(
+                f"ingest {t}: re-encoded copy corrupted SILENTLY "
+                f"({rec['reencoded_bitflip']})"
+            )
     reg = result["parquet"]["registry"]
     failures += [f"registry mismatch: {m}" for m in reg["mismatches"]]
     failures += [f"registry error: {e['query']}: {e['err']}" for e in reg["errors"]]
