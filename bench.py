@@ -257,15 +257,24 @@ def main() -> None:
     # noise-robust estimator but biases the headline low run-to-run; the
     # median of 3 is robust to a single spike AND unbiased, so totals are
     # comparable across rounds. Min/max are kept as the spread.
+    #
+    # The three samples are INTERLEAVED (r8): full pass over all queries,
+    # three times, instead of back-to-back triples. Back-to-back samples
+    # share any multi-second steal burst, so one burst could poison all 3
+    # samples of whichever query it landed on and the median passed it
+    # through (observed: a 0.9 s query reported at 17 s). With ~minutes
+    # between a query's samples, a burst hits at most one of them and the
+    # median filters it. Total work is unchanged.
+    sampled: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).collect()
+            sampled[name].append(time.perf_counter() - t0)
     times: dict[str, float] = {}
     lo: dict[str, float] = {}
     hi: dict[str, float] = {}
-    for name in HEADLINE:
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).collect()
-            samples.append(time.perf_counter() - t0)
+    for name, samples in sampled.items():
         samples.sort()
         times[name] = round(samples[1], 3)
         lo[name] = round(samples[0], 3)
