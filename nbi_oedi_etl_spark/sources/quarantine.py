@@ -28,23 +28,24 @@ class QuarantineReport:
     quarantined: list[str]
 
 
+def _probe_schema(spark: SparkSession, paths: list[str]):
+    # Schema inference reads EVERY footer and fails before
+    # ignoreCorruptFiles can apply at task level — probe for the first
+    # readable footer and scan with an explicit schema instead.
+    for p in paths:
+        try:
+            return spark.read.parquet(p).schema
+        except Exception:
+            continue
+    raise ValueError("no readable parquet file among inputs")
+
+
 def read_with_quarantine(
     spark: SparkSession, paths: list[str]
 ) -> tuple[DataFrame, QuarantineReport]:
     """Read parquet files, dropping unreadable ones with a report instead of
     failing the job (reference drop-and-report semantics)."""
-    # Schema inference reads EVERY footer and fails before
-    # ignoreCorruptFiles can apply at task level — probe for the first
-    # readable footer and scan with an explicit schema instead.
-    schema = None
-    for p in paths:
-        try:
-            schema = spark.read.parquet(p).schema
-            break
-        except Exception:
-            continue
-    if schema is None:
-        raise ValueError("no readable parquet file among inputs")
+    schema = _probe_schema(spark, paths)
     # Per-RELATION option (not the session conf): the returned DataFrame
     # must keep its drop-semantics across later actions without leaking a
     # session-wide corrupt-files policy.
@@ -103,24 +104,45 @@ def ingest_untrusted(
     upload→reconcile loop (etl_job.py stage counters; the listed-vs-
     uploaded diff of monitor.py:87-106) at the ingestion edge.
 
-    Pass structure at 100 TB: one metadata-scale probe + one full scan for
-    file quarantine (``read_with_quarantine``), one scan fused with the
-    re-encode write (``observe`` counts rows during the write job — no
-    extra pass), and one footer-level count of the output. The output
-    count is the only post-write read and touches statistics, not data.
+    Pass structure at 100 TB: ONE full scan total. The schema probe reads
+    at most a few footers (metadata-scale); the quarantine file report and
+    the input row count are both computed DURING the re-encode write job —
+    ``observe`` collects ``count(*)`` and ``collect_set`` of the
+    materialized ``input_file_name()`` (materialized as a column first:
+    InputFileName cannot be evaluated inside observe's accumulator), so no
+    separate detection pass runs. The post-write count of the output is
+    footer/statistics work, not a data scan. The collected file list is
+    driver-side metadata-scale (~one string per input file — the same
+    bound every file-listing step already carries).
     """
     from pyspark.sql.observation import Observation
 
     from nbi_oedi_etl_spark.sources.sinks import write_parquet
 
-    df, files = read_with_quarantine(spark, paths)
-    obs = Observation("ingest_untrusted")
-    write_parquet(
-        df.observe(obs, F.count(F.lit(1)).alias("rows")),
-        dest,
-        partition_by=partition_by,
-        mode=mode,
+    schema = _probe_schema(spark, paths)
+    # Per-RELATION option, as in read_with_quarantine: drop-semantics stay
+    # with this DataFrame without leaking a session-wide policy.
+    df = (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(*paths)
     )
+    obs = Observation("ingest_untrusted")
+    observed = (
+        df.withColumn("_src_file", F.input_file_name())
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.collect_set("_src_file").alias("files"),
+        )
+        .drop("_src_file")
+    )
+    write_parquet(observed, dest, partition_by=partition_by, mode=mode)
     rows_read = int(obs.get["rows"])
+    readable = sorted(_normalize(p) for p in obs.get["files"])
+    listed = sorted(_normalize(p) for p in paths)
+    quarantined = sorted(set(listed) - set(readable))
     rows_written = int(spark.read.parquet(dest).count())
-    return IngestReport(files, rows_read, rows_written)
+    return IngestReport(
+        QuarantineReport(listed, readable, quarantined), rows_read, rows_written
+    )
