@@ -35,9 +35,29 @@ Flag rule per query: ratio > max(BASE_THRESHOLD, frac*P) for the window
 class; ratio > BASE_THRESHOLD for everything else (generous against
 shared-host noise; a quadratic collapse shows up as 10x+).
 
+GROW MODE (``--mode grow``, r8 session-2): the constant-volume design
+above collapses the key space, so per-group overheads SHRINK with frac
+and measured ratios fall — honest but weak evidence for the hot-entity
+cost model. Grow mode instead APPENDS rows for one hot ``events.user_id``
+(cycling real rows so timestamps/values stay realistic, key overwritten)
+until the hot user holds ``frac`` of the new total; every other key
+keeps its original volume. Volume factor vf = 1/(1-frac). Bounds scale
+with the volume actually added:
+
+- window class: ``frac*vf*P`` — the hot key's ``frac*vf*N`` rows on one
+  task vs base's ``N/P`` per task; exceeding it is super-share
+  (quadratic state), the mitigation trigger;
+- everything else: ``BASE_THRESHOLD*vf`` (linear volume growth).
+
+Grow mode only skews events/user_id: growing a hot ``l_partkey``
+inflates pair-join OUTPUT quadratically by construction (co-purchase
+pairs, golden-record candidates), which measures output size, not
+engine behavior — the lineitem-hot queries stay covered by constant
+mode.
+
 Usage:
     python tools/skew_probe.py [--json OUT] [--fractions 0.3 0.6 0.9]
-                               [--queries name...]
+                               [--queries name...] [--mode constant|grow]
 """
 
 from __future__ import annotations
@@ -95,6 +115,56 @@ def _skew_column(t: pa.Table, col: str, frac: float) -> pa.Table:
     return t.set_column(i, t.schema.field(col), pa.array(skewed, type=typ))
 
 
+#: Grow-mode default: the event/user queries (the hot-ENTITY family) plus
+#: two controls that never read events.
+GROW_QUERIES = [
+    "pricing_summary",  # control: lineitem only, untouched in grow mode
+    "customer_order_counts",  # control: orders x customer, untouched
+    "ref_q2_grouped_count_distinct",
+    "daily_active_wau",
+    "scd2_user_state_history",
+    "max_concurrent_sessions_daily",
+    "session_window_stats",
+    "user_event_sequences",
+]
+
+
+def _grow_hot(t: pa.Table, col: str, frac: float) -> pa.Table:
+    """Append copies of real rows (cycled, key overwritten to the first
+    value) until the hot key holds ~frac of the new total. Other keys
+    keep their exact original volume."""
+    import math
+
+    n = t.num_rows
+    n_extra = math.ceil(frac * n / (1.0 - frac))
+    idx = pa.array([j % n for j in range(n_extra)], type=pa.int64())
+    extra = t.take(idx)
+    i = t.schema.get_field_index(col)
+    field = t.schema.field(col)
+    hot = t.column(col).to_pylist()[0]
+    extra = extra.set_column(i, field, pa.array([hot] * n_extra, type=field.type))
+    return pa.concat_tables([t, extra]).combine_chunks()
+
+
+def build_grown(frac: float) -> str:
+    d = os.path.join(
+        tempfile.gettempdir(), f"skew_probe_grow_corpus_{int(round(frac * 100))}"
+    )
+    marker = os.path.join(d, ".complete")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    for p in sorted(glob.glob(SRC + "/*.parquet")):
+        name = os.path.basename(p)
+        t = pq.read_table(p)
+        if name == "events.parquet":
+            t = _grow_hot(t, "user_id", frac)
+        pq.write_table(t, os.path.join(d, name))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
 def build_skewed(frac: float) -> str:
     # int(round(...)) matches _skew_column's cut exactly — plain int()
     # truncates (0.29*100 -> 28) and nearby fractions would collide on
@@ -124,19 +194,28 @@ def main() -> int:
     ap.add_argument("--json", default="SKEW_PROBE.json")
     ap.add_argument("--fractions", nargs="*", type=float, default=[0.3, 0.6, 0.9])
     ap.add_argument("--queries", nargs="*")
+    ap.add_argument("--mode", choices=("constant", "grow"), default="constant")
     args = ap.parse_args()
 
     from nbi_oedi_etl_spark import get_spark, workload
 
-    names = args.queries or DEFAULT_QUERIES
+    grow = args.mode == "grow"
+    if grow and args.json == "SKEW_PROBE.json":
+        args.json = "SKEW_PROBE_GROW.json"  # don't clobber constant-mode results
+    names = args.queries or (GROW_QUERIES if grow else DEFAULT_QUERIES)
     spark = get_spark(app_name="skew_probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = workload.queries()
     qs["pricing_summary"](spark, SRC).collect()  # warm the JVM
 
-    # base timings once, shared across fractions
+    # base timings once, shared across fractions. Each query runs twice
+    # and the SECOND run is timed: the first pays per-query plan/codegen
+    # warm-up that the skewed runs (same plans, warm session) never pay —
+    # with a cold base, untouched control queries measured at 0.5x and
+    # every ratio was biased low.
     base: dict[str, tuple[float, int]] = {}
     for n in names:
+        qs[n](spark, SRC).collect()
         t0 = time.perf_counter()
         rows = len(qs[n](spark, SRC).collect())
         base[n] = (time.perf_counter() - t0, rows)
@@ -144,7 +223,8 @@ def main() -> int:
     runs: dict[str, dict] = {}
     all_flagged: list[str] = []
     for frac in args.fractions:
-        skewed = build_skewed(frac)
+        skewed = build_grown(frac) if grow else build_skewed(frac)
+        vf = 1.0 / (1.0 - frac) if grow else 1.0
         results: dict[str, dict] = {}
         for n in names:
             t_base, rows_base = base[n]
@@ -153,9 +233,9 @@ def main() -> int:
             t_skew = time.perf_counter() - t0
             ratio = t_skew / t_base if t_base > 0 else float("inf")
             bound = (
-                max(BASE_THRESHOLD, frac * PARALLELISM)
+                max(BASE_THRESHOLD, frac * vf * PARALLELISM)
                 if n in WINDOW_CLASS
-                else BASE_THRESHOLD
+                else BASE_THRESHOLD * vf
             )
             results[n] = {
                 "t_base_sec": round(t_base, 3),
@@ -177,6 +257,7 @@ def main() -> int:
 
     out = {
         "source_sf_dir": SRC,
+        "mode": args.mode,
         "parallelism": PARALLELISM,
         "base_threshold": BASE_THRESHOLD,
         "window_class": sorted(WINDOW_CLASS),
