@@ -114,6 +114,12 @@ def ingest_untrusted(
     footer/statistics work, not a data scan. The collected file list is
     driver-side metadata-scale (~one string per input file — the same
     bound every file-listing step already carries).
+
+    Contract note (shared with ``read_with_quarantine``): a VALID file
+    with zero rows yields no rows, so it is reported quarantined — at
+    row grain, "contributed nothing" and "unreadable" are the same
+    observation. No rows are lost either way; treat the quarantine list
+    as drop-AND-REPORT, inspect before deleting.
     """
     from pyspark.sql.observation import Observation
 
@@ -127,15 +133,18 @@ def ingest_untrusted(
         .option("ignoreCorruptFiles", "true")
         .parquet(*paths)
     )
+    src_col = "_src_file"
+    while src_col in df.columns:  # never shadow a real input column
+        src_col += "_"
     obs = Observation("ingest_untrusted")
     observed = (
-        df.withColumn("_src_file", F.input_file_name())
+        df.withColumn(src_col, F.input_file_name())
         .observe(
             obs,
             F.count(F.lit(1)).alias("rows"),
-            F.collect_set("_src_file").alias("files"),
+            F.collect_set(src_col).alias("files"),
         )
-        .drop("_src_file")
+        .drop(src_col)
     )
     write_parquet(observed, dest, partition_by=partition_by, mode=mode)
     rows_read = int(obs.get["rows"])

@@ -204,6 +204,29 @@ def test_ingest_untrusted_quarantines_reconciles_and_checksums(
     assert caught >= 1
 
 
+def test_ingest_untrusted_never_shadows_input_columns(spark, tmp_path):
+    """The internal file-tagging column must not overwrite a real input
+    column that happens to share its name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.sources import ingest_untrusted
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"k": [1, 2, 3], "_src_file": ["a", "b", "c"]}),
+        src / "p.parquet",
+    )
+    rep = ingest_untrusted(spark, [str(src / "p.parquet")], str(tmp_path / "out"))
+    rows = sorted(
+        (r["k"], r["_src_file"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    assert rep.reconciled and rep.rows_read == 3
+
+
 def test_page_crc_catches_silent_bitflip(spark, tmp_path):
     """Engine-written parquet carries page CRC32s and the session verifies
     them (both confs on in session.py): a mid-page bit flip that survives
