@@ -1,4 +1,6 @@
 from nbi_oedi_etl_spark.sources.formats import (
+    RecordIngestReport,
+    ingest_untrusted_records,
     read_csv,
     read_csv_with_quarantine,
     read_json,
@@ -45,6 +47,8 @@ __all__ = [
     "write_orc",
     "IngestReport",
     "QuarantineReport",
+    "RecordIngestReport",
+    "ingest_untrusted_records",
     "ingest_untrusted",
     "read_with_quarantine",
     "bypass_copy",

@@ -111,6 +111,73 @@ def read_json_with_quarantine(
     return _split_corrupt(df)
 
 
+def ingest_untrusted_records(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    dest: str,
+    fmt: str = "csv",
+    partition_by: tuple[str, ...] = (),
+    mode: str = "error",
+) -> "RecordIngestReport":
+    """Row-grain trust boundary for text formats — the CSV/JSON sibling of
+    ``sources.quarantine.ingest_untrusted`` (file grain, parquet): malformed
+    records are quarantined with their raw text, clean rows are re-encoded
+    through the page-CRC-checksummed parquet sink, and the report reconciles
+    clean rows in vs rows written.
+
+    Pass structure: one PERMISSIVE scan (cached by the split), the clean-row
+    count ``observe``d during the write job, and the quarantined count read
+    back from the cache — no extra scan of the source. At 100 TB text is an
+    edge format; this is the one-call path that turns an untrusted CSV/JSON
+    drop into verified warehouse parquet plus a quarantine frame to inspect.
+    """
+    from pyspark.sql.observation import Observation
+
+    from nbi_oedi_etl_spark.sources.sinks import write_parquet
+
+    if fmt == "csv":
+        clean, quarantined = read_csv_with_quarantine(spark, path, schema)
+    elif fmt == "json":
+        clean, quarantined = read_json_with_quarantine(spark, path, schema)
+    else:
+        raise ValueError(f"unsupported text format: {fmt!r} (csv or json)")
+    obs = Observation("ingest_untrusted_records")
+    write_parquet(
+        clean.observe(obs, F.count(F.lit(1)).alias("rows")),
+        dest,
+        partition_by=partition_by,
+        mode=mode,
+    )
+    rows_clean = int(obs.get["rows"])
+    rows_quarantined = int(quarantined.count())
+    rows_written = int(spark.read.parquet(dest).count())
+    return RecordIngestReport(
+        rows_clean, rows_quarantined, rows_written, quarantined
+    )
+
+
+class RecordIngestReport:
+    """Outcome of one ``ingest_untrusted_records`` run. ``quarantined_df``
+    carries the raw text of every malformed record (drop-AND-report)."""
+
+    def __init__(
+        self,
+        rows_clean: int,
+        rows_quarantined: int,
+        rows_written: int,
+        quarantined_df: DataFrame,
+    ) -> None:
+        self.rows_clean = rows_clean
+        self.rows_quarantined = rows_quarantined
+        self.rows_written = rows_written
+        self.quarantined_df = quarantined_df
+
+    @property
+    def reconciled(self) -> bool:
+        return self.rows_clean == self.rows_written
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).orc(path)
 

@@ -204,6 +204,38 @@ def test_ingest_untrusted_quarantines_reconciles_and_checksums(
     assert caught >= 1
 
 
+def test_ingest_untrusted_records_csv_to_verified_parquet(spark, tmp_path):
+    """Row-grain trust boundary: an untrusted CSV drop becomes CRC-verified
+    warehouse parquet; malformed lines land in the quarantine frame with
+    raw text; clean rows in == rows written."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nbi_oedi_etl_spark.sources import ingest_untrusted_records
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "part-0.csv").write_text(
+        "k,v\n1,alpha\n2,beta\nnot-a-number,gamma\n4,delta\n"
+    )
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    rep = ingest_untrusted_records(
+        spark, str(d), schema, str(tmp_path / "out"), fmt="csv"
+    )
+    assert rep.rows_clean == rep.rows_written == 3
+    assert rep.rows_quarantined == 1
+    assert rep.reconciled
+    assert [r["raw_record"] for r in rep.quarantined_df.collect()] == [
+        "not-a-number,gamma"
+    ]
+    got = sorted(
+        (r["k"], r["v"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [(1, "alpha"), (2, "beta"), (4, "delta")]
+
+
 def test_ingest_untrusted_never_shadows_input_columns(spark, tmp_path):
     """The internal file-tagging column must not overwrite a real input
     column that happens to share its name."""
