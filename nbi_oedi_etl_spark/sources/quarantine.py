@@ -28,31 +28,43 @@ class QuarantineReport:
     quarantined: list[str]
 
 
-def _probe_schema(spark: SparkSession, paths: list[str]):
+#: Footer-carrying columnar formats the file-grain quarantine supports —
+#: both honor the per-relation ``ignoreCorruptFiles`` option.
+_FILE_FORMATS = ("parquet", "orc")
+
+
+def _probe_schema(spark: SparkSession, paths: list[str], fmt: str = "parquet"):
     # Schema inference reads EVERY footer and fails before
     # ignoreCorruptFiles can apply at task level — probe for the first
     # readable footer and scan with an explicit schema instead.
+    if fmt not in _FILE_FORMATS:
+        raise ValueError(f"unsupported columnar format: {fmt!r} {_FILE_FORMATS}")
     for p in paths:
         try:
-            return spark.read.parquet(p).schema
+            return spark.read.format(fmt).load(p).schema
         except Exception:
             continue
-    raise ValueError("no readable parquet file among inputs")
+    raise ValueError(f"no readable {fmt} file among inputs")
 
 
 def read_with_quarantine(
-    spark: SparkSession, paths: list[str]
+    spark: SparkSession, paths: list[str], fmt: str = "parquet"
 ) -> tuple[DataFrame, QuarantineReport]:
-    """Read parquet files, dropping unreadable ones with a report instead of
-    failing the job (reference drop-and-report semantics)."""
-    schema = _probe_schema(spark, paths)
+    """Read parquet (or ORC) files, dropping unreadable ones with a report
+    instead of failing the job (reference drop-and-report semantics)."""
+    schema = _probe_schema(spark, paths, fmt)
     # Per-RELATION option (not the session conf): the returned DataFrame
     # must keep its drop-semantics across later actions without leaking a
-    # session-wide corrupt-files policy.
+    # session-wide corrupt-files policy. Multi-path reads go through
+    # format().load(list) — PySpark's varargs DataFrameReader.orc(p1, p2)
+    # is broken in this build (IllegalArgumentException without a schema;
+    # SILENTLY reads only the first path with one), measured while adding
+    # ORC support here.
     df = (
         spark.read.schema(schema)
         .option("ignoreCorruptFiles", "true")
-        .parquet(*paths)
+        .format(fmt)
+        .load(list(paths))
     )
     # files that actually yielded rows (driver-side: file list is
     # metadata-scale, not data-scale)
@@ -90,8 +102,9 @@ def ingest_untrusted(
     dest: str,
     partition_by: tuple[str, ...] = (),
     mode: str = "error",
+    fmt: str = "parquet",
 ) -> IngestReport:
-    """Trust boundary for external parquet: quarantine unreadable files,
+    """Trust boundary for external parquet (or ORC): quarantine unreadable files,
     re-encode the survivors through the engine's page-CRC-checksummed sink,
     and reconcile row counts in vs out.
 
@@ -125,13 +138,15 @@ def ingest_untrusted(
 
     from nbi_oedi_etl_spark.sources.sinks import write_parquet
 
-    schema = _probe_schema(spark, paths)
+    schema = _probe_schema(spark, paths, fmt)
     # Per-RELATION option, as in read_with_quarantine: drop-semantics stay
-    # with this DataFrame without leaking a session-wide policy.
+    # with this DataFrame without leaking a session-wide policy; see the
+    # format().load(list) note there (varargs .orc() is unsafe multi-path).
     df = (
         spark.read.schema(schema)
         .option("ignoreCorruptFiles", "true")
-        .parquet(*paths)
+        .format(fmt)
+        .load(list(paths))
     )
     src_col = "_src_file"
     while src_col in df.columns:  # never shadow a real input column

@@ -204,6 +204,76 @@ def test_ingest_untrusted_quarantines_reconciles_and_checksums(
     assert caught >= 1
 
 
+def test_orc_file_quarantine_and_ingest(spark, tmp_path):
+    """The file-grain quarantine generalizes to ORC (the other
+    footer-carrying columnar format honoring per-relation
+    ignoreCorruptFiles): truncated parts are dropped and reported, and
+    ingest_untrusted(fmt='orc') re-encodes the survivors into verified
+    parquet with a reconciled report."""
+    from nbi_oedi_etl_spark.sources import ingest_untrusted, read_with_quarantine
+
+    src = tmp_path / "orc_in"
+    spark.range(0, 5000).selectExpr("id", "id * 3 as v").coalesce(1).write.orc(
+        str(src)
+    )
+    good = next(p for p in src.iterdir() if p.name.endswith(".orc"))
+    data = good.read_bytes()
+    (src / "corrupt-truncated.orc").write_bytes(data[: len(data) // 2])
+    parts = sorted(str(p) for p in src.iterdir() if p.name.endswith(".orc"))
+
+    # default scan fails loudly
+    with pytest.raises(Exception):
+        spark.read.orc(str(src)).count()
+    # drop-and-report
+    df, rep = read_with_quarantine(spark, parts, fmt="orc")
+    assert [pathlib.Path(p).name for p in rep.quarantined] == [
+        "corrupt-truncated.orc"
+    ]
+    assert df.count() == 5000
+    # trust-boundary re-encode into verified parquet
+    irep = ingest_untrusted(spark, parts, str(tmp_path / "out"), fmt="orc")
+    assert irep.reconciled and irep.rows_read == irep.rows_written == 5000
+    assert [pathlib.Path(p).name for p in irep.files.quarantined] == [
+        "corrupt-truncated.orc"
+    ]
+
+
+def test_streaming_source_fails_loudly_on_corrupt_file(spark, tmp_path):
+    """Anti-silent-loss at the STREAMING tier: a corrupt parquet part in a
+    table directory must abort the availableNow drain, never stream a
+    silent subset. (The batch half of this contract is pinned above; the
+    stream source shares spark.sql.files.ignoreCorruptFiles=false
+    defaults.)"""
+    from nbi_oedi_etl_spark.streaming.ingest import table_file_stream
+
+    for t in fault_sweep._tables():
+        d = tmp_path / f"{t}.parquet"
+        d.mkdir()
+        shutil.copyfile(f"{SF}/{t}.parquet", d / "part-00000.parquet")
+    events = tmp_path / "events.parquet"
+    data = (events / "part-00000.parquet").read_bytes()
+    (events / "corrupt-truncated.parquet").write_bytes(data[: len(data) // 2])
+
+    # a loud failure at ANY stage (schema probe on the corrupt footer, or
+    # the drain itself) satisfies the contract — what must NOT happen is a
+    # completed drain over a silent subset
+    with pytest.raises(Exception):
+        stream = table_file_stream(spark, str(tmp_path), "events")
+        q = (
+            stream.groupBy("event_type")
+            .count()
+            .writeStream.format("memory")
+            .queryName("corrupt_stream_probe")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt_corrupt_stream_probe")
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+
 def test_ingest_untrusted_records_csv_to_verified_parquet(spark, tmp_path):
     """Row-grain trust boundary: an untrusted CSV drop becomes CRC-verified
     warehouse parquet; malformed lines land in the quarantine frame with
