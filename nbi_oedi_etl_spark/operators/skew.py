@@ -56,6 +56,139 @@ def salted_grouped_sum(
     )
 
 
+def _epoch_seconds(df: DataFrame, ts_col: str) -> Column:
+    """Timestamp-or-numeric → epoch seconds as DOUBLE. TIMESTAMP_NTZ has
+    no direct double cast under ANSI — route it through TIMESTAMP (the
+    session is UTC-pinned, so NTZ values are unchanged)."""
+    dtype = dict(df.dtypes)[ts_col]
+    col = F.col(f"`{ts_col}`")
+    if dtype.startswith("timestamp"):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
+def sessionize_two_pass_spine(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    bucket_seconds: float = 3600.0,
+    session_col: str = "session_id",
+    broadcast_spine: bool = True,
+) -> DataFrame:
+    """Gap-timeout sessionization immune to hot-key skew — the "two-pass
+    spine" mitigation SCALE.md documents for the per-key window class.
+
+    The naive sessionizer (``Window.partitionBy(key).orderBy(ts)``) puts
+    ALL of a key's rows on one task: a frac-hot entity serializes frac of
+    the stage (the frac×P imbalance bound the skew probe measures). This
+    operator keeps the parallelism unit at (key, time-bucket) instead:
+
+    1. WITHIN pass — rows shuffle once to (key, bucket); a within-bucket
+       window computes gap flags and per-bucket running start counts.
+       A 90%-hot key spreads over |time-range|/bucket_seconds tasks.
+    2. SPINE — one row per (key, non-empty bucket): first/last ts and
+       the within-start count. Size is bounded by the TIME RANGE, not the
+       row count, so the per-key spine window (stitch decisions + prefix
+       sums of session starts) is trivially small even for a key holding
+       billions of rows.
+    3. STITCH — the spine broadcast-joins back on (key, bucket): no
+       second shuffle of the fact rows. A bucket's first event starts a
+       session iff the gap from the PREVIOUS NON-EMPTY bucket's last
+       event exceeds the timeout (correct across empty buckets);
+       ``session_id`` = spine prefix + within-bucket running count —
+       identical numbering to the naive single-window form.
+
+    Exactness: equal timestamps can never split a session (gap 0 ≤
+    timeout), so the result is order-stable under ties; equivalence with
+    the naive sessionizer is pinned in tests/test_quarantine_skew.py on
+    clean AND 90%-hot grown corpora. Sessions are numbered 1..N per key
+    in time order.
+    """
+    from pyspark.sql import Window
+
+    sec = _epoch_seconds(df, ts_col)
+    bucket = F.floor(sec / F.lit(float(bucket_seconds))).alias("__bucket")
+    rows = df.withColumn("__bucket", bucket).withColumn("__sec", sec)
+
+    in_bucket = Window.partitionBy(f"`{key_col}`", "__bucket").orderBy("__sec")
+    prev_sec = F.lag("__sec").over(in_bucket)
+    # within-bucket start flag; a bucket's FIRST row is resolved by the spine
+    within_flag = F.when(
+        prev_sec.isNotNull() & (F.col("__sec") - prev_sec > F.lit(float(gap_seconds))),
+        1,
+    ).otherwise(0)
+    rows = rows.withColumn("__wflag", within_flag).withColumn(
+        "__wcum",
+        F.sum("__wflag").over(
+            in_bucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    spine = rows.groupBy(f"`{key_col}`", "__bucket").agg(
+        F.min("__sec").alias("__first"),
+        F.max("__sec").alias("__last"),
+        F.sum("__wflag").alias("__nwithin"),
+    )
+    by_key = Window.partitionBy(f"`{key_col}`").orderBy("__bucket")
+    prev_last = F.lag("__last").over(by_key)
+    first_is_start = (
+        prev_last.isNull()
+        | (F.col("__first") - prev_last > F.lit(float(gap_seconds)))
+    ).cast("int")
+    spine = spine.withColumn("__fstart", first_is_start).withColumn(
+        "__starts", F.col("__fstart") + F.col("__nwithin")
+    ).withColumn(
+        "__prefix",
+        F.coalesce(
+            F.sum("__starts").over(
+                by_key.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(f"`{key_col}`", "__bucket", "__fstart", "__prefix")
+
+    # per-key spine is time-range-bounded — broadcast it back so the fact
+    # rows never shuffle a second time. With extreme KEY cardinality the
+    # spine (keys × non-empty buckets) can outgrow the broadcast budget:
+    # pass broadcast_spine=False there and the join shuffles both sides on
+    # (key, bucket) — still skew-free, the hot key stays bucket-split.
+    joined_spine = F.broadcast(spine) if broadcast_spine else spine
+    out = rows.join(joined_spine, [key_col, "__bucket"], "inner").withColumn(
+        session_col,
+        (F.col("__prefix") + F.col("__fstart") + F.col("__wcum")).cast("long"),
+    )
+    return out.drop("__bucket", "__sec", "__wflag", "__wcum",
+                    "__fstart", "__prefix")
+
+
+def naive_sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Single-window gap sessionizer — the textbook form (one per-key sort
+    on one task). The equivalence oracle for ``sessionize_two_pass_spine``
+    and the right choice when no key is hot."""
+    from pyspark.sql import Window
+
+    sec = _epoch_seconds(df, ts_col)
+    w = Window.partitionBy(f"`{key_col}`").orderBy(sec)
+    flag = F.when(
+        F.lag(sec).over(w).isNull()
+        | (sec - F.lag(sec).over(w) > F.lit(float(gap_seconds))),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+
+
 def salted_join_small_side(
     large: DataFrame,
     small: DataFrame,

@@ -60,3 +60,107 @@ def test_salted_join_matches_plain_join(spark):
         customer, orders["o_custkey"] == customer["c_custkey"]
     ).count()
     assert salted_n == plain_n
+
+
+# ---- two-pass spine sessionizer (the documented skew mitigation) ----
+
+def _session_summary(df, key_col):
+    """Order-insensitive per-session fingerprint: (key, session, n, span)."""
+    return sorted(
+        map(
+            tuple,
+            df.groupBy(key_col, "session_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("ts").alias("s"),
+                F.max("ts").alias("e"),
+            )
+            .collect(),
+        )
+    )
+
+
+def test_two_pass_spine_sessionizer_matches_naive_on_events(spark):
+    from nbi_oedi_etl_spark.operators.skew import (
+        naive_sessionize,
+        sessionize_two_pass_spine,
+    )
+
+    ev = read_table(spark, SF_SMALL, "events").select("user_id", "ts")
+    gap = 1800.0
+    a = _session_summary(
+        naive_sessionize(ev, "user_id", "ts", gap), "user_id"
+    )
+    b = _session_summary(
+        sessionize_two_pass_spine(ev, "user_id", "ts", gap, bucket_seconds=3600.0),
+        "user_id",
+    )
+    assert a == b and len(a) > 0
+
+
+def test_two_pass_spine_handles_empty_buckets_and_boundaries(spark):
+    """Sessions must stitch across EMPTY buckets (gap measured between
+    non-empty neighbors) and split exactly at the timeout, regardless of
+    where bucket edges fall."""
+    import datetime as dt
+
+    from nbi_oedi_etl_spark.operators.skew import (
+        naive_sessionize,
+        sessionize_two_pass_spine,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user A: events hugging bucket edges, 10s bucket / 15s gap
+    for off in [0, 5, 9, 11, 14, 40, 41, 90, 104, 105, 121]:
+        rows.append(("a", t0 + dt.timedelta(seconds=off)))
+    # user B: one event only
+    rows.append(("b", t0))
+    # user C: every event its own session
+    for off in [0, 100, 200, 300]:
+        rows.append(("c", t0 + dt.timedelta(seconds=off)))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    gap = 15.0
+    a = _session_summary(naive_sessionize(df, "user_id", "ts", gap), "user_id")
+    for bucket in (10.0, 7.0, 1000.0):
+        b = _session_summary(
+            sessionize_two_pass_spine(
+                df, "user_id", "ts", gap, bucket_seconds=bucket
+            ),
+            "user_id",
+        )
+        assert a == b, f"bucket_seconds={bucket}"
+
+
+def test_two_pass_spine_matches_naive_on_hot_grown_corpus(spark, tmp_path):
+    """The mitigation must stay EXACT on the corpus it exists for: 90% of
+    all events on one user (the skew probe's grow-mode shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.operators.skew import (
+        naive_sessionize,
+        sessionize_two_pass_spine,
+    )
+
+    t = pq.read_table(f"{SF_SMALL}/events.parquet", columns=["user_id", "ts"])
+    n = t.num_rows
+    idx = pa.array([j % n for j in range(9 * n)], type=pa.int64())
+    extra = t.take(idx)
+    i = t.schema.get_field_index("user_id")
+    fld = t.schema.field("user_id")
+    hot = t.column("user_id").to_pylist()[0]
+    extra = extra.set_column(i, fld, pa.array([hot] * (9 * n), type=fld.type))
+    pq.write_table(
+        pa.concat_tables([t, extra]), tmp_path / "events_hot.parquet"
+    )
+    ev = spark.read.parquet(str(tmp_path / "events_hot.parquet")).select(
+        "user_id", "ts"
+    )
+    gap = 1800.0
+    a = _session_summary(naive_sessionize(ev, "user_id", "ts", gap), "user_id")
+    b = _session_summary(
+        sessionize_two_pass_spine(ev, "user_id", "ts", gap, bucket_seconds=3600.0),
+        "user_id",
+    )
+    assert a == b and len(a) > 0
