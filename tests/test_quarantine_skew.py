@@ -164,3 +164,48 @@ def test_two_pass_spine_matches_naive_on_hot_grown_corpus(spark, tmp_path):
         "user_id",
     )
     assert a == b and len(a) > 0
+
+
+def test_two_pass_spine_property_random_corpora(spark):
+    """Property form of the equivalence: random (key, ts) multisets —
+    duplicate timestamps, bursts, singletons — at adversarial
+    gap/bucket combinations (bucket smaller than, equal to, and larger
+    than the gap) must sessionize identically to the naive form."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from nbi_oedi_etl_spark.operators.skew import (
+        naive_sessionize,
+        sessionize_two_pass_spine,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=0, max_value=5000),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        gap=st.sampled_from([1.0, 30.0, 500.0]),
+        bucket=st.sampled_from([7.0, 30.0, 4000.0]),
+    )
+    def check(rows, gap, bucket):
+        df = spark.createDataFrame(
+            [(k, t0 + dt.timedelta(seconds=s)) for k, s in rows],
+            ["user_id", "ts"],
+        )
+        a = _session_summary(naive_sessionize(df, "user_id", "ts", gap), "user_id")
+        b = _session_summary(
+            sessionize_two_pass_spine(df, "user_id", "ts", gap, bucket_seconds=bucket),
+            "user_id",
+        )
+        assert a == b
+
+    check()
