@@ -162,6 +162,89 @@ def sessionize_two_pass_spine(
                     "__fstart", "__prefix")
 
 
+def running_sum_two_pass_spine(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: float = 3600.0,
+    out_col: str = "running_sum",
+    broadcast_spine: bool = True,
+) -> DataFrame:
+    """Per-key running sum over time immune to hot-key skew — the second
+    member of the two-pass-spine family (``sessionize_two_pass_spine``
+    covers gap flags; this covers the cumulative/SCD2-style running
+    aggregates the skew probe's window class times).
+
+    Same shape: one fact shuffle to (key, time-bucket) for a
+    within-bucket running sum, a time-range-bounded spine carrying each
+    bucket's total for the per-key prefix sums, and a broadcast join
+    back. ``out_col`` = earlier-bucket prefix + within-bucket running
+    sum.
+
+    Tie semantics: both this and the naive form use the RANGE frame
+    (all rows with ts' ≤ ts included), so equal timestamps share one
+    running value and the result is deterministic under tie reordering
+    — the ROWS frame would be order-dependent and irreproducible on any
+    engine. Equivalence with the naive single-window RANGE form is
+    pinned in tests/test_quarantine_skew.py.
+    """
+    from pyspark.sql import Window
+
+    sec = _epoch_seconds(df, ts_col)
+    bucket = F.floor(sec / F.lit(float(bucket_seconds))).alias("__bucket")
+    rows = df.withColumn("__bucket", bucket).withColumn("__sec", sec)
+
+    in_bucket = (
+        Window.partitionBy(f"`{key_col}`", "__bucket")
+        .orderBy("__sec")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = rows.withColumn(
+        "__wsum", F.sum(F.col(f"`{value_col}`")).over(in_bucket)
+    )
+
+    spine = rows.groupBy(f"`{key_col}`", "__bucket").agg(
+        F.sum(f"`{value_col}`").alias("__total")
+    )
+    by_key = Window.partitionBy(f"`{key_col}`").orderBy("__bucket")
+    spine = spine.withColumn(
+        "__prefix",
+        F.coalesce(
+            F.sum("__total").over(
+                by_key.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),  # coerces to the sum's type (long or double)
+        ),
+    ).select(f"`{key_col}`", "__bucket", "__prefix")
+
+    joined_spine = F.broadcast(spine) if broadcast_spine else spine
+    out = rows.join(joined_spine, [key_col, "__bucket"], "inner").withColumn(
+        out_col, F.col("__prefix") + F.col("__wsum")
+    )
+    return out.drop("__bucket", "__sec", "__wsum", "__prefix")
+
+
+def naive_running_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Single-window RANGE-frame running sum — the equivalence oracle for
+    ``running_sum_two_pass_spine`` and the right choice with no hot key."""
+    from pyspark.sql import Window
+
+    sec = _epoch_seconds(df, ts_col)
+    w = (
+        Window.partitionBy(f"`{key_col}`")
+        .orderBy(sec)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(F.col(f"`{value_col}`")).over(w))
+
+
 def naive_sessionize(
     df: DataFrame,
     key_col: str,

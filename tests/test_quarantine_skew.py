@@ -209,3 +209,97 @@ def test_two_pass_spine_property_random_corpora(spark):
         assert a == b
 
     check()
+
+
+# ---- two-pass spine running sum (the cumulative window-class member) ----
+
+def _running_summary(df, key_col):
+    return sorted(
+        map(
+            tuple,
+            df.groupBy(key_col)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("running_sum"), 6).alias("sum_of_running"),
+                F.round(F.max("running_sum"), 6).alias("final"),
+            )
+            .collect(),
+        )
+    )
+
+
+def test_running_sum_spine_matches_naive_on_events(spark):
+    from nbi_oedi_etl_spark.operators.skew import (
+        naive_running_sum,
+        running_sum_two_pass_spine,
+    )
+
+    ev = read_table(spark, SF_SMALL, "events").select("user_id", "ts", "value")
+    a = _running_summary(
+        naive_running_sum(ev, "user_id", "ts", "value"), "user_id"
+    )
+    b = _running_summary(
+        running_sum_two_pass_spine(
+            ev, "user_id", "ts", "value", bucket_seconds=3600.0
+        ),
+        "user_id",
+    )
+    assert a == b and len(a) > 0
+
+
+def test_running_sum_spine_property_random_corpora(spark):
+    """Duplicate timestamps MUST share one running value (RANGE frame) in
+    both forms; random corpora across bucket widths must agree exactly."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from nbi_oedi_etl_spark.operators.skew import (
+        naive_running_sum,
+        running_sum_two_pass_spine,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=0, max_value=3000),
+                st.integers(min_value=-5, max_value=9),
+            ),
+            min_size=1,
+            max_size=50,
+        ),
+        bucket=st.sampled_from([13.0, 3600.0]),
+    )
+    def check(rows, bucket):
+        df = spark.createDataFrame(
+            [(k, t0 + dt.timedelta(seconds=s), float(v)) for k, s, v in rows],
+            ["user_id", "ts", "value"],
+        )
+        # per-ROW comparison, not just summaries: ties must carry the
+        # identical shared running value in both forms
+        a = sorted(
+            map(
+                tuple,
+                naive_running_sum(df, "user_id", "ts", "value").select(
+                    "user_id", "ts", "value", F.round("running_sum", 6)
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                running_sum_two_pass_spine(
+                    df, "user_id", "ts", "value", bucket_seconds=bucket
+                ).select(
+                    "user_id", "ts", "value", F.round("running_sum", 6)
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    check()
