@@ -303,3 +303,38 @@ def test_running_sum_spine_property_random_corpora(spark):
         assert a == b
 
     check()
+
+
+def test_two_pass_spine_plan_never_partitions_facts_by_key_alone(spark):
+    """Structural pin of the scale property: the fact-side window must
+    partition on (key, __bucket) — never on the key alone (which would
+    recreate the single-task hot spot) — and the spine must come back as
+    a broadcast join (no second fact shuffle)."""
+    from nbi_oedi_etl_spark.operators.skew import (
+        running_sum_two_pass_spine,
+        sessionize_two_pass_spine,
+    )
+
+    ev = read_table(spark, SF_SMALL, "events").select("user_id", "ts", "value")
+    for df in (
+        sessionize_two_pass_spine(ev, "user_id", "ts", 1800.0),
+        running_sum_two_pass_spine(ev, "user_id", "ts", "value"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        windows = [
+            ln for ln in plan.splitlines() if ln.lstrip("+-* ").startswith("Window")
+        ]
+        assert windows, plan
+        fact_windows = [w for w in windows if "__bucket" in w]
+        # every Window node NOT on the bucket grain must be the spine's
+        # per-key pass (its frame works on __total/__first/__last/__starts,
+        # never on fact-row expressions)
+        spine_only = [
+            w
+            for w in windows
+            if "__bucket" not in w
+        ]
+        assert fact_windows, plan
+        for w in spine_only:
+            assert any(tok in w for tok in ("__total", "__first", "__last", "__starts", "__nwithin")), w
+        assert "BroadcastHashJoin" in plan, plan
