@@ -56,6 +56,21 @@ def salted_grouped_sum(
     )
 
 
+def _check_spine_inputs(
+    df: DataFrame, internals: set[str], bucket_seconds: float, gap_seconds: float = 0.0
+) -> None:
+    """The spine operators build-and-drop internal columns; a same-named
+    input column would be silently destroyed (the ingest_untrusted
+    collision lesson). Fail loudly instead, and reject degenerate knobs."""
+    clash = internals & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with spine internals: {sorted(clash)}")
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    if gap_seconds < 0:
+        raise ValueError(f"gap_seconds must be non-negative, got {gap_seconds}")
+
+
 def _epoch_seconds(df: DataFrame, ts_col: str) -> Column:
     """Timestamp-or-numeric → epoch seconds as DOUBLE. TIMESTAMP_NTZ has
     no direct double cast under ANSI — route it through TIMESTAMP (the
@@ -107,6 +122,12 @@ def sessionize_two_pass_spine(
     """
     from pyspark.sql import Window
 
+    _check_spine_inputs(
+        df,
+        {"__bucket", "__sec", "__wflag", "__wcum", "__fstart", "__prefix"},
+        bucket_seconds,
+        gap_seconds,
+    )
     sec = _epoch_seconds(df, ts_col)
     bucket = F.floor(sec / F.lit(float(bucket_seconds))).alias("__bucket")
     rows = df.withColumn("__bucket", bucket).withColumn("__sec", sec)
@@ -191,6 +212,9 @@ def running_sum_two_pass_spine(
     """
     from pyspark.sql import Window
 
+    _check_spine_inputs(
+        df, {"__bucket", "__sec", "__wsum", "__total", "__prefix"}, bucket_seconds
+    )
     sec = _epoch_seconds(df, ts_col)
     bucket = F.floor(sec / F.lit(float(bucket_seconds))).alias("__bucket")
     rows = df.withColumn("__bucket", bucket).withColumn("__sec", sec)

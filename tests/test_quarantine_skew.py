@@ -338,3 +338,23 @@ def test_two_pass_spine_plan_never_partitions_facts_by_key_alone(spark):
         for w in spine_only:
             assert any(tok in w for tok in ("__total", "__first", "__last", "__starts", "__nwithin")), w
         assert "BroadcastHashJoin" in plan, plan
+
+
+def test_two_pass_spine_rejects_colliding_columns_and_bad_knobs(spark):
+    import pytest as _pytest
+
+    from nbi_oedi_etl_spark.operators.skew import (
+        running_sum_two_pass_spine,
+        sessionize_two_pass_spine,
+    )
+
+    ev = read_table(spark, SF_SMALL, "events").select("user_id", "ts", "value")
+    clash = ev.withColumn("__bucket", F.lit(1))
+    with _pytest.raises(ValueError, match="collide"):
+        sessionize_two_pass_spine(clash, "user_id", "ts", 60.0)
+    with _pytest.raises(ValueError, match="collide"):
+        running_sum_two_pass_spine(clash, "user_id", "ts", "value")
+    with _pytest.raises(ValueError, match="bucket_seconds"):
+        sessionize_two_pass_spine(ev, "user_id", "ts", 60.0, bucket_seconds=0.0)
+    with _pytest.raises(ValueError, match="gap_seconds"):
+        sessionize_two_pass_spine(ev, "user_id", "ts", -1.0)
