@@ -249,6 +249,81 @@ def running_sum_two_pass_spine(
     return out.drop("__bucket", "__sec", "__wsum", "__prefix")
 
 
+def rank_two_pass_spine(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_seconds: float = 3600.0,
+    out_col: str = "rank",
+    broadcast_spine: bool = True,
+) -> DataFrame:
+    """Per-key RANK() by time immune to hot-key skew — third member of
+    the two-pass-spine family (sessions, running sums, ranking: together
+    the building blocks of the probe's window class, including
+    top-k-per-group via a rank filter).
+
+    rank(e) = #rows of the key strictly earlier than e, plus 1 — the
+    tie-stable SQL RANK (ties share a rank; ROW_NUMBER is order-dependent
+    under ties and CANNOT be made deterministic without a tiebreaker, so
+    it is deliberately not offered). Within a bucket the strict count is
+    ``count(≤) − count(=)`` (RANGE frame minus the tie-group size); the
+    spine carries per-bucket row counts for the earlier-bucket prefix.
+    Equal timestamps always share one bucket, so prefix rows are strictly
+    earlier by construction.
+    """
+    from pyspark.sql import Window
+
+    _check_spine_inputs(
+        df, {"__bucket", "__sec", "__le", "__ties", "__cnt", "__prefix"},
+        bucket_seconds,
+    )
+    sec = _epoch_seconds(df, ts_col)
+    bucket = F.floor(sec / F.lit(float(bucket_seconds))).alias("__bucket")
+    rows = df.withColumn("__bucket", bucket).withColumn("__sec", sec)
+
+    w_le = (
+        Window.partitionBy(f"`{key_col}`", "__bucket")
+        .orderBy("__sec")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_eq = Window.partitionBy(f"`{key_col}`", "__bucket", "__sec")
+    rows = rows.withColumn("__le", F.count(F.lit(1)).over(w_le)).withColumn(
+        "__ties", F.count(F.lit(1)).over(w_eq)
+    )
+
+    spine = rows.groupBy(f"`{key_col}`", "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    by_key = Window.partitionBy(f"`{key_col}`").orderBy("__bucket")
+    spine = spine.withColumn(
+        "__prefix",
+        F.coalesce(
+            F.sum("__cnt").over(by_key.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(f"`{key_col}`", "__bucket", "__prefix")
+
+    joined_spine = F.broadcast(spine) if broadcast_spine else spine
+    out = rows.join(joined_spine, [key_col, "__bucket"], "inner").withColumn(
+        out_col,
+        (F.col("__prefix") + F.col("__le") - F.col("__ties") + F.lit(1)).cast(
+            "long"
+        ),
+    )
+    return out.drop("__bucket", "__sec", "__le", "__ties", "__prefix")
+
+
+def naive_rank(
+    df: DataFrame, key_col: str, ts_col: str, out_col: str = "rank"
+) -> DataFrame:
+    """Single-window RANK() by time — the equivalence oracle for
+    ``rank_two_pass_spine``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(f"`{key_col}`").orderBy(_epoch_seconds(df, ts_col))
+    return df.withColumn(out_col, F.rank().over(w).cast("long"))
+
+
 def naive_running_sum(
     df: DataFrame,
     key_col: str,

@@ -311,6 +311,7 @@ def test_two_pass_spine_plan_never_partitions_facts_by_key_alone(spark):
     recreate the single-task hot spot) — and the spine must come back as
     a broadcast join (no second fact shuffle)."""
     from nbi_oedi_etl_spark.operators.skew import (
+        rank_two_pass_spine,
         running_sum_two_pass_spine,
         sessionize_two_pass_spine,
     )
@@ -319,6 +320,7 @@ def test_two_pass_spine_plan_never_partitions_facts_by_key_alone(spark):
     for df in (
         sessionize_two_pass_spine(ev, "user_id", "ts", 1800.0),
         running_sum_two_pass_spine(ev, "user_id", "ts", "value"),
+        rank_two_pass_spine(ev, "user_id", "ts"),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         windows = [
@@ -358,3 +360,59 @@ def test_two_pass_spine_rejects_colliding_columns_and_bad_knobs(spark):
         sessionize_two_pass_spine(ev, "user_id", "ts", 60.0, bucket_seconds=0.0)
     with _pytest.raises(ValueError, match="gap_seconds"):
         sessionize_two_pass_spine(ev, "user_id", "ts", -1.0)
+
+
+# ---- two-pass spine rank (the ranking window-class member) ----
+
+def test_rank_spine_matches_naive_on_events(spark):
+    from nbi_oedi_etl_spark.operators.skew import naive_rank, rank_two_pass_spine
+
+    ev = read_table(spark, SF_SMALL, "events").select("user_id", "ts", "event_id")
+    a = sorted(
+        map(tuple, naive_rank(ev, "user_id", "ts").select(
+            "user_id", "event_id", "rank").collect())
+    )
+    b = sorted(
+        map(tuple, rank_two_pass_spine(ev, "user_id", "ts", bucket_seconds=3600.0)
+            .select("user_id", "event_id", "rank").collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_rank_spine_property_random_corpora_with_ties(spark):
+    """Tie-heavy random corpora: SQL RANK semantics (ties share a rank,
+    next rank skips) must match per-row at every bucket width."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from nbi_oedi_etl_spark.operators.skew import naive_rank, rank_two_pass_spine
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=0, max_value=40),  # dense -> many ties
+            ),
+            min_size=1,
+            max_size=50,
+        ),
+        bucket=st.sampled_from([3.0, 7.0, 3600.0]),
+    )
+    def check(rows, bucket):
+        df = spark.createDataFrame(
+            [(k, t0 + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(rows)],
+            ["user_id", "ts", "row_id"],
+        )
+        a = sorted(map(tuple, naive_rank(df, "user_id", "ts").select(
+            "user_id", "row_id", "rank").collect()))
+        b = sorted(map(tuple, rank_two_pass_spine(
+            df, "user_id", "ts", bucket_seconds=bucket).select(
+            "user_id", "row_id", "rank").collect()))
+        assert a == b
+
+    check()
