@@ -1799,6 +1799,7 @@ from nbi_oedi_etl_spark import workload_ext30 as ext30
 from nbi_oedi_etl_spark import workload_ext31 as ext31
 from nbi_oedi_etl_spark import workload_ext32 as ext32
 from nbi_oedi_etl_spark import workload_ext33 as ext33
+from nbi_oedi_etl_spark import workload_spine as wspine
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
 try:  # transformWithState's python state-server protocol needs protobuf
@@ -2125,6 +2126,13 @@ SPECS: list[QuerySpec] = [
     # (registered BEHIND the r6 window — the window's 50 names are frozen
     # until the driver verifies the final 33-debt rotation)
     QuerySpec("multimodal_webp_features", multimodal_webp_features, _WEBP_FEATURES_ORACLE),
+    # round-9: the two-pass-spine skew family (operators/skew.py) gets
+    # driver CORRECTNESS entries (VERDICT r8 task 2) — the one major
+    # component whose equivalence evidence was local-only until now.
+    # Registered inside the r9 window; registry otherwise stays frozen.
+    QuerySpec("spine_user_sessions", wspine.spine_user_sessions, wspine._SPINE_SESSIONS_ORACLE),
+    QuerySpec("spine_running_value_sum", wspine.spine_running_value_sum, wspine._SPINE_RUNNING_SUM_ORACLE),
+    QuerySpec("spine_event_rank", wspine.spine_event_rank, wspine._SPINE_RANK_ORACLE),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2174,6 +2182,47 @@ _R8_WINDOW: list[str] = [
 # frozen at 242 per the r7 verdict; any future addition must land here
 # and be benched in the same round).
 _POST_R8_ADDITIONS: list[str] = []
+
+# ---- round-9 correctness-window rotation ------------------------------
+# The r8 boundary commit landed with zero audit debt (the 50
+# `boundary-missing-r8` entries the r8-session audit reported were the
+# fail-closed guard waiting on the driver artifacts; they collapsed to
+# zero once the boundary existed). With no drift to refresh, the r9
+# window = the 3 new spine specs (registered this round, never
+# driver-verified — automatic debt) + the stalest banked evidence: all
+# 28 specs last green in r3 (6 rounds stale, the oldest in the ledger)
+# and the 19 alphabetically-first of the 37 r4 greens. The remaining 18
+# r4 specs are the natural head of the r10 window.
+_R9_WINDOW: list[str] = [
+    # -- the two-pass-spine family (operators/skew.py), new this round --
+    "spine_user_sessions", "spine_running_value_sum", "spine_event_rank",
+    # -- all 28 r3-green refreshers (oldest evidence in the ledger) --
+    "doc_word_repetition", "embedding_norm_stats", "events_hourly_gapfill",
+    "full_outer_nation_activity", "hash_sample_documents",
+    "idle_rich_customers", "monthly_revenue_growth", "order_price_deciles",
+    "order_price_histogram", "part_name_fuzzy_pairs",
+    "python_datasource_resample", "q10_returned_items",
+    "q11_important_parts", "q13_order_count_distribution",
+    "q15_top_supplier", "q17_small_qty_revenue", "q20_heavy_suppliers",
+    "q21_waiting_suppliers", "q2_best_supplier_per_part",
+    "q6_forecast_revenue", "q8_market_share", "q9_profit_by_nation_year",
+    "rolling_revenue_90d", "scd2_user_events", "shingle_novelty",
+    "simhash_portable", "stratified_sample_documents", "window_rank_suite",
+    # -- 19 oldest r4-green refreshers (alphabetical head of the 37) --
+    "ann_recall_portable", "bloom_decontamination", "bpe_merge_candidates",
+    "char_bigram_lm_score", "cms_token_topk", "copurchase_triangles",
+    "corpus_shard_assignment", "cross_source_contamination",
+    "data_quality_report", "date_function_suite", "doc_bm25_top_terms",
+    "doc_boilerplate_ngrams", "embedding_ann_portable",
+    "embedding_int8_quantization", "embedding_ivf_portable",
+    "event_bitwise_aggregates", "event_funnel_conversion",
+    "event_type_markov", "hll_distinct_tokens",
+]
+
+# Specs registered AFTER the r9 window froze (none — the spine family
+# registered this round sits INSIDE the window above; any later addition
+# must land here and be benched in the same round).
+_POST_R9_ADDITIONS: list[str] = []
 
 # Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [
@@ -2282,7 +2331,7 @@ _R5_QUEUE: list[str] = [
 
 def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in specs}
-    front = [by_name[n] for n in _R8_WINDOW if n in by_name]
+    front = [by_name[n] for n in _R9_WINDOW if n in by_name]
     front_set = {s.name for s in front}
     rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
     rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]
