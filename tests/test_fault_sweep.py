@@ -441,3 +441,75 @@ def test_resize_drops_undecodable_rows(spark):
     )
     rows = mm.resize_bmp_images(spark.createDataFrame(pdf), 2, 2).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+# ------------------------------------------------- r9 quarantine hardening
+
+
+def test_quarantine_handles_percent_encoded_paths(spark, tmp_path):
+    """ADVICE r8: input_file_name() returns percent-encoded file URIs;
+    listed paths with spaces/unicode must still match instead of being
+    falsely reported quarantined."""
+    weird = tmp_path / "a b ü.parquet"
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(weird, index=False)
+    df, rep = read_with_quarantine(spark, [str(weird)])
+    assert df.count() == 3
+    assert rep.quarantined == []
+    assert rep.readable == [str(weird)]
+
+
+def test_quarantine_report_fills_from_callers_action(spark, tmp_path):
+    """VERDICT r8 task 5 (one-scan): after the caller runs a full action
+    on the returned frame, the report materializes from the piggybacked
+    observation — no detection job of its own."""
+    p = tmp_path / "t.parquet"
+    pd.DataFrame({"x": list(range(10))}).to_parquet(p, index=False)
+    df, rep = read_with_quarantine(spark, [str(p)])
+    assert not rep._observation_filled()
+    assert df.count() == 10  # the caller's own consumption
+    assert rep._observation_filled()  # ...was the detection scan
+    assert rep.quarantined == [] and len(rep.readable) == 1
+
+
+def test_ingest_untrusted_reconciles_under_append(spark, tmp_path):
+    """ADVICE r8: rows_written must be the write's delta, not a recount
+    of dest — append onto pre-existing data reconciles."""
+    from nbi_oedi_etl_spark.sources import ingest_untrusted
+
+    src = tmp_path / "src.parquet"
+    pd.DataFrame({"x": list(range(7))}).to_parquet(src, index=False)
+    dest = str(tmp_path / "out")
+    rep1 = ingest_untrusted(spark, [str(src)], dest, mode="append")
+    rep2 = ingest_untrusted(spark, [str(src)], dest, mode="append")
+    assert rep1.reconciled and rep1.rows_written == 7
+    assert rep2.reconciled and rep2.rows_written == 7
+    assert spark.read.parquet(dest).count() == 14
+
+
+def test_ingest_untrusted_records_frees_cache_and_keeps_quarantine(spark, tmp_path):
+    """ADVICE r8: the PERMISSIVE split cache must not outlive the call;
+    the quarantine frame stays queryable (localCheckpoint-backed) and
+    append-mode reconciliation uses the write delta."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from nbi_oedi_etl_spark.sources.formats import ingest_untrusted_records
+
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,2\n3,4\nnot,a,number,row\n5,6\n")
+    schema = StructType([StructField("a", LongType()), StructField("b", LongType())])
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    empty_before = cache_mgr.isEmpty()
+    dest = str(tmp_path / "out")
+    rep = ingest_untrusted_records(spark, str(src), schema, dest, fmt="csv", mode="append")
+    assert rep.rows_clean == 3 and rep.rows_quarantined == 1 and rep.reconciled
+    # the full-width PERMISSIVE df.cache() entry is gone from the SQL
+    # cache manager (the quarantine localCheckpoint lives in RDD-block
+    # storage, deliberately — it is the small side)
+    if empty_before:
+        assert cache_mgr.isEmpty()
+    # quarantine frame survives the unpersist and carries the raw text
+    assert rep.quarantined_df.collect()[0]["raw_record"].startswith("not,a,number")
+    # append onto existing data still reconciles
+    rep2 = ingest_untrusted_records(spark, str(src), schema, dest, fmt="csv", mode="append")
+    assert rep2.reconciled and rep2.rows_written == 3
+    assert spark.read.parquet(dest).count() == 6
