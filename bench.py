@@ -231,6 +231,11 @@ HEADLINE = [
     # outside the headline set can hide a perf cliff — the JPEG twin
     # costs 1.67 s, so the WebP decode path gets measured too)
     "multimodal_webp_features",
+    # round-9 additions, benched same-round per the freeze policy: the
+    # two-pass-spine family (workload_spine.py / operators/skew.py)
+    "spine_user_sessions",
+    "spine_running_value_sum",
+    "spine_event_rank",
 ]
 
 
