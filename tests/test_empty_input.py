@@ -117,6 +117,11 @@ _REPRESENTATIVES = [
     # wave 27: total_c=0 early return, n_tot=0 early return
     "weighted_median_price",
     "source_quantile_normalize",
+    # round 9: two-pass spine family — empty spine (no buckets), empty
+    # prefix windows, empty broadcast side
+    "spine_user_sessions",
+    "spine_running_value_sum",
+    "spine_event_rank",
 ]
 
 
@@ -256,6 +261,11 @@ _EMPTY_PARITY_REPRESENTATIVES = [
     "orders_column_profile",
     "ref_q1_count_distinct",
     "table_content_digest",
+    # round 9: spine family oracle parity on zero rows (full 5-shape
+    # degenerate sweep ran green in-session; this pins the empty leg)
+    "spine_user_sessions",
+    "spine_running_value_sum",
+    "spine_event_rank",
 ]
 
 

@@ -126,6 +126,14 @@ GROW_QUERIES = [
     "max_concurrent_sessions_daily",
     "session_window_stats",
     "user_event_sequences",
+    # r9: the registered two-pass-spine specs. Deliberately NOT in
+    # WINDOW_CLASS — the whole claim is that they do NOT need the
+    # frac*P imbalance allowance: they are held to the tight
+    # BASE_THRESHOLD*vf (linear-volume) bound on the same hot-entity
+    # corpus that pushes the naive window class to its frac*vf*P bound.
+    "spine_user_sessions",
+    "spine_running_value_sum",
+    "spine_event_rank",
 ]
 
 
