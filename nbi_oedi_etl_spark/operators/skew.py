@@ -76,6 +76,29 @@ def _spine_join_side(spine: DataFrame, broadcast_spine: bool) -> DataFrame:
     return F.broadcast(spine) if broadcast_spine else spine
 
 
+def _stitch_spine(
+    rows: DataFrame, spine: DataFrame, key_col: str, broadcast_spine: bool
+) -> DataFrame:
+    """Join the spine back to the fact rows on (key, bucket) with
+    NULL-SAFE equality: a NULL key (or a NULL bucket from a NULL
+    timestamp) is a legitimate window partition that the naive
+    single-window forms keep, so an inner equi-join that drops NULL keys
+    would silently lose those rows and make spine-vs-naive results
+    dispatch-dependent (r9 self-review — reproduced with a NULL-keyed
+    corpus). ``<=>`` keys are supported by broadcast hash joins, so the
+    stitch plan shape is unchanged."""
+    sp = _spine_join_side(
+        spine.withColumnRenamed(key_col, "__sk").withColumnRenamed(
+            "__bucket", "__sb"
+        ),
+        broadcast_spine,
+    )
+    cond = F.col(f"`{key_col}`").eqNullSafe(F.col("__sk")) & F.col(
+        "__bucket"
+    ).eqNullSafe(F.col("__sb"))
+    return rows.join(sp, cond, "inner").drop("__sk", "__sb")
+
+
 def _check_spine_inputs(
     df: DataFrame, internals: set[str], bucket_seconds: float, gap_seconds: float = 0.0
 ) -> None:
@@ -144,7 +167,8 @@ def sessionize_two_pass_spine(
 
     _check_spine_inputs(
         df,
-        {"__bucket", "__sec", "__wflag", "__wcum", "__fstart", "__prefix"},
+        {"__bucket", "__sec", "__wflag", "__wcum", "__fstart", "__prefix",
+         "__sk", "__sb"},
         bucket_seconds,
         gap_seconds,
     )
@@ -154,9 +178,24 @@ def sessionize_two_pass_spine(
 
     in_bucket = Window.partitionBy(f"`{key_col}`", "__bucket").orderBy("__sec")
     prev_sec = F.lag("__sec").over(in_bucket)
-    # within-bucket start flag; a bucket's FIRST row is resolved by the spine
+    # Within-bucket start flag; a bucket's FIRST row is resolved by the
+    # spine. NULL-timestamp rows (all land in the NULL bucket, ordered
+    # first) replicate the naive form's semantics exactly: ``lag(sec)``
+    # over a NULL-sec predecessor is NULL there, so naive flags EVERY
+    # null-ts row as its own session start — here that is "any row with a
+    # predecessor in the NULL bucket flags 1" (the ``__sec IS NULL`` arm;
+    # bucket membership guarantees prev_sec is NULL too), and the
+    # bucket-first row's start comes from the spine (prev_last of the
+    # NULL bucket is NULL → fstart=1, and the first NON-null bucket after
+    # it also sees prev_last NULL → fstart=1, matching naive's first
+    # non-null row).
+    has_prev = F.lag(F.lit(1)).over(in_bucket).isNotNull()
     within_flag = F.when(
-        prev_sec.isNotNull() & (F.col("__sec") - prev_sec > F.lit(float(gap_seconds))),
+        has_prev
+        & (
+            F.col("__sec").isNull()
+            | (F.col("__sec") - prev_sec > F.lit(float(gap_seconds)))
+        ),
         1,
     ).otherwise(0)
     rows = rows.withColumn("__wflag", within_flag).withColumn(
@@ -189,8 +228,7 @@ def sessionize_two_pass_spine(
         ),
     ).select(f"`{key_col}`", "__bucket", "__fstart", "__prefix")
 
-    joined_spine = _spine_join_side(spine, broadcast_spine)
-    out = rows.join(joined_spine, [key_col, "__bucket"], "inner").withColumn(
+    out = _stitch_spine(rows, spine, key_col, broadcast_spine).withColumn(
         session_col,
         (F.col("__prefix") + F.col("__fstart") + F.col("__wcum")).cast("long"),
     )
@@ -228,7 +266,9 @@ def running_sum_two_pass_spine(
     from pyspark.sql import Window
 
     _check_spine_inputs(
-        df, {"__bucket", "__sec", "__wsum", "__total", "__prefix"}, bucket_seconds
+        df,
+        {"__bucket", "__sec", "__wsum", "__total", "__prefix", "__sk", "__sb"},
+        bucket_seconds,
     )
     sec = _epoch_seconds(df, ts_col)
     bucket = F.floor(sec / F.lit(float(bucket_seconds))).alias("__bucket")
@@ -257,8 +297,7 @@ def running_sum_two_pass_spine(
         ),
     ).select(f"`{key_col}`", "__bucket", "__prefix")
 
-    joined_spine = _spine_join_side(spine, broadcast_spine)
-    out = rows.join(joined_spine, [key_col, "__bucket"], "inner").withColumn(
+    out = _stitch_spine(rows, spine, key_col, broadcast_spine).withColumn(
         out_col, F.col("__prefix") + F.col("__wsum")
     )
     return out.drop("__bucket", "__sec", "__wsum", "__prefix")
@@ -289,7 +328,9 @@ def rank_two_pass_spine(
     from pyspark.sql import Window
 
     _check_spine_inputs(
-        df, {"__bucket", "__sec", "__le", "__ties", "__cnt", "__prefix"},
+        df,
+        {"__bucket", "__sec", "__le", "__ties", "__cnt", "__prefix",
+         "__sk", "__sb"},
         bucket_seconds,
     )
     sec = _epoch_seconds(df, ts_col)
@@ -318,8 +359,7 @@ def rank_two_pass_spine(
         ),
     ).select(f"`{key_col}`", "__bucket", "__prefix")
 
-    joined_spine = _spine_join_side(spine, broadcast_spine)
-    out = rows.join(joined_spine, [key_col, "__bucket"], "inner").withColumn(
+    out = _stitch_spine(rows, spine, key_col, broadcast_spine).withColumn(
         out_col,
         (F.col("__prefix") + F.col("__le") - F.col("__ties") + F.lit(1)).cast(
             "long"

@@ -162,20 +162,25 @@ def ingest_untrusted_records(
     from nbi_oedi_etl_spark.sources.sinks import write_parquet
 
     clean, quarantined, cached = _read_text_split(spark, path, schema, fmt)
-    pre_rows = 0 if mode == "overwrite" else _dest_row_count(spark, dest)
-    obs = Observation("ingest_untrusted_records")
-    write_parquet(
-        clean.observe(obs, F.count(F.lit(1)).alias("rows")),
-        dest,
-        partition_by=partition_by,
-        mode=mode,
-    )
-    rows_clean = int(obs.get["rows"])
-    # compact the malformed rows out of the full-width cache (populated by
-    # the write job), then free the cache — only the small quarantine
-    # frame survives in executor storage
-    quarantined = quarantined.localCheckpoint(eager=True)
-    cached.unpersist()
+    try:
+        pre_rows = 0 if mode == "overwrite" else _dest_row_count(spark, dest)
+        obs = Observation("ingest_untrusted_records")
+        write_parquet(
+            clean.observe(obs, F.count(F.lit(1)).alias("rows")),
+            dest,
+            partition_by=partition_by,
+            mode=mode,
+        )
+        rows_clean = int(obs.get["rows"])
+        # compact the malformed rows out of the full-width cache (populated
+        # by the write job), then free the cache — only the small
+        # quarantine frame survives in executor storage
+        quarantined = quarantined.localCheckpoint(eager=True)
+    finally:
+        # the unpersist must run on EVERY exit path — a failed write
+        # previously leaked the schema-width cache for the session
+        # lifetime (r9 self-review)
+        cached.unpersist()
     rows_quarantined = int(quarantined.count())
     rows_written = _dest_row_count(spark, dest) - pre_rows
     return RecordIngestReport(

@@ -7,14 +7,16 @@ fails the whole job on a corrupt file by default — the right default for a
 warehouse — so drop-and-report is OPT-IN here:
 
 1. read with a per-relation ``ignoreCorruptFiles`` option,
-2. learn which listed files actually produced rows from the SAME scan the
-   caller runs (``observe`` piggyback — the listed-vs-uploaded
-   reconciliation of the reference applied to inputs, at zero extra jobs),
+2. learn which listed files actually produced rows — by default via one
+   column-pruned detection pass at report-access time (always correct);
+   with ``trust_first_action=True`` via an ``observe`` piggyback on the
+   caller's own first action (zero extra jobs, contract below),
 3. return (DataFrame, quarantine report).
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from urllib.parse import unquote, urlparse
 
@@ -32,6 +34,8 @@ class QuarantineReport:
 #: Footer-carrying columnar formats the file-grain quarantine supports —
 #: both honor the per-relation ``ignoreCorruptFiles`` option.
 _FILE_FORMATS = ("parquet", "orc")
+
+_URI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
 
 def _probe_schema(spark: SparkSession, paths: list[str], fmt: str = "parquet"):
@@ -55,60 +59,90 @@ def _normalize(path: str) -> str:
     callers list raw local paths — decode the URI form (scheme stripped
     for ``file:``, kept for remote filesystems) so paths with spaces or
     non-ASCII characters match instead of being falsely reported
-    quarantined (ADVICE r8). Paths WITHOUT a scheme are taken literally
-    (a raw path legitimately containing ``%20`` is not decoded).
-    """
-    parsed = urlparse(path)
-    if not parsed.scheme:
-        return path
-    p = unquote(parsed.path)
-    if parsed.scheme == "file":
-        return p
-    return f"{parsed.scheme}://{parsed.netloc}{p}"
+    quarantined (ADVICE r8). Only strings that actually LOOK like URIs
+    are parsed — a ``file:`` prefix or a ``scheme://`` head; anything
+    else is taken literally, so a raw local path whose first segment
+    contains a colon (``odd:name/x.parquet``) or a literal ``%20`` is
+    not mangled (r9 self-review)."""
+    if path.startswith("file:"):
+        return unquote(urlparse(path).path)
+    if _URI_SCHEME_RE.match(path):
+        parsed = urlparse(path)
+        return f"{parsed.scheme}://{parsed.netloc}{unquote(parsed.path)}"
+    return path
 
 
 class LazyQuarantineReport:
-    """File-grain quarantine report that fills from the caller's FIRST
-    action on the returned DataFrame (``observe`` piggyback): for the
-    common read→filter/transform→write shape the detection is free — the
-    caller's own consumption is the scan. Accessing ``readable`` /
-    ``quarantined`` before any action has run triggers ONE column-pruned
-    detection pass (the observe keeps only ``input_file_name()`` alive —
-    row-group metadata, no column data, for parquet/ORC), i.e. exactly
-    the pre-r9 eager behavior.
+    """File-grain quarantine report with two freshness sources.
 
-    Contract hazard (documented, same as Spark's ``Observation``): only
-    the FIRST action fills the metrics. If the caller's first action is
-    PARTIAL — ``limit``/``take``/``show`` — the report reflects only the
-    partitions that action touched. Consumers of the quarantine list must
-    either read the report first (forcing the full detection pass) or
-    make their first action a full one.
+    Default (``trust_first_action=False``): accessing ``readable`` /
+    ``quarantined`` runs ONE column-pruned detection pass (for parquet /
+    ORC the scan reads row-group metadata, no column data) and caches the
+    result. Always correct, independent of what actions the caller ran —
+    the pre-r9 eager behavior, made lazy so callers that never read the
+    report never pay for it.
+
+    Opt-in (``trust_first_action=True``): the report fills from the
+    observe piggyback on the caller's FIRST action over the returned
+    DataFrame — zero extra jobs for the read→transform→write shape.
+    CONTRACT: Spark observations record the first action ONLY, so that
+    first action must be a FULL one (count/collect/write). If it is
+    partial — ``limit``/``take``/``show`` — the observation reflects only
+    the partitions that action touched and the report will be wrong;
+    there is no way to detect this from the report side, which is why
+    correctness-by-default lives in the other mode (r9 self-review: a
+    partial first action previously poisoned the report permanently).
 
     Duck-typed to ``QuarantineReport`` (listed/readable/quarantined).
     """
 
-    def __init__(self, obs, df: DataFrame, listed: list[str]) -> None:
+    def __init__(
+        self,
+        obs,
+        observed_df: DataFrame,
+        detect_df: DataFrame,
+        listed: list[str],
+        trust_first_action: bool,
+    ) -> None:
         self._obs = obs
-        self._df = df
+        self._observed_df = observed_df
+        self._detect_df = detect_df
         self.listed = listed
+        self._trust = trust_first_action
         self._readable: list[str] | None = None
 
     def _observation_filled(self) -> bool:
-        try:  # non-public probe; any failure falls back to a detection pass
+        try:
+            # Non-public JVM probe (classic mode); absent under Spark
+            # Connect, where this returns False and the trusted path
+            # below degrades to one redundant-but-correct count().
             return not self._obs._jo.getRowOrEmpty().isEmpty()
         except Exception:
             return False
 
+    def _files(self) -> list[str]:
+        if self._trust:
+            if not self._observation_filled():
+                # No action yet: run the (full) detection count ourselves,
+                # filling the observation. If an action DID already run and
+                # the probe just failed (Connect), this count is redundant
+                # but harmless — obs.get returns the first action's metrics.
+                self._observed_df.count()
+            return list(self._obs.get["files"])
+        # Correct-by-default: our own pass over an UN-observed twin of the
+        # plan — immune to whatever (possibly partial) actions the caller
+        # ran. Column-pruned: only input_file_name survives projection.
+        return [
+            r["f"]
+            for r in self._detect_df.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+
     @property
     def readable(self) -> list[str]:
         if self._readable is None:
-            if not self._observation_filled():
-                # detection pass: column-pruned count over the observed
-                # plan (fills the observation; reads no column data)
-                self._df.count()
-            self._readable = sorted(
-                _normalize(p) for p in self._obs.get["files"]
-            )
+            self._readable = sorted(_normalize(p) for p in self._files())
         return self._readable
 
     @property
@@ -116,29 +150,28 @@ class LazyQuarantineReport:
         return sorted(set(self.listed) - set(self.readable))
 
 
-def _observed_quarantine_read(
-    spark: SparkSession, paths: list[str], fmt: str
-) -> tuple[DataFrame, "object", str]:
-    """Shared scan builder: per-relation ignoreCorruptFiles + an
-    Observation collecting the distinct source files DURING whatever
-    action consumes the frame. Returns (observed_df, observation,
-    src_col_name_used)."""
-    from pyspark.sql.observation import Observation
-
+def _quarantine_scan(spark: SparkSession, paths: list[str], fmt: str) -> DataFrame:
+    """Per-relation ignoreCorruptFiles scan (not the session conf): the
+    returned DataFrame must keep its drop-semantics across later actions
+    without leaking a session-wide corrupt-files policy. Multi-path reads
+    go through format().load(list) — PySpark's varargs
+    DataFrameReader.orc(p1, p2) is broken in this build
+    (IllegalArgumentException without a schema; SILENTLY reads only the
+    first path with one), measured while adding ORC support."""
     schema = _probe_schema(spark, paths, fmt)
-    # Per-RELATION option (not the session conf): the returned DataFrame
-    # must keep its drop-semantics across later actions without leaking a
-    # session-wide corrupt-files policy. Multi-path reads go through
-    # format().load(list) — PySpark's varargs DataFrameReader.orc(p1, p2)
-    # is broken in this build (IllegalArgumentException without a schema;
-    # SILENTLY reads only the first path with one), measured while adding
-    # ORC support here.
-    df = (
+    return (
         spark.read.schema(schema)
         .option("ignoreCorruptFiles", "true")
         .format(fmt)
         .load(list(paths))
     )
+
+
+def _observe_files(df: DataFrame):
+    """Attach an Observation collecting (row count, distinct source
+    files) to ``df``; returns (observed_df, observation)."""
+    from pyspark.sql.observation import Observation
+
     src_col = "_src_file"
     while src_col in df.columns:  # never shadow a real input column
         src_col += "_"
@@ -154,21 +187,27 @@ def _observed_quarantine_read(
         )
         .drop(src_col)
     )
-    return observed, obs, src_col
+    return observed, obs
 
 
 def read_with_quarantine(
-    spark: SparkSession, paths: list[str], fmt: str = "parquet"
+    spark: SparkSession,
+    paths: list[str],
+    fmt: str = "parquet",
+    trust_first_action: bool = False,
 ) -> tuple[DataFrame, LazyQuarantineReport]:
     """Read parquet (or ORC) files, dropping unreadable ones with a report
     instead of failing the job (reference drop-and-report semantics).
 
-    Pass structure (r9, VERDICT r8 task 5): ONE job total. The returned
-    report is observe-backed — it fills from the caller's first (full)
-    action on the returned DataFrame; reading the report before any
-    action runs one column-pruned metadata-scale pass instead (the pre-r9
-    behavior). See ``LazyQuarantineReport`` for the partial-first-action
-    contract.
+    Pass structure: by default the report costs one column-pruned
+    detection pass at first access (metadata-scale for columnar formats)
+    and the returned DataFrame carries zero instrumentation overhead.
+    With ``trust_first_action=True`` the report instead fills from the
+    caller's first FULL action (``observe`` piggyback — one job total for
+    the read→consume shape; VERDICT r8 task 5); see
+    ``LazyQuarantineReport`` for the contract and its hazard. The
+    self-contained ``ingest_untrusted`` always uses the piggyback — it
+    controls the action (a full write).
 
     Contract note (shared with ``ingest_untrusted``): a VALID file with
     zero rows yields no rows, so it is reported quarantined — at row
@@ -176,9 +215,12 @@ def read_with_quarantine(
     observation. Treat the quarantine list as drop-AND-REPORT; inspect
     before deleting.
     """
-    observed, obs, _ = _observed_quarantine_read(spark, paths, fmt)
+    df = _quarantine_scan(spark, paths, fmt)
     listed = sorted(_normalize(p) for p in paths)
-    return observed, LazyQuarantineReport(obs, observed, listed)
+    if trust_first_action:
+        observed, obs = _observe_files(df)
+        return observed, LazyQuarantineReport(obs, observed, df, listed, True)
+    return df, LazyQuarantineReport(None, df, df, listed, False)
 
 
 @dataclass
@@ -197,12 +239,19 @@ class IngestReport:
 
 
 def _dest_row_count(spark: SparkSession, dest: str) -> int:
-    """Footer/statistics-level row count of a parquet destination; 0 when
-    the path does not exist yet (pre-write baseline for mode='append')."""
+    """Footer/statistics-level row count of a parquet destination; 0 only
+    when the path does not exist yet (pre-write baseline for
+    mode='append'). Any OTHER failure propagates — swallowing it would
+    silently corrupt the reconciliation instead of failing loudly
+    (r9 self-review)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return int(spark.read.parquet(dest).count())
-    except Exception:
-        return 0
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return 0
+        raise
 
 
 def ingest_untrusted(
@@ -229,12 +278,14 @@ def ingest_untrusted(
     Pass structure at 100 TB: ONE full scan total. The schema probe reads
     at most a few footers (metadata-scale); the quarantine file report and
     the input row count are both computed DURING the re-encode write job
-    (``observe``), so no separate detection pass runs. ``rows_written`` is
-    the DELTA of the destination's footer-level row count across the write
-    (pre-count 0 when dest is new or mode='overwrite'), so reconciliation
-    is correct under mode='append' onto pre-existing data too (ADVICE r8).
-    The collected file list is driver-side metadata-scale (~one string per
-    input file — the same bound every file-listing step already carries).
+    (``observe`` — safe here because this function controls the action
+    and a write is always full), so no separate detection pass runs.
+    ``rows_written`` is the DELTA of the destination's footer-level row
+    count across the write (pre-count 0 when dest is new or
+    mode='overwrite'), so reconciliation is correct under mode='append'
+    onto pre-existing data too (ADVICE r8). The collected file list is
+    driver-side metadata-scale (~one string per input file — the same
+    bound every file-listing step already carries).
 
     Contract note (shared with ``read_with_quarantine``): a VALID file
     with zero rows yields no rows, so it is reported quarantined — at
@@ -244,7 +295,7 @@ def ingest_untrusted(
     """
     from nbi_oedi_etl_spark.sources.sinks import write_parquet
 
-    observed, obs, _ = _observed_quarantine_read(spark, paths, fmt)
+    observed, obs = _observe_files(_quarantine_scan(spark, paths, fmt))
     pre_rows = 0 if mode == "overwrite" else _dest_row_count(spark, dest)
     write_parquet(observed, dest, partition_by=partition_by, mode=mode)
     rows_read = int(obs.get["rows"])

@@ -459,16 +459,31 @@ def test_quarantine_handles_percent_encoded_paths(spark, tmp_path):
 
 
 def test_quarantine_report_fills_from_callers_action(spark, tmp_path):
-    """VERDICT r8 task 5 (one-scan): after the caller runs a full action
-    on the returned frame, the report materializes from the piggybacked
-    observation — no detection job of its own."""
+    """VERDICT r8 task 5 (one-scan): with trust_first_action=True, after
+    the caller runs a full action on the returned frame, the report
+    materializes from the piggybacked observation — no detection job of
+    its own."""
     p = tmp_path / "t.parquet"
     pd.DataFrame({"x": list(range(10))}).to_parquet(p, index=False)
-    df, rep = read_with_quarantine(spark, [str(p)])
+    df, rep = read_with_quarantine(spark, [str(p)], trust_first_action=True)
     assert not rep._observation_filled()
     assert df.count() == 10  # the caller's own consumption
     assert rep._observation_filled()  # ...was the detection scan
     assert rep.quarantined == [] and len(rep.readable) == 1
+
+
+def test_quarantine_default_report_correct_after_partial_action(spark, tmp_path):
+    """r9 self-review regression: a partial first action (limit/take)
+    fills an Observation with partial metrics. The DEFAULT report must be
+    immune — it runs its own detection pass and reports both files
+    readable even though the caller's first action touched only one."""
+    a, b = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(a, index=False)
+    pd.DataFrame({"x": [4, 5, 6]}).to_parquet(b, index=False)
+    df, rep = read_with_quarantine(spark, [str(a), str(b)])
+    assert len(df.limit(1).collect()) == 1  # partial first action
+    assert rep.quarantined == []
+    assert len(rep.readable) == 2
 
 
 def test_ingest_untrusted_reconciles_under_append(spark, tmp_path):

@@ -496,3 +496,58 @@ def test_spine_front_doors_dispatch_both_ways(spark):
     r_spine = skew.rank_by_time(ev, "user_id", "ts", max_rows_per_key=10**9)
     keyr = lambda rows: sorted((r["event_id"], r["rank"]) for r in rows)
     assert keyr(r_naive.collect()) == keyr(r_spine.collect())
+
+
+def test_spine_null_key_and_null_ts_parity_with_naive(spark):
+    """r9 self-review regression: NULL keys are legitimate window
+    partitions and NULL timestamps land in the NULL bucket — the spine
+    forms must KEEP those rows and number them exactly like the naive
+    single-window forms (previously the null-unsafe stitch join silently
+    dropped them, making results dispatch-dependent)."""
+    import datetime as dt
+
+    from nbi_oedi_etl_spark.operators.skew import (
+        naive_rank,
+        naive_running_sum,
+        naive_sessionize,
+        rank_two_pass_spine,
+        running_sum_two_pass_spine,
+        sessionize_two_pass_spine,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, (k, s) in enumerate([
+        ("a", 0), ("a", 10), ("a", 4000), (None, 0), (None, 5), (None, 9000),
+        ("b", None), ("b", None), ("b", 3), ("b", 7200),
+        (None, None), (None, None), ("a", 10),  # tie; null key with null ts
+    ]):
+        ts = t0 + dt.timedelta(seconds=s) if s is not None else None
+        rows.append((i, k, ts, float(i)))
+    df = spark.createDataFrame(rows, ["id", "user_id", "ts", "value"])
+
+    def both(name, a, b, cols):
+        ra = sorted(map(tuple, a.select(*cols).collect()))
+        rb = sorted(map(tuple, b.select(*cols).collect()))
+        assert len(ra) == len(rows), f"{name}: naive lost rows"
+        assert ra == rb, f"{name} diverged"
+
+    for bucket in (7.0, 3600.0):
+        both(
+            f"sessionize b={bucket}",
+            naive_sessionize(df, "user_id", "ts", 15.0),
+            sessionize_two_pass_spine(df, "user_id", "ts", 15.0, bucket_seconds=bucket),
+            ["id", "user_id", "session_id"],
+        )
+        both(
+            f"running_sum b={bucket}",
+            naive_running_sum(df, "user_id", "ts", "value"),
+            running_sum_two_pass_spine(df, "user_id", "ts", "value", bucket_seconds=bucket),
+            ["id", "user_id", "running_sum"],
+        )
+        both(
+            f"rank b={bucket}",
+            naive_rank(df, "user_id", "ts"),
+            rank_two_pass_spine(df, "user_id", "ts", bucket_seconds=bucket),
+            ["id", "user_id", "rank"],
+        )
