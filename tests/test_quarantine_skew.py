@@ -551,3 +551,71 @@ def test_spine_null_key_and_null_ts_parity_with_naive(spark):
             rank_two_pass_spine(df, "user_id", "ts", bucket_seconds=bucket),
             ["id", "user_id", "rank"],
         )
+
+
+def test_spine_property_random_corpora_with_nulls(spark):
+    """Property form of the r9 null-parity fix: random corpora where keys
+    AND timestamps may be NULL must match the naive single-window forms
+    per-row for all three spine operators."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from nbi_oedi_etl_spark.operators.skew import (
+        naive_rank,
+        naive_running_sum,
+        naive_sessionize,
+        rank_two_pass_spine,
+        running_sum_two_pass_spine,
+        sessionize_two_pass_spine,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", None]),
+                st.one_of(st.none(), st.integers(min_value=0, max_value=3000)),
+                st.integers(min_value=-5, max_value=9),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        bucket=st.sampled_from([13.0, 3600.0]),
+        gap=st.sampled_from([1.0, 40.0]),
+    )
+    def check(rows, bucket, gap):
+        data = [
+            (i, k, t0 + dt.timedelta(seconds=s) if s is not None else None, float(v))
+            for i, (k, s, v) in enumerate(rows)
+        ]
+        # explicit schema: an all-null column defeats type inference
+        df = spark.createDataFrame(
+            data, "id long, user_id string, ts timestamp, value double"
+        )
+        for a, b, col in (
+            (
+                naive_sessionize(df, "user_id", "ts", gap),
+                sessionize_two_pass_spine(df, "user_id", "ts", gap, bucket_seconds=bucket),
+                "session_id",
+            ),
+            (
+                naive_running_sum(df, "user_id", "ts", "value"),
+                running_sum_two_pass_spine(df, "user_id", "ts", "value", bucket_seconds=bucket),
+                "running_sum",
+            ),
+            (
+                naive_rank(df, "user_id", "ts"),
+                rank_two_pass_spine(df, "user_id", "ts", bucket_seconds=bucket),
+                "rank",
+            ),
+        ):
+            ra = sorted(map(tuple, a.select("id", col).collect()))
+            rb = sorted(map(tuple, b.select("id", col).collect()))
+            assert len(ra) == len(data), f"{col}: naive lost rows"
+            assert ra == rb, f"{col} diverged on null-bearing corpus"
+
+    check()
