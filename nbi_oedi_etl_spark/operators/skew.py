@@ -56,43 +56,35 @@ def salted_grouped_sum(
     )
 
 
-def _spine_join_side(spine: DataFrame, broadcast_spine: bool) -> DataFrame:
-    """Pick how the spine comes back to the fact rows.
-
-    ``broadcast_spine=False`` (the default since r9, ADVICE r8): no join
-    hint — AQE sizes the spine AT RUNTIME (it is the output of a shuffle
-    stage) and broadcasts it when it fits ``autoBroadcastJoinThreshold``,
-    falling back to a shuffle join on (key, bucket) when extreme key
-    cardinality makes the spine (distinct keys × non-empty buckets)
-    outgrow the broadcast/driver budget. The fallback stays skew-free:
-    the hot key is still bucket-split on the fact side. This replaces the
-    r8 default of unconditionally broadcasting the full spine, which
-    could blow the driver budget at high key cardinality.
-
-    ``broadcast_spine=True``: force the broadcast hint — use when the key
-    universe is known-bounded and you want the no-second-fact-shuffle
-    plan pinned regardless of the optimizer's estimates.
-    """
-    return F.broadcast(spine) if broadcast_spine else spine
-
-
 def _stitch_spine(
     rows: DataFrame, spine: DataFrame, key_col: str, broadcast_spine: bool
 ) -> DataFrame:
-    """Join the spine back to the fact rows on (key, bucket) with
+    """Join the spine back to the fact rows on (key, bucket).
+
     NULL-SAFE equality: a NULL key (or a NULL bucket from a NULL
     timestamp) is a legitimate window partition that the naive
     single-window forms keep, so an inner equi-join that drops NULL keys
     would silently lose those rows and make spine-vs-naive results
     dispatch-dependent (r9 self-review — reproduced with a NULL-keyed
     corpus). ``<=>`` keys are supported by broadcast hash joins, so the
-    stitch plan shape is unchanged."""
-    sp = _spine_join_side(
-        spine.withColumnRenamed(key_col, "__sk").withColumnRenamed(
-            "__bucket", "__sb"
-        ),
-        broadcast_spine,
+    stitch plan shape is unchanged.
+
+    Join strategy — ``broadcast_spine=False`` (the default since r9,
+    ADVICE r8): no hint; AQE sizes the spine AT RUNTIME (it is the
+    output of a shuffle stage) and broadcasts it when it fits
+    ``autoBroadcastJoinThreshold``, falling back to a shuffle join on
+    (key, bucket) when extreme key cardinality makes the spine (distinct
+    keys × non-empty buckets) outgrow the broadcast/driver budget. The
+    fallback stays skew-free: the hot key is still bucket-split on the
+    fact side. ``broadcast_spine=True`` forces the broadcast hint — use
+    when the key universe is known-bounded and you want the
+    no-second-fact-shuffle plan pinned regardless of estimates.
+    """
+    sp = spine.withColumnRenamed(key_col, "__sk").withColumnRenamed(
+        "__bucket", "__sb"
     )
+    if broadcast_spine:
+        sp = F.broadcast(sp)
     cond = F.col(f"`{key_col}`").eqNullSafe(F.col("__sk")) & F.col(
         "__bucket"
     ).eqNullSafe(F.col("__sb"))

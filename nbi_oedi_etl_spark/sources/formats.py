@@ -163,7 +163,11 @@ def ingest_untrusted_records(
 
     clean, quarantined, cached = _read_text_split(spark, path, schema, fmt)
     try:
-        pre_rows = 0 if mode == "overwrite" else _dest_row_count(spark, dest)
+        # pre-count only when pre-existing rows can survive the write
+        # (mode='error' fails on an existing dest; 'overwrite' replaces)
+        pre_rows = (
+            _dest_row_count(spark, dest) if mode in ("append", "ignore") else 0
+        )
         obs = Observation("ingest_untrusted_records")
         write_parquet(
             clean.observe(obs, F.count(F.lit(1)).alias("rows")),

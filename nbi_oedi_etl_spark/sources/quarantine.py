@@ -99,16 +99,17 @@ class LazyQuarantineReport:
     def __init__(
         self,
         obs,
-        observed_df: DataFrame,
+        observed_df: DataFrame | None,
         detect_df: DataFrame,
         listed: list[str],
-        trust_first_action: bool,
     ) -> None:
+        # obs is None in the default (detection-pass) mode; its presence
+        # IS the trust_first_action flag — no separate boolean can then
+        # disagree with it.
         self._obs = obs
         self._observed_df = observed_df
         self._detect_df = detect_df
         self.listed = listed
-        self._trust = trust_first_action
         self._readable: list[str] | None = None
 
     def _observation_filled(self) -> bool:
@@ -121,7 +122,7 @@ class LazyQuarantineReport:
             return False
 
     def _files(self) -> list[str]:
-        if self._trust:
+        if self._obs is not None:
             if not self._observation_filled():
                 # No action yet: run the (full) detection count ourselves,
                 # filling the observation. If an action DID already run and
@@ -219,8 +220,8 @@ def read_with_quarantine(
     listed = sorted(_normalize(p) for p in paths)
     if trust_first_action:
         observed, obs = _observe_files(df)
-        return observed, LazyQuarantineReport(obs, observed, df, listed, True)
-    return df, LazyQuarantineReport(None, df, df, listed, False)
+        return observed, LazyQuarantineReport(obs, observed, df, listed)
+    return df, LazyQuarantineReport(None, None, df, listed)
 
 
 @dataclass
@@ -296,7 +297,12 @@ def ingest_untrusted(
     from nbi_oedi_etl_spark.sources.sinks import write_parquet
 
     observed, obs = _observe_files(_quarantine_scan(spark, paths, fmt))
-    pre_rows = 0 if mode == "overwrite" else _dest_row_count(spark, dest)
+    # pre-count only when pre-existing rows can survive the write:
+    # mode='error' fails on an existing dest and 'overwrite' replaces it,
+    # so both start from 0 without touching dest
+    pre_rows = (
+        _dest_row_count(spark, dest) if mode in ("append", "ignore") else 0
+    )
     write_parquet(observed, dest, partition_by=partition_by, mode=mode)
     rows_read = int(obs.get["rows"])
     readable = sorted(_normalize(p) for p in obs.get["files"])
