@@ -232,10 +232,13 @@ HEADLINE = [
     # costs 1.67 s, so the WebP decode path gets measured too)
     "multimodal_webp_features",
     # round-9 additions, benched same-round per the freeze policy: the
-    # two-pass-spine family (workload_spine.py / operators/skew.py)
+    # two-pass-spine family (workload_spine.py / operators/skew.py),
+    # keyed and global forms
     "spine_user_sessions",
     "spine_running_value_sum",
     "spine_event_rank",
+    "spine_global_running_value_sum",
+    "spine_global_event_rank",
 ]
 
 

@@ -511,6 +511,66 @@ def rank_by_time(
     return naive_rank(df, key_col, ts_col, out_col)
 
 
+#: Synthetic constant key the global (un-keyed) two-pass forms run the
+#: keyed spine under; reserved like the other spine internals.
+_GLOBAL_KEY = "__gkey"
+
+
+def global_running_sum_two_pass(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: float = 3600.0,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """GLOBAL running sum over time without a single-task sort — the
+    "bucket-offset two-pass prefix sum" SCALE.md documents for the
+    un-keyed window class (e.g. the sweep-line gauge's boundary stream at
+    fact scale), now implemented (r9).
+
+    ``Window.orderBy(ts)`` with no partition key moves EVERY row through
+    ONE task — the most extreme form of the hot-key problem (the "key" is
+    the whole table). Running the keyed two-pass spine under a constant
+    synthetic key makes the parallelism unit the TIME BUCKET: one fact
+    shuffle to buckets, a time-range-bounded spine of per-bucket totals
+    for the prefix offsets, and the stitch join back. Same RANGE-frame
+    tie semantics as the naive global window (equal timestamps share one
+    running value).
+    """
+    if _GLOBAL_KEY in df.columns:
+        raise ValueError(f"input column collides with {_GLOBAL_KEY!r}")
+    out = running_sum_two_pass_spine(
+        df.withColumn(_GLOBAL_KEY, F.lit(1)),
+        _GLOBAL_KEY,
+        ts_col,
+        value_col,
+        bucket_seconds,
+        out_col,
+    )
+    return out.drop(_GLOBAL_KEY)
+
+
+def global_rank_two_pass(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: float = 3600.0,
+    out_col: str = "rank",
+) -> DataFrame:
+    """GLOBAL SQL RANK() by time without a single-task sort; see
+    ``global_running_sum_two_pass`` for the shape (tie-stable RANK — the
+    distributed form of "position in the globally sorted stream")."""
+    if _GLOBAL_KEY in df.columns:
+        raise ValueError(f"input column collides with {_GLOBAL_KEY!r}")
+    out = rank_two_pass_spine(
+        df.withColumn(_GLOBAL_KEY, F.lit(1)),
+        _GLOBAL_KEY,
+        ts_col,
+        bucket_seconds,
+        out_col,
+    )
+    return out.drop(_GLOBAL_KEY)
+
+
 def salted_join_small_side(
     large: DataFrame,
     small: DataFrame,

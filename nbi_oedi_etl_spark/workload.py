@@ -2133,6 +2133,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("spine_user_sessions", wspine.spine_user_sessions, wspine._SPINE_SESSIONS_ORACLE),
     QuerySpec("spine_running_value_sum", wspine.spine_running_value_sum, wspine._SPINE_RUNNING_SUM_ORACLE),
     QuerySpec("spine_event_rank", wspine.spine_event_rank, wspine._SPINE_RANK_ORACLE),
+    # round-9, registered BEHIND the frozen r9 window (the documented
+    # overflow path, as multimodal_webp_features was in r6): the GLOBAL
+    # (un-keyed) two-pass forms — SCALE.md's "bucket-offset two-pass
+    # prefix sum", implemented this round. Listed in _POST_R9_ADDITIONS;
+    # they enter the r10 window and were benched this round.
+    QuerySpec("spine_global_running_value_sum", wspine.spine_global_running_value_sum, wspine._SPINE_GLOBAL_RUNNING_SUM_ORACLE),
+    QuerySpec("spine_global_event_rank", wspine.spine_global_event_rank, wspine._SPINE_GLOBAL_RANK_ORACLE),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2223,10 +2230,14 @@ _R9_WINDOW: list[str] = [
     "event_type_markov",
 ]
 
-# Specs registered AFTER the r9 window froze (none — the spine family
-# registered this round sits INSIDE the window above; any later addition
-# must land here and be benched in the same round).
-_POST_R9_ADDITIONS: list[str] = []
+# Specs registered AFTER the r9 window froze (the keyed spine family
+# sits INSIDE the window above). The GLOBAL two-pass forms landed later
+# in the round — benched same-round per the freeze policy; they are the
+# natural head of the r10 window.
+_POST_R9_ADDITIONS: list[str] = [
+    "spine_global_running_value_sum",
+    "spine_global_event_rank",
+]
 
 # Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [

@@ -320,11 +320,18 @@ def _window_partition_specs(plan: str) -> list[tuple[str, str]]:
         if not ln.lstrip("+-*: ").startswith("Window"):
             continue
         groups = re.findall(r"\[([^\[\]]*)\]", ln)
-        # trailing bracket groups are [partitionSpec], [orderSpec] — an
-        # unordered window (e.g. the rank tie-group count) prints only
-        # [exprs], [partitionSpec]
+        # trailing bracket groups are [partitionSpec], [orderSpec], but
+        # EMPTY specs are omitted from the printed node: an unordered
+        # window (the rank tie-group count) prints [exprs], [partition],
+        # and an UNPARTITIONED window prints [exprs], [order] — order
+        # entries always carry ASC/DESC, partition entries never do
         assert len(groups) >= 2, ln
-        out.append((groups[-1] if len(groups) == 2 else groups[-2], ln))
+        if len(groups) == 2:
+            last = groups[-1]
+            spec = "" if (" ASC" in last or " DESC" in last) else last
+        else:
+            spec = groups[-2]
+        out.append((spec, ln))
     return out
 
 
@@ -619,3 +626,80 @@ def test_spine_property_random_corpora_with_nulls(spark):
             assert ra == rb, f"{col} diverged on null-bearing corpus"
 
     check()
+
+
+def test_global_two_pass_matches_naive_global_window(spark):
+    """r9: the documented-but-unapplied 'bucket-offset two-pass prefix
+    sum' for GLOBAL (un-keyed) windows is now an operator. Equivalence
+    with the single-task Window.orderBy form, including exact ties and
+    null timestamps, at two bucket widths."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from nbi_oedi_etl_spark.operators.skew import (
+        global_rank_two_pass,
+        global_running_sum_two_pass,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + dt.timedelta(seconds=s) if s is not None else None, float(v))
+        for i, (s, v) in enumerate(
+            [(0, 1), (0, 2), (5, 3), (3600, 4), (3600, 5), (7201, 6),
+             (None, 7), (10, 8), (9999, 9)]
+        )
+    ]
+    df = spark.createDataFrame(data, "id long, ts timestamp, value double")
+    sec = F.col("ts").cast("double")
+    w = Window.orderBy(sec).rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    naive_sum = df.withColumn("running_sum", F.sum("value").over(w))
+    naive_rank_df = df.withColumn("rank", F.rank().over(Window.orderBy(sec)).cast("long"))
+    for bucket in (7.0, 3600.0):
+        a = sorted(map(tuple, naive_sum.select("id", "running_sum").collect()))
+        b = sorted(map(tuple,
+            global_running_sum_two_pass(df, "ts", "value", bucket_seconds=bucket)
+            .select("id", "running_sum").collect()))
+        assert a == b, f"running_sum bucket={bucket}"
+        c = sorted(map(tuple, naive_rank_df.select("id", "rank").collect()))
+        d = sorted(map(tuple,
+            global_rank_two_pass(df, "ts", bucket_seconds=bucket)
+            .select("id", "rank").collect()))
+        assert c == d, f"rank bucket={bucket}"
+
+    # the synthetic key never leaks, and a clash fails loudly
+    cols = set(global_rank_two_pass(df, "ts").columns)
+    assert "__gkey" not in cols
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="__gkey"):
+        global_rank_two_pass(df.withColumn("__gkey", F.lit(1)), "ts")
+
+
+def test_global_two_pass_plan_parallelizes_by_bucket(spark):
+    """Structural pin: the naive global window plans a SINGLE-partition
+    sort (Window with empty partition spec); the two-pass form's fact
+    windows partition on (constant, bucket) — bucket-grain parallelism."""
+    from pyspark.sql import Window
+
+    from nbi_oedi_etl_spark.operators.skew import global_running_sum_two_pass
+
+    ev = read_table(spark, SF_SMALL, "events").select("ts", "value")
+    sec = F.col("ts").cast("timestamp").cast("double")  # NTZ → double is 2 hops
+    naive = ev.withColumn(
+        "rs",
+        F.sum("value").over(
+            Window.orderBy(sec).rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    naive_windows = _window_partition_specs(
+        naive._jdf.queryExecution().executedPlan().toString()
+    )
+    assert naive_windows and all(spec.strip() == "" for spec, _ in naive_windows)
+
+    spine = global_running_sum_two_pass(ev, "ts", "value")
+    windows = _window_partition_specs(
+        spine._jdf.queryExecution().executedPlan().toString()
+    )
+    fact = [ln for spec, ln in windows if "__bucket" in spec]
+    assert fact, "expected bucket-grain fact windows"
