@@ -122,6 +122,8 @@ _REPRESENTATIVES = [
     "spine_user_sessions",
     "spine_running_value_sum",
     "spine_event_rank",
+    "spine_global_running_value_sum",
+    "spine_global_event_rank",
 ]
 
 
@@ -266,6 +268,8 @@ _EMPTY_PARITY_REPRESENTATIVES = [
     "spine_user_sessions",
     "spine_running_value_sum",
     "spine_event_rank",
+    "spine_global_running_value_sum",
+    "spine_global_event_rank",
 ]
 
 
