@@ -243,6 +243,61 @@ def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
     )
 
 
+def ivf_codebook(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> "np.ndarray | None":
+    """Deterministic coarse codebook: unit-norm centroids (dim × cells)
+    drawn as a hash-ordered sample of the corpus — one small top-k job (a
+    k-means refinement pass could replace this without changing any plan
+    shape). Returns None for an empty corpus. Shared by the in-memory
+    ``ivf_topk`` and the at-rest ``operators/ivf_layout`` forms, so the
+    two assign byte-identical cells by construction."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    if not rows:
+        return None
+    cent = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    return (cent / np.linalg.norm(cent, axis=1, keepdims=True)).T  # dim×cells
+
+
+def ivf_cell_udf(cent_unit: "np.ndarray"):
+    """Pandas UDF assigning each vector its max-cosine centroid's cell —
+    one numpy matmul per Arrow batch, map-only (the row's norm doesn't
+    change the argmax)."""
+
+    @pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        sims = mat @ cent_unit
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return _cell
+
+
+def ivf_probe_udf(cent_unit: "np.ndarray", n_probe: int):
+    """Pandas UDF mapping each query vector to its ``n_probe`` nearest
+    cells (array<int>)."""
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        sims = mat @ cent_unit
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    return _probe
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -256,27 +311,18 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine search.
 
-    1. **Coarse codebook**: ``n_cells`` centroids drawn as a deterministic
-       hash-ordered sample of the corpus (one small top-k job; a k-means
-       refinement pass could replace this without changing the plan shape).
-    2. **Assign**: every corpus vector gets the cell of its max-cosine
-       centroid — one numpy matmul per Arrow batch, map-only.
+    1. **Coarse codebook**: ``ivf_codebook`` (hash-ordered sample).
+    2. **Assign**: ``ivf_cell_udf`` — map-only.
     3. **Probe**: each query explodes to its ``n_probe`` nearest cells;
        the equi-join on cell id moves only probed-cell candidates.
     4. Exact cosine re-rank of candidates (same tail as LSH).
 
-    At 100 TB the corpus would be written partitioned/bucketed by ``cell``
-    once, making every later probe a partition-pruned scan instead of a
-    full pass; the codebook is O(n_cells × dim) — driver-trivial."""
-    cent_rows = (
-        corpus.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-        )
-        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
-        .limit(n_cells)
-        .collect()
-    )
-    if not cent_rows:  # empty corpus → no cells, no candidates
+    At 100 TB the corpus is written partitioned by ``cell`` once
+    (``operators/ivf_layout``, sharing these exact codebook/assignment
+    helpers), making every later probe a partition-pruned scan instead of
+    a full pass; the codebook is O(n_cells × dim) — driver-trivial."""
+    cent_unit = ivf_codebook(corpus, n_cells, id_col, vec_col, seed)
+    if cent_unit is None:  # empty corpus → no cells, no candidates
         return (
             corpus.select(
                 F.col(id_col).alias("query_id"),
@@ -286,29 +332,17 @@ def ivf_topk(
             )
             .where(F.lit(False))
         )
-    cent = np.asarray([r["v"] for r in cent_rows], dtype=np.float64)
-    cent_unit = (cent / np.linalg.norm(cent, axis=1, keepdims=True)).T  # dim×cells
-
-    @pandas_udf("int")
-    def _cell(v: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        sims = mat @ cent_unit  # norm of the row doesn't change the argmax
-        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
-
-    @pandas_udf("array<int>")
-    def _probe(v: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        sims = mat @ cent_unit
-        order = np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
-
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("emb")
-    ).withColumn("cell", _cell(F.col("emb")))
+    ).withColumn("cell", ivf_cell_udf(cent_unit)(F.col("emb")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
-    ).select("query_id", "q_emb", F.explode(_probe(F.col("q_emb"))).alias("cell"))
+    ).select(
+        "query_id",
+        "q_emb",
+        F.explode(ivf_probe_udf(cent_unit, n_probe)(F.col("q_emb"))).alias("cell"),
+    )
     cand = c.join(F.broadcast(q), "cell").where(F.col("vec_id") != F.col("query_id"))
     return _rank_topk(
         cand.select(

@@ -2195,13 +2195,16 @@ _POST_R8_ADDITIONS: list[str] = []
 # `boundary-missing-r8` entries the r8-session audit reported were the
 # fail-closed guard waiting on the driver artifacts; they collapsed to
 # zero once the boundary existed). With no drift to refresh, the r9
-# window = the 3 new spine specs (registered this round, never
+# window = the 3 new keyed spine specs (registered this round, never
 # driver-verified — automatic debt) + `salted_event_value_sum` (its dep
 # closure includes operators/skew.py, which the r9 spine-default change
 # touched — changed-since-green) + the stalest banked evidence: all
 # 28 specs last green in r3 (6 rounds stale, the oldest in the ledger)
-# and the 18 alphabetically-first of the 37 r4 greens. The remaining 19
-# r4 specs are the natural head of the r10 window.
+# and 13 of the alphabetically-first r4 greens + 5 specs whose digests
+# moved with the late-round similarity.py codebook refactor (the
+# changed-since-green policy absorbing in-round churn; the 5 displaced
+# voluntary r4 refreshers head the r10 window together with the
+# remaining r4/r5 tranche and the _POST_R9_ADDITIONS global specs).
 _R9_WINDOW: list[str] = [
     # -- the two-pass-spine family (operators/skew.py), new this round,
     # plus the one banked spec whose digest moved with the r9 skew edits --
@@ -2219,15 +2222,20 @@ _R9_WINDOW: list[str] = [
     "q6_forecast_revenue", "q8_market_share", "q9_profit_by_nation_year",
     "rolling_revenue_90d", "scd2_user_events", "shingle_novelty",
     "simhash_portable", "stratified_sample_documents", "window_rank_suite",
-    # -- 18 oldest r4-green refreshers (alphabetical head of the 37) --
+    # -- 13 oldest r4-green refreshers (alphabetical head of the 37;
+    # ann/embedding_ann/embedding_ivf double as changed-since-r4 debt
+    # after the late-round similarity.py codebook refactor) --
     "ann_recall_portable", "bloom_decontamination", "bpe_merge_candidates",
     "char_bigram_lm_score", "cms_token_topk", "copurchase_triangles",
     "corpus_shard_assignment", "cross_source_contamination",
     "data_quality_report", "date_function_suite", "doc_bm25_top_terms",
-    "doc_boilerplate_ngrams", "embedding_ann_portable",
-    "embedding_int8_quantization", "embedding_ivf_portable",
-    "event_bitwise_aggregates", "event_funnel_conversion",
-    "event_type_markov",
+    "embedding_ann_portable", "embedding_ivf_portable",
+    # -- 5 changed-since-green from the similarity.py codebook refactor
+    # (module-granular digest movement; swapped in for the 5 newest
+    # voluntary r4 refreshers, which return in r10) --
+    "embedding_near_dup_exact_small", "embedding_topk_cosine",
+    "kmeans_assign_embeddings", "kmeans_lloyd_3iter",
+    "semantic_dedup_cells",
 ]
 
 # Specs registered AFTER the r9 window froze (the keyed spine family

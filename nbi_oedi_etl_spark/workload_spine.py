@@ -77,14 +77,14 @@ def spine_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPINE_SESSIONS_ORACLE = """
 WITH w AS (
   SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST)
                    > INTERVAL 1800 SECOND
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ), g AS (
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM w
 )
@@ -126,7 +126,7 @@ def spine_running_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPINE_RUNNING_SUM_ORACLE = """
 SELECT event_id, user_id,
        CAST(sum(CAST(value AS DECIMAL(18,6)))
-              OVER (PARTITION BY user_id ORDER BY ts
+              OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS running_value
 FROM events
@@ -150,7 +150,7 @@ def spine_event_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPINE_RANK_ORACLE = """
 SELECT event_id, user_id,
-       CAST(rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) AS BIGINT)
          AS ts_rank
 FROM events
 """
@@ -184,7 +184,7 @@ def spine_global_running_value_sum(spark: SparkSession, sf_dir: str) -> DataFram
 _SPINE_GLOBAL_RUNNING_SUM_ORACLE = """
 SELECT event_id,
        CAST(sum(CAST(value AS DECIMAL(18,6)))
-              OVER (ORDER BY ts
+              OVER (ORDER BY ts NULLS FIRST
                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS running_value
 FROM events
@@ -206,6 +206,6 @@ def spine_global_event_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPINE_GLOBAL_RANK_ORACLE = """
 SELECT event_id,
-       CAST(rank() OVER (ORDER BY ts) AS BIGINT) AS ts_rank
+       CAST(rank() OVER (ORDER BY ts NULLS FIRST) AS BIGINT) AS ts_rank
 FROM events
 """

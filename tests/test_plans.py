@@ -1060,8 +1060,10 @@ def test_ivf_at_rest_layout_probe_is_partition_pruned(spark, tmp_path):
 
     SF = "/root/testdata/sf0.001"
     corpus = read_table(spark, SF, "embeddings")
+    # orderBy before limit: LIMIT without ORDER BY may pick different
+    # rows per evaluation, and the two sides evaluate it independently
     queries = (
-        corpus.limit(3)
+        corpus.orderBy("vec_id").limit(3)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     dest = str(tmp_path / "ivf")
@@ -1094,7 +1096,7 @@ def test_ivf_at_rest_layout_probe_is_partition_pruned(spark, tmp_path):
     # exactly 2 of the 8 cells
     import re as _re
 
-    one = probe_ivf_layout(spark, dest, queries.limit(1), cent, k=5, n_probe=2)
+    one = probe_ivf_layout(spark, dest, queries.orderBy("query_id").limit(1), cent, k=5, n_probe=2)
     plan1 = one._jdf.queryExecution().executedPlan().toString()
     pf1 = next(ln for ln in plan1.splitlines() if "PartitionFilters" in ln)
     m = _re.search(r"cell#\d+ IN \(([^)]*)\)", pf1)
@@ -1105,3 +1107,39 @@ def test_ivf_at_rest_layout_probe_is_partition_pruned(spark, tmp_path):
          for f in spark.read.parquet(dest).inputFiles()}
     )
     assert len(probed) == 2 and n_parts == 8, (probed, n_parts)
+
+
+def test_ivf_layout_probe_preserves_id_type_and_handles_empty_batch(spark, tmp_path):
+    """r9 review regressions: the probe keeps the query id column's
+    NATIVE type (no driver-side schema rebuild — string ids work where a
+    hard-coded long schema crashed), and an empty query batch flows
+    through the same single code path yielding an empty result of the
+    same schema."""
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators.ivf_layout import (
+        probe_ivf_layout,
+        write_ivf_layout,
+    )
+    from nbi_oedi_etl_spark.sources import read_table
+
+    corpus = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dest = str(tmp_path / "ivf")
+    cent = write_ivf_layout(corpus, dest, n_cells=8)
+
+    empty_q = corpus.where(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    empty = probe_ivf_layout(spark, dest, empty_q, cent)
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["query_id"] == "bigint"
+
+    str_q = (
+        corpus.orderBy("vec_id")
+        .limit(2)
+        .select(F.concat(F.lit("q-"), F.col("vec_id")).alias("query_id"), "embedding")
+    )
+    out = probe_ivf_layout(spark, dest, str_q, cent, k=3, n_probe=2)
+    assert dict(out.dtypes)["query_id"] == "string"
+    rows = out.collect()
+    assert rows and all(r["query_id"].startswith("q-") for r in rows)

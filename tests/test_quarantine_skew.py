@@ -655,13 +655,13 @@ def test_global_two_pass_matches_naive_global_window(spark):
     w = Window.orderBy(sec).rangeBetween(Window.unboundedPreceding, Window.currentRow)
     naive_sum = df.withColumn("running_sum", F.sum("value").over(w))
     naive_rank_df = df.withColumn("rank", F.rank().over(Window.orderBy(sec)).cast("long"))
+    a = sorted(map(tuple, naive_sum.select("id", "running_sum").collect()))
+    c = sorted(map(tuple, naive_rank_df.select("id", "rank").collect()))
     for bucket in (7.0, 3600.0):
-        a = sorted(map(tuple, naive_sum.select("id", "running_sum").collect()))
         b = sorted(map(tuple,
             global_running_sum_two_pass(df, "ts", "value", bucket_seconds=bucket)
             .select("id", "running_sum").collect()))
         assert a == b, f"running_sum bucket={bucket}"
-        c = sorted(map(tuple, naive_rank_df.select("id", "rank").collect()))
         d = sorted(map(tuple,
             global_rank_two_pass(df, "ts", bucket_seconds=bucket)
             .select("id", "rank").collect()))
