@@ -703,3 +703,42 @@ def test_global_two_pass_plan_parallelizes_by_bucket(spark):
     )
     fact = [ln for spec, ln in windows if "__bucket" in spec]
     assert fact, "expected bucket-grain fact windows"
+
+
+def test_spine_oracles_agree_cross_engine_on_null_timestamps(spark, tmp_path):
+    """The r9 second-review fix made every spine oracle declare ORDER BY
+    ts NULLS FIRST (DuckDB defaults to NULLS LAST; Spark windows to NULLS
+    FIRST). No fixture carries null timestamps, so this builds one (every
+    7th ts nulled — includes within-null ties per user) and runs all five
+    spine specs against their DuckDB oracles on it: the exact driver-gate
+    compare, on the data the fix exists for."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark import workload
+
+    from .conftest import SF_ORACLE, assert_oracle_match
+
+    src = pq.read_table(f"{SF_ORACLE}/events.parquet")
+    ts = src.column("ts").to_pylist()
+    ts = [None if i % 7 == 0 else t for i, t in enumerate(ts)]
+    i = src.schema.get_field_index("ts")
+    tbl = src.set_column(i, src.schema.field("ts"), pa.array(ts, type=src.schema.field("ts").type))
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    specs = {s.name: s for s in workload.SPECS}
+    for n in (
+        "spine_user_sessions",
+        "spine_running_value_sum",
+        "spine_event_rank",
+        "spine_global_running_value_sum",
+        "spine_global_event_rank",
+    ):
+        assert_oracle_match(
+            specs[n].fn(spark, str(tmp_path)), con, specs[n].oracle
+        )
