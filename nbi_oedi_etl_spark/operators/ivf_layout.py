@@ -36,7 +36,7 @@ from nbi_oedi_etl_spark.operators.similarity import (
     cosine,
     ivf_cell_udf,
     ivf_codebook,
-    ivf_probe_udf,
+    probe_cells,
 )
 
 
@@ -77,31 +77,58 @@ def probe_ivf_layout(
     scan ONLY those cells' partitions (static ``cell IN (...)`` filter →
     PartitionFilters), exact cosine re-rank of the candidates. Same
     output as ``ivf_topk`` at equal knobs, with the query id column's
-    NATIVE type preserved (the query side stays a DataFrame throughout —
-    no driver-side schema rebuild). An empty query batch yields an empty
-    result of the same schema through the same single code path (the
-    probed-cell set is empty, so the partition filter prunes everything).
+    NATIVE type preserved. An empty query batch yields an empty result of
+    the same schema through the same single code path (the probed-cell set
+    is empty, so the partition filter prunes everything).
+
+    Pass structure (ADVICE r9 / VERDICT task 4): the query batch is
+    broadcast-sized by contract, so it is collected ONCE and the probe
+    math runs driver-side in numpy (``similarity.probe_cells`` — the same
+    function the executor-side UDF calls, so the two probe forms cannot
+    drift). The exploded (query_id, q_emb, cell) side re-enters Spark as a
+    local relation; the only job that touches the layout is the pruned
+    scan itself — no ``distinct().collect()`` probe job per batch.
     """
-    q = queries.select(
+    q_src = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
-    ).select(
-        "query_id",
-        "q_emb",
-        F.explode(ivf_probe_udf(cent_unit, n_probe)(F.col("q_emb"))).alias("cell"),
     )
+    rows = q_src.collect()  # broadcast-sized by contract (as in ivf_topk)
+    if rows:
+        mat = np.asarray([r["q_emb"] for r in rows], dtype=np.float64)
+        cells = probe_cells(mat, cent_unit, n_probe)
+    else:
+        cells = np.empty((0, n_probe), dtype="int32")
+    exploded = [
+        (r["query_id"], r["q_emb"], int(cell))
+        for r, row_cells in zip(rows, cells)
+        for cell in row_cells
+    ]
+    # local relation with the query id's NATIVE type: reuse q_src's schema
+    # and append the cell column — no type round-trip through strings
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    q_schema = StructType(
+        list(q_src.schema.fields) + [StructField("cell", IntegerType(), False)]
+    )
+    q = spark.createDataFrame(exploded, q_schema)
     # driver-side union of probed cells (≤ n_cells ints) — this is what
     # turns the probe into a STATIC partition predicate Catalyst can
     # prune the file listing with, before any IO
-    probed_cells = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    probed_cells = sorted({int(c) for c in cells.ravel()})
     c = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
-    # self-exclusion via string compare: query ids need not share the
-    # corpus id type (ANSI mode makes a direct bigint≠string comparison a
-    # hard cast error); string form is exact for the self-search case and
-    # inert for foreign id domains
-    cand = c.join(F.broadcast(q), "cell").where(
-        F.col("vec_id").cast("string") != F.col("query_id").cast("string")
-    )
+    # self-exclusion: NATIVE comparison when the corpus and query id
+    # columns share a dtype (exact, matches ivf_topk); string-cast only on
+    # a type mismatch, where it is exact for the self-search case but a
+    # foreign-domain string id '1' also excludes bigint corpus id 1 —
+    # documented caveat (ADVICE r9)
+    corpus_id_t = dict(c.dtypes)["vec_id"]
+    query_id_t = dict(q.dtypes)["query_id"]
+    if corpus_id_t == query_id_t:
+        not_self = F.col("vec_id") != F.col("query_id")
+    else:
+        not_self = F.col("vec_id").cast("string") != F.col("query_id").cast("string")
+    cand = c.join(F.broadcast(q), "cell").where(not_self)
     return _rank_topk(
         cand.select(
             "query_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("sim")

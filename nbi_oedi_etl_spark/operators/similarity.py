@@ -284,6 +284,15 @@ def ivf_cell_udf(cent_unit: "np.ndarray"):
     return _cell
 
 
+def probe_cells(mat: "np.ndarray", cent_unit: "np.ndarray", n_probe: int) -> "np.ndarray":
+    """rows × n_probe nearest-cell ids — the single definition of the IVF
+    probe math, shared by ``ivf_probe_udf`` (executor side) and
+    ``ivf_layout.probe_ivf_layout`` (driver side, over the collected query
+    batch), so the two probe forms cannot drift."""
+    sims = mat @ cent_unit
+    return np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
+
+
 def ivf_probe_udf(cent_unit: "np.ndarray", n_probe: int):
     """Pandas UDF mapping each query vector to its ``n_probe`` nearest
     cells (array<int>)."""
@@ -291,9 +300,7 @@ def ivf_probe_udf(cent_unit: "np.ndarray", n_probe: int):
     @pandas_udf("array<int>")
     def _probe(v: pd.Series) -> pd.Series:
         mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        sims = mat @ cent_unit
-        order = np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
+        return pd.Series(list(probe_cells(mat, cent_unit, n_probe)))
 
     return _probe
 

@@ -19,10 +19,13 @@ count-distinct needs the exact dual-shuffle Spark already plans.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def salted_grouped_sum(
@@ -448,7 +451,18 @@ def _dispatch_spine(
     crossover: int,
     max_rows_per_key: int | None,
 ) -> bool:
-    hot = _max_rows_per_key(df, key_col) if max_rows_per_key is None else max_rows_per_key
+    probed = max_rows_per_key is None
+    hot = _max_rows_per_key(df, key_col) if probed else max_rows_per_key
+    # The probe is an EAGER Spark job inside a transform-shaped API —
+    # log the decision so the surprise is at least visible (ADVICE r9).
+    _log.info(
+        "spine dispatch on %r: max_rows_per_key=%d (%s) crossover=%d -> %s",
+        key_col,
+        hot,
+        "probed" if probed else "caller-supplied",
+        crossover,
+        "two-pass spine" if hot >= crossover else "naive window",
+    )
     return hot >= crossover
 
 

@@ -158,26 +158,35 @@ def ingest_untrusted_records(
     """
     from pyspark.sql.observation import Observation
 
-    from nbi_oedi_etl_spark.sources.quarantine import _dest_row_count
+    from nbi_oedi_etl_spark.sources.quarantine import _dest_exists, _dest_row_count
     from nbi_oedi_etl_spark.sources.sinks import write_parquet
 
+    skip_write = mode == "ignore" and _dest_exists(spark, dest)
     clean, quarantined, cached = _read_text_split(spark, path, schema, fmt)
     try:
-        # pre-count only when pre-existing rows can survive the write
-        # (mode='error' fails on an existing dest; 'overwrite' replaces)
-        pre_rows = (
-            _dest_row_count(spark, dest) if mode in ("append", "ignore") else 0
-        )
-        obs = Observation("ingest_untrusted_records")
-        write_parquet(
-            clean.observe(obs, F.count(F.lit(1)).alias("rows")),
-            dest,
-            partition_by=partition_by,
-            mode=mode,
-        )
-        rows_clean = int(obs.get["rows"])
+        if skip_write:
+            # SaveMode.Ignore with an existing destination runs NO job, so
+            # an attached Observation would never fill and ``obs.get``
+            # would block forever — inside this try, leaking the cache too
+            # (ADVICE r9). Count the clean rows directly instead;
+            # rows_written=0 makes ``reconciled`` False for non-empty
+            # input, faithfully reporting that nothing was ingested.
+            rows_clean = int(clean.count())
+        else:
+            # pre-count only when pre-existing rows can survive the write
+            # (mode='error' fails on an existing dest; 'overwrite'
+            # replaces; ignore-on-existing short-circuited above)
+            pre_rows = _dest_row_count(spark, dest) if mode == "append" else 0
+            obs = Observation("ingest_untrusted_records")
+            write_parquet(
+                clean.observe(obs, F.count(F.lit(1)).alias("rows")),
+                dest,
+                partition_by=partition_by,
+                mode=mode,
+            )
+            rows_clean = int(obs.get["rows"])
         # compact the malformed rows out of the full-width cache (populated
-        # by the write job), then free the cache — only the small
+        # by the write/count job), then free the cache — only the small
         # quarantine frame survives in executor storage
         quarantined = quarantined.localCheckpoint(eager=True)
     finally:
@@ -186,7 +195,9 @@ def ingest_untrusted_records(
         # lifetime (r9 self-review)
         cached.unpersist()
     rows_quarantined = int(quarantined.count())
-    rows_written = _dest_row_count(spark, dest) - pre_rows
+    rows_written = (
+        0 if skip_write else _dest_row_count(spark, dest) - pre_rows
+    )
     return RecordIngestReport(
         rows_clean, rows_quarantined, rows_written, quarantined
     )

@@ -38,18 +38,37 @@ _FILE_FORMATS = ("parquet", "orc")
 _URI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
 
+#: Cap on serial driver-side footer probes during schema discovery — a
+#: mostly-corrupt directory previously cost O(files) driver round-trips
+#: before erroring (VERDICT r9 task 6).
+_MAX_SCHEMA_PROBES = 16
+
+
 def _probe_schema(spark: SparkSession, paths: list[str], fmt: str = "parquet"):
     # Schema inference reads EVERY footer and fails before
-    # ignoreCorruptFiles can apply at task level — probe for the first
-    # readable footer and scan with an explicit schema instead.
+    # ignoreCorruptFiles can apply at task level — probe a BOUNDED,
+    # evenly-spaced sample of the listing for one readable footer and
+    # scan with that explicit schema instead. The sample always includes
+    # the first and last path; a listing whose only readable files all
+    # fall between sample points now fails loudly with the probe count
+    # instead of being found by an O(files) serial crawl — re-list with
+    # fewer corrupt files or probe a readable file directly.
     if fmt not in _FILE_FORMATS:
         raise ValueError(f"unsupported columnar format: {fmt!r} {_FILE_FORMATS}")
-    for p in paths:
+    if len(paths) <= _MAX_SCHEMA_PROBES:
+        sample = list(paths)
+    else:
+        step = (len(paths) - 1) / (_MAX_SCHEMA_PROBES - 1)
+        sample = [paths[round(i * step)] for i in range(_MAX_SCHEMA_PROBES)]
+    for p in sample:
         try:
             return spark.read.format(fmt).load(p).schema
         except Exception:
             continue
-    raise ValueError(f"no readable {fmt} file among inputs")
+    raise ValueError(
+        f"no readable {fmt} footer among {len(sample)} probed of "
+        f"{len(paths)} listed files (probe cap {_MAX_SCHEMA_PROBES})"
+    )
 
 
 def _normalize(path: str) -> str:
@@ -150,6 +169,18 @@ class LazyQuarantineReport:
     def quarantined(self) -> list[str]:
         return sorted(set(self.listed) - set(self.readable))
 
+    def refresh(self) -> "LazyQuarantineReport":
+        """Escape hatch for the ``trust_first_action`` hazard (ADVICE r9):
+        drop the observation AND any cached answer, so every later access
+        runs the always-correct column-pruned detection pass — use after a
+        partial first action (limit/take/show) may have poisoned the
+        observed metrics, which is undetectable from the report side.
+        Returns self for chaining."""
+        self._obs = None
+        self._observed_df = None
+        self._readable = None
+        return self
+
 
 def _quarantine_scan(spark: SparkSession, paths: list[str], fmt: str) -> DataFrame:
     """Per-relation ignoreCorruptFiles scan (not the session conf): the
@@ -239,6 +270,16 @@ class IngestReport:
         return self.rows_read == self.rows_written
 
 
+def _dest_exists(spark: SparkSession, dest: str) -> bool:
+    """True when the destination path exists at all — SaveMode.Ignore
+    no-ops on path EXISTENCE, not on parquet-ness, so this (not a read
+    probe) is the condition that predicts the skipped write."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _dest_row_count(spark: SparkSession, dest: str) -> int:
     """Footer/statistics-level row count of a parquet destination; 0 only
     when the path does not exist yet (pre-write baseline for
@@ -296,13 +337,38 @@ def ingest_untrusted(
     """
     from nbi_oedi_etl_spark.sources.sinks import write_parquet
 
+    if mode == "ignore" and _dest_exists(spark, dest):
+        # SaveMode.Ignore with an existing destination runs NO job, so an
+        # attached Observation would never fill and ``obs.get`` would
+        # block forever (ADVICE r9). Report the skip faithfully instead:
+        # one column-pruned detection pass fills the file report and the
+        # input row count; rows_written=0 so ``reconciled`` is False for
+        # any non-empty input — the caller sees nothing was ingested.
+        scan = _quarantine_scan(spark, paths, fmt)
+        # input_file_name() materialized as a column first — it cannot be
+        # evaluated inside an aggregate (same constraint as _observe_files)
+        agg = (
+            scan.select(F.input_file_name().alias("_src_file"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.collect_set("_src_file").alias("files"),
+            )
+            .collect()[0]
+        )
+        listed = sorted(_normalize(p) for p in paths)
+        readable = sorted(_normalize(p) for p in (agg["files"] or []))
+        quarantined = sorted(set(listed) - set(readable))
+        return IngestReport(
+            QuarantineReport(listed, readable, quarantined), int(agg["rows"]), 0
+        )
+
     observed, obs = _observe_files(_quarantine_scan(spark, paths, fmt))
     # pre-count only when pre-existing rows can survive the write:
     # mode='error' fails on an existing dest and 'overwrite' replaces it,
-    # so both start from 0 without touching dest
-    pre_rows = (
-        _dest_row_count(spark, dest) if mode in ("append", "ignore") else 0
-    )
+    # so both start from 0 without touching dest (the ignore+existing-dest
+    # case short-circuited above; reaching here with 'ignore' means dest
+    # does not exist yet and the write behaves like 'error'-on-fresh)
+    pre_rows = _dest_row_count(spark, dest) if mode == "append" else 0
     write_parquet(observed, dest, partition_by=partition_by, mode=mode)
     rows_read = int(obs.get["rows"])
     readable = sorted(_normalize(p) for p in obs.get["files"])

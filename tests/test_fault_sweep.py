@@ -528,3 +528,106 @@ def test_ingest_untrusted_records_frees_cache_and_keeps_quarantine(spark, tmp_pa
     rep2 = ingest_untrusted_records(spark, str(src), schema, dest, fmt="csv", mode="append")
     assert rep2.reconciled and rep2.rows_written == 3
     assert spark.read.parquet(dest).count() == 6
+
+
+def _run_with_deadline(fn, seconds=120):
+    """Run fn in a thread; fail the test instead of hanging the suite if
+    it never returns (the ADVICE r9 obs.get-blocks-forever failure mode)."""
+    import threading
+
+    out: list = []
+    t = threading.Thread(target=lambda: out.append(fn()), daemon=True)
+    t.start()
+    t.join(seconds)
+    assert out, f"call did not return within {seconds}s (observation hang?)"
+    return out[0]
+
+
+def test_ingest_untrusted_ignore_mode_skips_without_hang(spark, tmp_path):
+    """ADVICE r9 (medium): SaveMode.Ignore with an existing destination
+    runs NO job, so the piggybacked Observation never fills — the call
+    must short-circuit with a faithful skip report, not block forever."""
+    from nbi_oedi_etl_spark.sources import ingest_untrusted
+
+    src = tmp_path / "src.parquet"
+    pd.DataFrame({"x": list(range(5))}).to_parquet(src, index=False)
+    dest = str(tmp_path / "out")
+    rep1 = ingest_untrusted(spark, [str(src)], dest, mode="ignore")
+    # fresh dest: ignore behaves like a normal write
+    assert rep1.reconciled and rep1.rows_written == 5
+    rep2 = _run_with_deadline(
+        lambda: ingest_untrusted(spark, [str(src)], dest, mode="ignore")
+    )
+    # existing dest: nothing written, and the report SAYS so
+    assert rep2.rows_written == 0 and rep2.rows_read == 5
+    assert not rep2.reconciled
+    assert rep2.files.quarantined == [] and len(rep2.files.readable) == 1
+    assert spark.read.parquet(dest).count() == 5  # dest untouched
+
+
+def test_ingest_untrusted_records_ignore_mode_skips_without_hang(spark, tmp_path):
+    """The CSV/JSON sibling of the ignore-mode hang (quarantine cache
+    unpersist must still run — it sits in the finally the hang skipped)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from nbi_oedi_etl_spark.sources.formats import ingest_untrusted_records
+
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,2\nbad,row,extra\n3,4\n")
+    schema = StructType([StructField("a", LongType()), StructField("b", LongType())])
+    dest = str(tmp_path / "out")
+    rep1 = ingest_untrusted_records(spark, str(src), schema, dest, fmt="csv", mode="ignore")
+    assert rep1.reconciled and rep1.rows_written == 2
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    empty_before = cache_mgr.isEmpty()
+    rep2 = _run_with_deadline(
+        lambda: ingest_untrusted_records(
+            spark, str(src), schema, dest, fmt="csv", mode="ignore"
+        )
+    )
+    assert rep2.rows_written == 0 and rep2.rows_clean == 2
+    assert rep2.rows_quarantined == 1 and not rep2.reconciled
+    assert rep2.quarantined_df.count() == 1  # still queryable post-unpersist
+    if empty_before:
+        assert cache_mgr.isEmpty()  # the finally ran on the skip path too
+    assert spark.read.parquet(dest).count() == 2  # dest untouched
+
+
+def test_quarantine_refresh_repairs_poisoned_trusted_report(spark, tmp_path):
+    """ADVICE r9: with trust_first_action=True a partial first action
+    (limit) poisons the observation permanently; refresh() must drop it
+    and answer from the always-correct detection pass."""
+    a, b = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(a, index=False)
+    pd.DataFrame({"x": [4, 5, 6]}).to_parquet(b, index=False)
+    df, rep = read_with_quarantine(spark, [str(a), str(b)], trust_first_action=True)
+    assert len(df.limit(1).collect()) == 1  # partial first action: hazard
+    poisoned = rep.readable
+    assert len(rep.refresh().readable) == 2  # correct regardless of poison
+    assert rep.quarantined == []
+    del poisoned  # value depends on which partition limit(1) touched
+
+
+def test_probe_schema_bounded_on_mostly_corrupt_listing(spark, tmp_path):
+    """VERDICT r9 task 6: schema discovery over a mostly-corrupt listing
+    must probe a bounded, evenly-spaced sample (first+last included) —
+    not crawl O(files) driver round-trips — and fail loudly with counts
+    when no sampled footer is readable."""
+    from nbi_oedi_etl_spark.sources.quarantine import (
+        _MAX_SCHEMA_PROBES,
+        _probe_schema,
+    )
+
+    good = tmp_path / "good.parquet"
+    pd.DataFrame({"x": [1]}).to_parquet(good, index=False)
+    corrupt = []
+    for i in range(100):
+        p = tmp_path / f"bad-{i:03d}.parquet"
+        p.write_bytes(b"PAR1 this is not parquet")
+        corrupt.append(str(p))
+    # readable file LAST: found because the sample always includes the
+    # tail, with <= _MAX_SCHEMA_PROBES probes instead of 101
+    schema = _probe_schema(spark, corrupt + [str(good)])
+    assert [f.name for f in schema.fields] == ["x"]
+    with pytest.raises(ValueError, match=rf"{_MAX_SCHEMA_PROBES} probed of 100"):
+        _probe_schema(spark, corrupt)

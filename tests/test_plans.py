@@ -1143,3 +1143,38 @@ def test_ivf_layout_probe_preserves_id_type_and_handles_empty_batch(spark, tmp_p
     assert dict(out.dtypes)["query_id"] == "string"
     rows = out.collect()
     assert rows and all(r["query_id"].startswith("q-") for r in rows)
+
+
+def test_ivf_layout_self_exclusion_native_vs_string(spark, tmp_path):
+    """ADVICE r9: self-exclusion compares NATIVELY when corpus and query
+    id dtypes match (exact, matches ivf_topk), falling back to string
+    casts only on a type mismatch — where the foreign-domain caveat is
+    documented (a double query_id 1.0 does NOT exclude bigint corpus id 1
+    because '1.0' != '1')."""
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators.ivf_layout import (
+        probe_ivf_layout,
+        write_ivf_layout,
+    )
+    from nbi_oedi_etl_spark.sources import read_table
+
+    corpus = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dest = str(tmp_path / "ivf")
+    cent = write_ivf_layout(corpus, dest, n_cells=8)
+
+    # same dtype (bigint/bigint): native compare — self excluded
+    self_q = corpus.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qid = self_q.collect()[0]["query_id"]
+    native = probe_ivf_layout(spark, dest, self_q, cent, k=5, n_probe=8)
+    assert all(r["vec_id"] != qid for r in native.collect())
+
+    # dtype mismatch (double query id over bigint corpus): string-cast
+    # fallback — the numerically-equal corpus row is NOT excluded
+    dbl_q = self_q.select(
+        F.col("query_id").cast("double").alias("query_id"), "embedding"
+    )
+    mixed = probe_ivf_layout(spark, dest, dbl_q, cent, k=5, n_probe=8)
+    assert any(r["vec_id"] == qid for r in mixed.collect())
