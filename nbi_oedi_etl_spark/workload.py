@@ -2247,6 +2247,44 @@ _POST_R9_ADDITIONS: list[str] = [
     "spine_global_event_rank",
 ]
 
+# ---- round-10 correctness-window rotation -----------------------------
+# Window = the full debt list tools/rotation_audit.py reports after this
+# round's code landed (2 never-verified + 9 changed-since-r9: the
+# similarity family moved with the shared probe_cells refactor —
+# ADVICE r9 / VERDICT task 4 — and salted_event_value_sum with the
+# skew.py dispatch-logging edit), then the stalest banked evidence: all
+# 24 remaining r4-greens and the 15 alphabetically-first r5-greens.
+_R10_WINDOW: list[str] = [
+    # -- 2 never-verified (registered behind the frozen r9 window) --
+    "spine_global_running_value_sum", "spine_global_event_rank",
+    # -- 9 changed-since-r9 (this round's similarity/skew edits) --
+    "ann_recall_portable", "embedding_ann_portable", "embedding_ivf_portable",
+    "embedding_near_dup_exact_small", "embedding_topk_cosine",
+    "kmeans_assign_embeddings", "kmeans_lloyd_3iter",
+    "salted_event_value_sum", "semantic_dedup_cells",
+    # -- all 24 remaining r4-green refreshers (oldest in the ledger) --
+    "doc_boilerplate_ngrams", "embedding_int8_quantization",
+    "event_bitwise_aggregates", "event_funnel_conversion",
+    "event_type_markov", "hll_distinct_tokens", "hll_tokens_by_source",
+    "incremental_dedup_new_docs", "label_centroid_quality",
+    "leakage_safe_splits", "map_props_surface", "nation_trade_pagerank",
+    "order_rollup_per_customer", "quantile_sketch_order_price",
+    "reservoir_sample_per_source", "scd1_merge_orders",
+    "session_window_stats", "string_function_suite", "user_event_sequences",
+    "variant_props_surface", "weekly_retention_cohorts",
+    "weighted_mixture_sample", "weighted_reservoir_docs", "zipf_slope_tokens",
+    # -- 15 oldest r5-green refreshers (alphabetical head of the 35) --
+    "benford_first_digit", "bm25_search_ranking", "bpe_apply_merges",
+    "brand_basket_rules", "classifier_calibration_bins", "classifier_roc_auc",
+    "daily_active_wau", "daily_volume_seasonal_residuals",
+    "doc_jaccard_prefix_join", "doc_sparse_cosine_pairs", "doc_token_entropy",
+    "dup_cluster_size_histogram", "event_funnel_windowed",
+    "event_type_ewma_daily", "event_value_mad_outliers",
+]
+
+# Specs registered AFTER the r10 window froze (none yet).
+_POST_R10_ADDITIONS: list[str] = []
+
 # Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [
     # -- 27 audit-flagged stale specs (tools/rotation_audit.py) --
@@ -2354,7 +2392,7 @@ _R5_QUEUE: list[str] = [
 
 def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in specs}
-    front = [by_name[n] for n in _R9_WINDOW if n in by_name]
+    front = [by_name[n] for n in _R10_WINDOW if n in by_name]
     front_set = {s.name for s in front}
     rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
     rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]
