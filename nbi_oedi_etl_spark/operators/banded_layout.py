@@ -1,0 +1,163 @@
+"""At-rest LSH banding layout: the corpus's MinHash band rows written
+hive-partitioned by a bucketed band key, so an incremental-dedup probe
+reads only the buckets its new documents hash into — a partition-pruned
+scan instead of re-banding / re-scanning the whole corpus per batch
+(VERDICT r9 optional task 8; the same materialize-once trick as
+``operators/ivf_layout`` applied to the MinHash-LSH family).
+
+``operators/dedup.py::minhash_lsh_candidates`` is the in-memory form:
+shingle → minhash → band hash → self-join, one full corpus pass per
+call. At 100 TB the corpus cannot be re-banded per CDC batch
+(``incremental_dedup_new_docs``'s shape); this module materializes the
+banding ONCE (`write_banded_layout`) and every later probe
+(`probe_banded_layout`) carries a static ``pcell IN (...)`` predicate —
+Catalyst prunes the file listing to the buckets the batch's band hashes
+actually fall in. Both forms call the SAME ``dedup.band_rows`` helper,
+so band-hash equivalence is structural, not a copy-that-must-not-drift.
+
+Layout key: one partition column ``pcell = band_id * n_buckets +
+pmod(band_hash, n_buckets)`` — a single IN-list prunes EXACTLY the
+probed (band, bucket) combinations (two separate partition columns would
+prune their cross product, over-reading). Candidate pairs still join on
+the full (band_id, band_hash), so bucketing only affects which files are
+listed, never which pairs match.
+
+The banding parameters (num_hashes, bands, shingle_n, n_buckets) are
+written to ``dest/_banded_meta.json`` (underscore-prefixed: invisible to
+the main parquet read) and re-read by the probe — a probe with mismatched
+parameters would silently find nothing, so the layout is
+self-describing.
+
+Reference parity: the reference has no near-dup machinery; this is part
+of the §2.12 training-data-pipeline extension (SURVEY.md), scale path.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark.operators.dedup import band_rows
+
+#: Underscore-prefixed: Spark's recursive listing skips it, so the main
+#: ``read.parquet(dest)`` never sees it. Written/read through the Hadoop
+#: FS API (works on any warehouse filesystem), not a Spark job — it is
+#: four integers.
+_META_FILE = "_banded_meta.json"
+
+
+def _write_meta(spark: SparkSession, dest: str, meta: dict) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{dest}/{_META_FILE}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_META_FILE}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        # py4j COPIES byte[] across the bridge, so a Java-side readFully
+        # into a Python bytearray never propagates back — read through
+        # commons-io (on Spark's classpath) which returns the String
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _pcell(n_buckets: int):
+    return (
+        F.col("band_id").cast("long") * n_buckets
+        + F.pmod(F.col("band_hash"), F.lit(n_buckets))
+    ).cast("int")
+
+
+def write_banded_layout(
+    df: DataFrame,
+    dest: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+    mode: str = "error",
+) -> None:
+    """Materialize the corpus's band rows hive-partitioned by ``pcell``
+    plus a self-describing parameter sidecar. One full banding pass ever;
+    every later probe is partition-pruned. bands × n_buckets partitions
+    total — size n_buckets so partitions stay file-sized at the corpus's
+    scale (64 here suits the test corpora; thousands at 100 TB)."""
+    banded = band_rows(df, text_col, id_col, num_hashes, bands, shingle_n)
+    banded.withColumn("pcell", _pcell(n_buckets)).write.mode(mode).partitionBy(
+        "pcell"
+    ).parquet(dest)
+    _write_meta(
+        df.sparkSession,
+        dest,
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "n_buckets": n_buckets,
+        },
+    )
+
+
+def probe_banded_layout(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs between ``new_docs`` and the
+    at-rest corpus: band the batch with the layout's own parameters (read
+    from the sidecar), collect its distinct ``pcell`` values (bounded by
+    bands × n_buckets — metadata-scale), scan ONLY those partitions, and
+    join on the full (band_id, band_hash).
+
+    Output: (doc_id_new, doc_id_corpus) distinct, corpus-side self-pairs
+    excluded by id inequality — so re-probing docs already in the layout
+    does not report them as their own duplicates. Pairs WITHIN the new
+    batch are the in-memory form's job (``minhash_lsh_candidates`` on the
+    batch); compose both for full incremental dedup, as
+    ``incremental_dedup_new_docs`` does against a hot corpus.
+    """
+    m = _read_meta(spark, path)
+    q = band_rows(
+        new_docs, text_col, id_col, m["num_hashes"], m["bands"], m["shingle_n"]
+    ).withColumn("pcell", _pcell(m["n_buckets"]))
+    # The batch's band rows drive BOTH the pruning list and the join side:
+    # localCheckpoint materializes them once (CDC batches are small by
+    # contract; bands rows per doc), so the banding pipeline doesn't run
+    # twice and the collected pcell list is consistent with the join input.
+    q = q.localCheckpoint(eager=True)
+    probed = sorted(r["pcell"] for r in q.select("pcell").distinct().collect())
+    corpus = spark.read.parquet(path).where(F.col("pcell").isin(probed))
+    pairs = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(q.alias("q")),
+            (F.col("c.band_id") == F.col("q.band_id"))
+            & (F.col("c.band_hash") == F.col("q.band_hash"))
+            & (F.col("c.doc_id") != F.col("q.doc_id")),
+        )
+        .select(
+            F.col("q.doc_id").alias("doc_id_new"),
+            F.col("c.doc_id").alias("doc_id_corpus"),
+        )
+        .distinct()
+    )
+    return pairs

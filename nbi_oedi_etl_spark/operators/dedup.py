@@ -130,6 +130,52 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The exploded LSH banding frame (doc_id, band_id, band_hash) — the
+    single definition of the shingle → minhash → band-hash pipeline,
+    shared by the in-memory ``minhash_lsh_candidates`` self-join and the
+    at-rest ``operators/banded_layout`` forms, so the two banding paths
+    assign byte-identical band hashes by construction.
+
+    Scale notes (measured, see minhash_signature): the k min-aggregates
+    run in one codegen'd hash aggregate with map-side partials (shuffle =
+    one row per doc); the band hash is one multi-arg xxhash64 over the
+    band's signature slots — no string join, no array allocation; the
+    ``bands``-struct array literal is codegen'd (unlike transform over a
+    sequence)."""
+    rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
+    hashes = shingle_hashes(df, text_col, id_col, shingle_n)
+    # xxhash64(h, seed) rehashes the 8-byte shingle hash per seed — k
+    # independent-enough hash functions without re-hashing the shingle
+    # STRING k times.
+    sig = hashes.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -148,34 +194,7 @@ def minhash_lsh_candidates(
     bounded by bucket size (hash buckets, near-uniform unless docs really are
     duplicates — which is the signal). Output: (doc_id_a, doc_id_b) with
     a < b, distinct."""
-    rows_per_band = num_hashes // bands
-    df = ensure_parallelism(df)
-    hashes = shingle_hashes(df, text_col, id_col, shingle_n)
-    # k min-aggregates in one codegen'd hash aggregate; xxhash64(h, seed)
-    # rehashes the 8-byte shingle hash per seed — k independent-enough hash
-    # functions without re-hashing the shingle STRING k times. Partial
-    # (map-side) aggregation collapses the shuffle to one row per doc.
-    sig = hashes.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}")
-            for s in range(num_hashes)
-        ]
-    )
-    # Band hash = one multi-arg xxhash64 over the band's signature slots —
-    # no string join, no array allocation. The 8-struct array literal is
-    # codegen'd (unlike transform over a sequence).
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    banded = band_rows(df, text_col, id_col, num_hashes, bands, shingle_n)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

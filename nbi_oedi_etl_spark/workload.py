@@ -2249,19 +2249,25 @@ _POST_R9_ADDITIONS: list[str] = [
 
 # ---- round-10 correctness-window rotation -----------------------------
 # Window = the full debt list tools/rotation_audit.py reports after this
-# round's code landed (2 never-verified + 9 changed-since-r9: the
+# round's code landed (2 never-verified + 19 changed-since-green: the
 # similarity family moved with the shared probe_cells refactor —
-# ADVICE r9 / VERDICT task 4 — and salted_event_value_sum with the
-# skew.py dispatch-logging edit), then the stalest banked evidence: all
-# 24 remaining r4-greens and the 15 alphabetically-first r5-greens.
+# ADVICE r9 / VERDICT task 4 — salted_event_value_sum with the skew.py
+# dispatch-logging edit, and the dedup family with the band_rows
+# extraction the at-rest banded layout shares), then the stalest banked
+# evidence: all 24 remaining r4-greens and the 5 alphabetically-first
+# r5-greens.
 _R10_WINDOW: list[str] = [
     # -- 2 never-verified (registered behind the frozen r9 window) --
     "spine_global_running_value_sum", "spine_global_event_rank",
-    # -- 9 changed-since-r9 (this round's similarity/skew edits) --
-    "ann_recall_portable", "embedding_ann_portable", "embedding_ivf_portable",
-    "embedding_near_dup_exact_small", "embedding_topk_cosine",
-    "kmeans_assign_embeddings", "kmeans_lloyd_3iter",
+    # -- 19 changed-since-green (this round's similarity/skew/dedup edits) --
+    "ann_recall_portable", "corpus_prep_pipeline", "embedding_ann_portable",
+    "embedding_ivf_portable", "embedding_near_dup_exact_small",
+    "embedding_topk_cosine", "exact_dedup_docs", "kmeans_assign_embeddings",
+    "kmeans_lloyd_3iter", "latest_event_per_user", "minhash_estimator_audit",
+    "near_dup_clusters_portable", "near_dup_clusters_star",
+    "near_dup_pipeline_portable", "ngram_jaccard_small", "part_golden_records",
     "salted_event_value_sum", "semantic_dedup_cells",
+    "streaming_foreachbatch_upsert",
     # -- all 24 remaining r4-green refreshers (oldest in the ledger) --
     "doc_boilerplate_ngrams", "embedding_int8_quantization",
     "event_bitwise_aggregates", "event_funnel_conversion",
@@ -2273,13 +2279,9 @@ _R10_WINDOW: list[str] = [
     "session_window_stats", "string_function_suite", "user_event_sequences",
     "variant_props_surface", "weekly_retention_cohorts",
     "weighted_mixture_sample", "weighted_reservoir_docs", "zipf_slope_tokens",
-    # -- 15 oldest r5-green refreshers (alphabetical head of the 35) --
+    # -- 5 oldest r5-green refreshers (alphabetical head of the 35) --
     "benford_first_digit", "bm25_search_ranking", "bpe_apply_merges",
-    "brand_basket_rules", "classifier_calibration_bins", "classifier_roc_auc",
-    "daily_active_wau", "daily_volume_seasonal_residuals",
-    "doc_jaccard_prefix_join", "doc_sparse_cosine_pairs", "doc_token_entropy",
-    "dup_cluster_size_histogram", "event_funnel_windowed",
-    "event_type_ewma_daily", "event_value_mad_outliers",
+    "brand_basket_rules", "classifier_calibration_bins",
 ]
 
 # Specs registered AFTER the r10 window froze (none yet).

@@ -1145,6 +1145,86 @@ def test_ivf_layout_probe_preserves_id_type_and_handles_empty_batch(spark, tmp_p
     assert rows and all(r["query_id"].startswith("q-") for r in rows)
 
 
+def test_banded_layout_probe_parity_and_partition_pruned(spark, tmp_path):
+    """The LSH analogue of the IVF at-rest layout (r10,
+    operators/banded_layout): corpus band rows written hive-partitioned
+    by bucketed band key. A probe must (a) find exactly the
+    new-vs-corpus candidate pairs the in-memory minhash_lsh_candidates
+    finds on the union, and (b) scan ONLY the probed pcell partitions —
+    static IN-list in PartitionFilters."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators.banded_layout import (
+        probe_banded_layout,
+        write_banded_layout,
+    )
+    from nbi_oedi_etl_spark.operators.dedup import minhash_lsh_candidates
+    from nbi_oedi_etl_spark.sources import read_table
+
+    SF = "/root/testdata/sf0.001"
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    # the batch: held-out docs plus EXACT copies of two corpus docs under
+    # new ids — guaranteed band collisions, so parity is tested on a
+    # non-empty candidate set
+    dupes = (
+        corpus.orderBy("doc_id")
+        .limit(2)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 0).unionByName(dupes)
+
+    dest = str(tmp_path / "banded")
+    write_banded_layout(corpus, dest, n_buckets=16)
+    pairs = probe_banded_layout(spark, dest, batch)
+
+    # (b) pruning, pinned on a SMALL batch (the parity batch above is
+    # ~100 docs x 8 bands and can legitimately touch every pcell of a
+    # tiny layout): 2 docs probe at most 16 of the 128 pcells, and the
+    # static partition predicate must carry EXACTLY the batch's own
+    # band-row pcells (IN for short lists, INSET past the optimizer's
+    # conversion threshold)
+    from nbi_oedi_etl_spark.operators.banded_layout import _pcell
+    from nbi_oedi_etl_spark.operators.dedup import band_rows
+
+    small = probe_banded_layout(spark, dest, dupes)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    mm = _re.search(r"pcell#\d+ (?:IN \(([^)]*)\)|INSET ([0-9, ]+))", pf)
+    assert mm, pf
+    plan_cells = {
+        int(x) for x in (mm.group(1) or mm.group(2)).replace(" ", "").split(",")
+    }
+    want_cells = {
+        r["pcell"]
+        for r in band_rows(dupes)
+        .withColumn("pcell", _pcell(16))
+        .select("pcell")
+        .distinct()
+        .collect()
+    }
+    assert plan_cells == want_cells
+    assert len(plan_cells) <= 16 < 128
+    # (a) parity: probe pairs == the union self-join's cross pairs
+    got = {
+        (r["doc_id_new"], r["doc_id_corpus"]) for r in pairs.collect()
+    }
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    union_pairs = minhash_lsh_candidates(corpus.unionByName(batch)).collect()
+    want = set()
+    for r in union_pairs:
+        a, b = r["doc_id_a"], r["doc_id_b"]
+        if (a in batch_ids) != (b in batch_ids):  # exactly one side new
+            new, old = (a, b) if a in batch_ids else (b, a)
+            want.add((new, old))
+    assert got == want
+    # the planted exact copies MUST collide with their corpus originals
+    planted = {p for p in got if p[0] >= 1_000_000}
+    assert len(planted) >= 2
+
+
 def test_ivf_layout_self_exclusion_native_vs_string(spark, tmp_path):
     """ADVICE r9: self-exclusion compares NATIVELY when corpus and query
     id dtypes match (exact, matches ivf_topk), falling back to string
