@@ -239,6 +239,11 @@ HEADLINE = [
     "spine_event_rank",
     "spine_global_running_value_sum",
     "spine_global_event_rank",
+    # round-10 addition, benched same-round per the freeze policy: the
+    # at-rest banded-layout twin (write-once layout memoized per session,
+    # so the steady-state number is the PROBE cost — the shape users pay
+    # per CDC batch)
+    "banded_layout_portable",
 ]
 
 

@@ -84,7 +84,7 @@ def _pcell(n_buckets: int):
 
 
 def write_banded_layout(
-    df: DataFrame,
+    df: DataFrame | None,
     dest: str,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -93,23 +93,37 @@ def write_banded_layout(
     shingle_n: int = 3,
     n_buckets: int = 64,
     mode: str = "error",
+    banded_rows: DataFrame | None = None,
 ) -> None:
     """Materialize the corpus's band rows hive-partitioned by ``pcell``
     plus a self-describing parameter sidecar. One full banding pass ever;
     every later probe is partition-pruned. bands × n_buckets partitions
     total — size n_buckets so partitions stay file-sized at the corpus's
-    scale (64 here suits the test corpora; thousands at 100 TB)."""
-    banded = band_rows(df, text_col, id_col, num_hashes, bands, shingle_n)
+    scale (64 here suits the test corpora; thousands at 100 TB).
+
+    Pass ``banded_rows`` — a pre-computed (doc_id, band_id, band_hash)
+    frame — to lay out an EXTERNAL banding family instead of the default
+    xxhash64 ``band_rows`` pipeline (e.g. the md5-portable family the
+    DuckDB-oracled twin uses); the sidecar then records
+    ``external_banding`` and probes must supply matching ``banded_rows``
+    too."""
+    external = banded_rows is not None
+    banded = (
+        banded_rows
+        if external
+        else band_rows(df, text_col, id_col, num_hashes, bands, shingle_n)
+    )
     banded.withColumn("pcell", _pcell(n_buckets)).write.mode(mode).partitionBy(
         "pcell"
     ).parquet(dest)
     _write_meta(
-        df.sparkSession,
+        banded.sparkSession,
         dest,
         {
-            "num_hashes": num_hashes,
-            "bands": bands,
-            "shingle_n": shingle_n,
+            "external_banding": external,
+            "num_hashes": None if external else num_hashes,
+            "bands": None if external else bands,
+            "shingle_n": None if external else shingle_n,
             "n_buckets": n_buckets,
         },
     )
@@ -118,9 +132,10 @@ def write_banded_layout(
 def probe_banded_layout(
     spark: SparkSession,
     path: str,
-    new_docs: DataFrame,
+    new_docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    banded_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs between ``new_docs`` and the
     at-rest corpus: band the batch with the layout's own parameters (read
@@ -134,18 +149,39 @@ def probe_banded_layout(
     batch are the in-memory form's job (``minhash_lsh_candidates`` on the
     batch); compose both for full incremental dedup, as
     ``incremental_dedup_new_docs`` does against a hot corpus.
+
+    An ``external_banding`` layout (see ``write_banded_layout``) carries
+    no banding parameters, so the probe must be given the batch's
+    ``banded_rows`` under the SAME external family — mixing families
+    would silently find nothing, hence the hard error.
     """
     m = _read_meta(spark, path)
-    q = band_rows(
-        new_docs, text_col, id_col, m["num_hashes"], m["bands"], m["shingle_n"]
-    ).withColumn("pcell", _pcell(m["n_buckets"]))
+    if m["external_banding"]:
+        if banded_rows is None:
+            raise ValueError(
+                "layout was written from external banded_rows; the probe "
+                "must supply banded_rows from the same banding family"
+            )
+        q = banded_rows.withColumn("pcell", _pcell(m["n_buckets"]))
+    else:
+        q = band_rows(
+            new_docs, text_col, id_col, m["num_hashes"], m["bands"], m["shingle_n"]
+        ).withColumn("pcell", _pcell(m["n_buckets"]))
     # The batch's band rows drive BOTH the pruning list and the join side:
     # localCheckpoint materializes them once (CDC batches are small by
     # contract; bands rows per doc), so the banding pipeline doesn't run
     # twice and the collected pcell list is consistent with the join input.
     q = q.localCheckpoint(eager=True)
     probed = sorted(r["pcell"] for r in q.select("pcell").distinct().collect())
-    corpus = spark.read.parquet(path).where(F.col("pcell").isin(probed))
+    # Explicit schema — the batch's own band-row schema IS the layout's
+    # (same pipeline): an EMPTY corpus layout (only _SUCCESS, no
+    # partition dirs) is then readable as an empty frame instead of
+    # failing schema inference, and the doc_id type is pinned to the
+    # batch's native type. pcell stays a partition column (present in
+    # the schema, valued from directory names).
+    corpus = (
+        spark.read.schema(q.schema).parquet(path).where(F.col("pcell").isin(probed))
+    )
     pairs = (
         corpus.alias("c")
         .join(

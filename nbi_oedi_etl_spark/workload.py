@@ -1799,6 +1799,7 @@ from nbi_oedi_etl_spark import workload_ext30 as ext30
 from nbi_oedi_etl_spark import workload_ext31 as ext31
 from nbi_oedi_etl_spark import workload_ext32 as ext32
 from nbi_oedi_etl_spark import workload_ext33 as ext33
+from nbi_oedi_etl_spark import workload_banded as wbanded
 from nbi_oedi_etl_spark import workload_spine as wspine
 from nbi_oedi_etl_spark import workload_tpch as tpch
 
@@ -2140,6 +2141,15 @@ SPECS: list[QuerySpec] = [
     # they enter the r10 window and were benched this round.
     QuerySpec("spine_global_running_value_sum", wspine.spine_global_running_value_sum, wspine._SPINE_GLOBAL_RUNNING_SUM_ORACLE),
     QuerySpec("spine_global_event_rank", wspine.spine_global_event_rank, wspine._SPINE_GLOBAL_RANK_ORACLE),
+    # round-10: driver-oracled twin of the at-rest LSH banding layout
+    # (operators/banded_layout run under the md5-portable hash family) —
+    # registered INSIDE the r10 window, as the keyed spine family was in
+    # r9; benched same-round per the freeze policy.
+    QuerySpec(
+        "banded_layout_portable",
+        wbanded.banded_layout_portable,
+        wbanded.BANDED_LAYOUT_PORTABLE_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2257,8 +2267,12 @@ _POST_R9_ADDITIONS: list[str] = [
 # evidence: all 24 remaining r4-greens and the 5 alphabetically-first
 # r5-greens.
 _R10_WINDOW: list[str] = [
-    # -- 2 never-verified (registered behind the frozen r9 window) --
+    # -- 2 never-verified (registered behind the frozen r9 window) +
+    # the r10-registered at-rest banded-layout twin (never-verified by
+    # construction; displaces the last r5 refresher,
+    # classifier_calibration_bins, which returns in r11) --
     "spine_global_running_value_sum", "spine_global_event_rank",
+    "banded_layout_portable",
     # -- 19 changed-since-green (this round's similarity/skew/dedup edits) --
     "ann_recall_portable", "corpus_prep_pipeline", "embedding_ann_portable",
     "embedding_ivf_portable", "embedding_near_dup_exact_small",
@@ -2279,9 +2293,9 @@ _R10_WINDOW: list[str] = [
     "session_window_stats", "string_function_suite", "user_event_sequences",
     "variant_props_surface", "weekly_retention_cohorts",
     "weighted_mixture_sample", "weighted_reservoir_docs", "zipf_slope_tokens",
-    # -- 5 oldest r5-green refreshers (alphabetical head of the 35) --
+    # -- 4 oldest r5-green refreshers (alphabetical head of the 35) --
     "benford_first_digit", "bm25_search_ranking", "bpe_apply_merges",
-    "brand_basket_rules", "classifier_calibration_bins",
+    "brand_basket_rules",
 ]
 
 # Specs registered AFTER the r10 window froze (none yet).

@@ -37,6 +37,10 @@ _REPRESENTATIVES = [
     "hll_tokens_by_source",
     "copurchase_triangles",
     "weighted_reservoir_docs",
+    # round 10: at-rest banded layout — an EMPTY corpus layout has no
+    # partition dirs; the probe must read it with the batch's band-row
+    # schema instead of failing parquet schema inference
+    "banded_layout_portable",
     # round 5: mapInPandas codec path on a 0-row documents table
     "multimodal_jpeg_features",
     # round 5: heartbeat sentinels must synthesize template rows when the
