@@ -113,9 +113,15 @@ def write_banded_layout(
         if external
         else band_rows(df, text_col, id_col, num_hashes, bands, shingle_n)
     )
-    banded.withColumn("pcell", _pcell(n_buckets)).write.mode(mode).partitionBy(
-        "pcell"
-    ).parquet(dest)
+    # repartition by the layout key before the write: WITHOUT it every
+    # shuffle task writes a part file into every pcell it touches
+    # (measured: 3-28 files per partition at 1x-10x, tools/
+    # banded_layout_probe.py), a small-files explosion at scale; WITH it
+    # each populated pcell is exactly one file. Band hashes are
+    # hash-uniform across buckets, so the repartition is skew-safe.
+    banded.withColumn("pcell", _pcell(n_buckets)).repartition("pcell").write.mode(
+        mode
+    ).partitionBy("pcell").parquet(dest)
     _write_meta(
         banded.sparkSession,
         dest,

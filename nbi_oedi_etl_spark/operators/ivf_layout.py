@@ -59,7 +59,13 @@ def write_ivf_layout(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
     ).withColumn("cell", ivf_cell_udf(cent_unit)(F.col("emb")))
-    assigned.write.mode(mode).partitionBy("cell").parquet(dest)
+    # repartition by cell before the write so each populated cell is one
+    # file instead of one per upstream task (the small-files measurement
+    # in tools/banded_layout_probe.py applies identically here). A hot
+    # cell becomes a single write task — acceptable for the one-time
+    # materialization; re-cluster n_cells upward if a cell outgrows a
+    # task (the codebook is the knob, not the writer).
+    assigned.repartition("cell").write.mode(mode).partitionBy("cell").parquet(dest)
     return cent_unit
 
 
