@@ -135,6 +135,39 @@ def write_banded_layout(
     )
 
 
+def append_to_banded_layout(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    banded_rows: DataFrame | None = None,
+) -> None:
+    """Incremental maintenance: band ``new_docs`` with the layout's own
+    sidecar parameters and APPEND their band rows into the partitioned
+    layout — the other half of the CDC loop (probe the batch against the
+    corpus, then fold the batch in so the next batch sees it). Appends
+    add one file per touched pcell per batch; compact periodically with
+    ``sources.sinks.compact_parquet`` per partition directory if batch
+    cadence is high. The sidecar is already correct (same parameters),
+    so only data files are written."""
+    m = _read_meta(spark, path)
+    if m["external_banding"]:
+        if banded_rows is None:
+            raise ValueError(
+                "layout was written from external banded_rows; appends "
+                "must supply banded_rows from the same banding family"
+            )
+        banded = banded_rows
+    else:
+        banded = band_rows(
+            new_docs, text_col, id_col, m["num_hashes"], m["bands"], m["shingle_n"]
+        )
+    banded.withColumn("pcell", _pcell(m["n_buckets"])).repartition(
+        "pcell"
+    ).write.mode("append").partitionBy("pcell").parquet(path)
+
+
 def probe_banded_layout(
     spark: SparkSession,
     path: str,

@@ -156,3 +156,56 @@ def test_grouped_hll_within_error_bound(spark):
         assert rel < 0.45, (
             f"{r['source']}: est={r['hll_estimate']} true={r['true_distinct']}"
         )
+
+
+# ------------------------------------------ at-rest banded layout (r10)
+
+# small token alphabet => frequent shingle collisions => non-trivial
+# candidate sets under the PRODUCTION xxhash64 banding family
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=3,
+        max_size=8,
+    ).map(" ".join),
+    min_size=4,
+    max_size=14,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_doc_texts, split=st.integers(min_value=2, max_value=5))
+def test_banded_layout_probe_matches_in_memory_on_random_corpora(
+    spark, texts, split
+):
+    """Write→probe through the at-rest layout must find exactly the
+    new-vs-corpus candidate pairs the in-memory self-join finds on the
+    union, for ANY corpus/batch split — the parity the plan-pin test
+    checks on the fixture corpus, generalized over random inputs and
+    split ratios (production hash family, no portable detour)."""
+    from nbi_oedi_etl_spark.operators.banded_layout import (
+        probe_banded_layout,
+        write_banded_layout,
+    )
+    from nbi_oedi_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    corpus = docs.where(F.col("doc_id") % split != 0)
+    batch = docs.where(F.col("doc_id") % split == 0)
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "layout")
+        write_banded_layout(corpus, dest, n_buckets=8)
+        got = {
+            (r["doc_id_new"], r["doc_id_corpus"])
+            for r in probe_banded_layout(spark, dest, batch).collect()
+        }
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    want = set()
+    for r in minhash_lsh_candidates(docs).collect():
+        a, b = r["doc_id_a"], r["doc_id_b"]
+        if (a in batch_ids) != (b in batch_ids):
+            new, old = (a, b) if a in batch_ids else (b, a)
+            want.add((new, old))
+    assert got == want

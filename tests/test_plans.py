@@ -1225,6 +1225,65 @@ def test_banded_layout_probe_parity_and_partition_pruned(spark, tmp_path):
     assert len(planted) >= 2
 
 
+def test_banded_layout_cdc_probe_then_append_loop(spark, tmp_path):
+    """The full CDC loop (r10): probe each arriving batch against the
+    layout, then append the batch's band rows — every batch must see
+    all PRIOR docs as candidate partners, and the final incrementally
+    built layout must probe identically to a write-once layout of the
+    full corpus."""
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators.banded_layout import (
+        append_to_banded_layout,
+        probe_banded_layout,
+        write_banded_layout,
+    )
+    from nbi_oedi_etl_spark.operators.dedup import minhash_lsh_candidates
+    from nbi_oedi_etl_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    waves = [docs.where(F.col("doc_id") % 3 == k) for k in range(3)]
+    dest = str(tmp_path / "cdc")
+    write_banded_layout(waves[0], dest, n_buckets=16)
+
+    all_pairs: set = set()
+    seen = waves[0]
+    for wave in waves[1:]:
+        got = {
+            (r["doc_id_new"], r["doc_id_corpus"])
+            for r in probe_banded_layout(spark, dest, wave).collect()
+        }
+        wave_ids = {r["doc_id"] for r in wave.select("doc_id").collect()}
+        want = set()
+        for r in minhash_lsh_candidates(seen.unionByName(wave)).collect():
+            a, b = r["doc_id_a"], r["doc_id_b"]
+            if (a in wave_ids) != (b in wave_ids):
+                new, old = (a, b) if a in wave_ids else (b, a)
+                want.add((new, old))
+        assert got == want
+        all_pairs |= got
+        append_to_banded_layout(spark, dest, wave)
+        seen = seen.unionByName(wave)
+
+    # final state: the incrementally built layout probes identically to
+    # a write-once layout of the full corpus
+    probe_batch = docs.orderBy("doc_id").limit(3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    once = str(tmp_path / "once")
+    write_banded_layout(docs, once, n_buckets=16)
+    got_inc = sorted(
+        map(tuple, probe_banded_layout(spark, dest, probe_batch).collect())
+    )
+    got_once = sorted(
+        map(tuple, probe_banded_layout(spark, once, probe_batch).collect())
+    )
+    assert got_inc == got_once and len(got_inc) >= 3
+    assert len(all_pairs) > 0  # the loop exercised non-trivial candidates
+
+
 def test_ivf_layout_self_exclusion_native_vs_string(spark, tmp_path):
     """ADVICE r9: self-exclusion compares NATIVELY when corpus and query
     id dtypes match (exact, matches ivf_topk), falling back to string
