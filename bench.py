@@ -239,11 +239,13 @@ HEADLINE = [
     "spine_event_rank",
     "spine_global_running_value_sum",
     "spine_global_event_rank",
-    # round-10 addition, benched same-round per the freeze policy: the
+    # round-10 additions, benched same-round per the freeze policy: the
     # at-rest banded-layout twin (write-once layout memoized per session,
     # so the steady-state number is the PROBE cost — the shape users pay
-    # per CDC batch)
+    # per CDC batch) and its streaming CDC loop (3 micro-batches of
+    # probe+append, layout rebuilt per run — the full loop cost)
     "banded_layout_portable",
+    "streaming_banded_cdc_dedup",
 ]
 
 

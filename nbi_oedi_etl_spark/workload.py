@@ -2150,6 +2150,14 @@ SPECS: list[QuerySpec] = [
         wbanded.banded_layout_portable,
         wbanded.BANDED_LAYOUT_PORTABLE_ORACLE,
     ),
+    # round-10: the layout's CDC loop as a 3-micro-batch STREAM
+    # (probe each batch against the layout, append, accumulate pairs
+    # under versioned commits) — oracled via the %3 batch split.
+    QuerySpec(
+        "streaming_banded_cdc_dedup",
+        wbanded.streaming_banded_cdc_dedup,
+        wbanded.STREAMING_BANDED_CDC_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2268,11 +2276,12 @@ _POST_R9_ADDITIONS: list[str] = [
 # r5-greens.
 _R10_WINDOW: list[str] = [
     # -- 2 never-verified (registered behind the frozen r9 window) +
-    # the r10-registered at-rest banded-layout twin (never-verified by
-    # construction; displaces the last r5 refresher,
-    # classifier_calibration_bins, which returns in r11) --
+    # the 2 r10-registered banded-layout specs (never-verified by
+    # construction; displace the last 2 r5 refreshers,
+    # classifier_calibration_bins / brand_basket_rules, which return
+    # in r11) --
     "spine_global_running_value_sum", "spine_global_event_rank",
-    "banded_layout_portable",
+    "banded_layout_portable", "streaming_banded_cdc_dedup",
     # -- 19 changed-since-green (this round's similarity/skew/dedup edits) --
     "ann_recall_portable", "corpus_prep_pipeline", "embedding_ann_portable",
     "embedding_ivf_portable", "embedding_near_dup_exact_small",
@@ -2293,9 +2302,8 @@ _R10_WINDOW: list[str] = [
     "session_window_stats", "string_function_suite", "user_event_sequences",
     "variant_props_surface", "weekly_retention_cohorts",
     "weighted_mixture_sample", "weighted_reservoir_docs", "zipf_slope_tokens",
-    # -- 4 oldest r5-green refreshers (alphabetical head of the 35) --
+    # -- 3 oldest r5-green refreshers (alphabetical head of the 35) --
     "benford_first_digit", "bm25_search_ranking", "bpe_apply_merges",
-    "brand_basket_rules",
 ]
 
 # Specs registered AFTER the r10 window froze (none yet).

@@ -89,6 +89,126 @@ def banded_layout_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_banded_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded layout's CDC loop run as a STREAM: documents arrive in
+    3 deterministic micro-batches (batch k = doc_id % 3 == k, one file
+    per trigger); each batch is probed against the at-rest layout for
+    near-dup candidates among all PRIOR docs, then its band rows are
+    appended so the next batch sees it. Pairs accumulate under versioned
+    exactly-once commits (the foreachbatch_upsert discipline). The
+    drained union must equal the one-shot cross-batch pairs — later
+    batch as the "new" side — which the oracle computes directly from
+    the %3 split.
+
+    Scale: per batch the probe reads only the batch's probed pcell
+    partitions (the plan-pinned prune) and the append writes one file
+    per touched pcell; state between batches is the LAYOUT itself, not
+    driver memory.
+
+    Portable (md5) banding family throughout so the accumulated pairs
+    are value-checkable cross-engine — same trade as
+    ``minhash_lsh_portable`` vs the xxhash64 production default.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def _mod3(col):
+        # pyarrow has no mod kernel in this build; doc_id is a
+        # non-negative int64, so truncating integer division suffices
+        return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
+
+    from nbi_oedi_etl_spark.operators.banded_layout import (
+        append_to_banded_layout,
+        write_banded_layout,
+    )
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    s = ingest.scoped_streaming_session(spark)
+    src = tempfile.mkdtemp(prefix="banded_cdc_src_")
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    for k in range(3):
+        path = os.path.join(src, f"part{k}.parquet")
+        pq.write_table(
+            t.filter(pc.equal(_mod3(t.column("doc_id")), k)), path
+        )
+        os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
+
+    layout = tempfile.mkdtemp(prefix="banded_cdc_layout_") + "/layout"
+    pairs_root = tempfile.mkdtemp(prefix="banded_cdc_pairs_")
+    state = {"version": -1}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bs = batch_df.sparkSession
+        rows = _portable_band_rows(
+            ext._portable_signatures(batch_df.select("doc_id", "text"))
+        )
+        if state["version"] < 0:
+            # first batch: nothing before it — just materialize the layout
+            write_banded_layout(None, layout, n_buckets=16, banded_rows=rows)
+            pairs = bs.createDataFrame(
+                [], "doc_id_new long, doc_id_corpus long"
+            )
+        else:
+            pairs = probe_banded_layout(bs, layout, banded_rows=rows)
+            prev = bs.read.parquet(
+                os.path.join(pairs_root, f"v{state['version']}")
+            )
+            pairs = prev.unionByName(pairs).distinct()
+            append_to_banded_layout(bs, layout, banded_rows=rows)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_root, f"v{batch_id}")
+        )
+        state["version"] = batch_id
+
+    # prepared drain directory of documents-shaped files; schema pinned
+    # from the sf_dir fixture (the events_file_stream stream_dir pattern)
+    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        s.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return s.read.parquet(os.path.join(pairs_root, f"v{state['version']}"))
+
+
+# Cross-batch pairs directly from the %3 split: a doc's batch is
+# doc_id % 3, the "new" side is the LATER batch, and candidates share a
+# band's (v1, v2) slots — the same CTE chain as the layout oracle below.
+STREAMING_BANDED_CDC_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+  FROM d
+), hs AS (
+  SELECT doc_id, seed,
+         min(('0x' || substring(md5(seed::VARCHAR || '|' || s), 1, 15))::BIGINT) AS m
+  FROM sh, range(8) t(seed)
+  GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(m ORDER BY seed) AS sig FROM hs GROUP BY doc_id
+), b AS (
+  SELECT doc_id, band, sig[2*band+1] AS v1, sig[2*band+2] AS v2
+  FROM sig, range(4) t(band)
+)
+SELECT DISTINCT q.doc_id AS doc_id_new, c.doc_id AS doc_id_corpus
+FROM b q JOIN b c ON q.band = c.band AND q.v1 = c.v1 AND q.v2 = c.v2
+WHERE q.doc_id % 3 > c.doc_id % 3
+"""
+
+
 # The oracle recomputes the portable signatures (the CTE chain of
 # MINHASH_PORTABLE_ORACLE) and joins bands across the % 5 split on the
 # raw (v1, v2) slots — equal md5 band hashes ⟺ equal slots, so the
