@@ -69,12 +69,12 @@ _REPO = _os.path.dirname(_HERE)
 
 
 def test_no_per_query_regression_vs_reference():
-    """Reference refreshed to round-9 (r8 verdict task 4): the r9 bench ran
-    on a measured-quiet host (single-core probe stable, spread width 1.34×
-    min — under the 1.5× refresh bar) and covers all 172 headline queries
-    incl. the spine family; per-query median ratio vs the r7 reference was
-    1.01, so the series stays comparable. bench_reference_r7.json is kept
-    for the round-over-round audit trail."""
+    """Reference refreshed to round-10 (r9 verdict task 5 discipline): the
+    r10 bench ran quiet (spread width 1.32× min — under the 1.5× refresh
+    bar) and covers all 176 headline queries incl. the banded-layout
+    family; per-query median ratio vs the r9 reference was 0.92 with max
+    1.3, so the series stays comparable. bench_reference_r7/r9.json are
+    kept for the round-over-round audit trail."""
     detail_path = _os.path.join(_REPO, "BENCH_DETAIL.json")
     if not _os.path.exists(detail_path):
         pytest.skip("no BENCH_DETAIL.json — run bench.py first")
@@ -82,14 +82,14 @@ def test_no_per_query_regression_vs_reference():
         detail = _json.load(f)
     if detail.get("sf") != 0.1:
         pytest.skip("BENCH_DETAIL.json is not an sf0.1 run")
-    with open(_os.path.join(_HERE, "bench_reference_r9.json")) as f:
+    with open(_os.path.join(_HERE, "bench_reference_r10.json")) as f:
         ref = _json.load(f)["queries"]
     regressions = []
     for name, ref_sec in ref.items():
         cur = detail["queries"].get(name)
-        if cur is None:  # renamed/retired since r9 — rotation handles it
+        if cur is None:  # renamed/retired since r10 — rotation handles it
             continue
         budget = max(3.0 * ref_sec, 5.0)
         if cur > budget:
-            regressions.append(f"{name}: {cur:.2f}s vs r9 {ref_sec:.2f}s (>{budget:.1f}s)")
-    assert not regressions, "per-query bench regressions vs round-9:\n" + "\n".join(regressions)
+            regressions.append(f"{name}: {cur:.2f}s vs r10 {ref_sec:.2f}s (>{budget:.1f}s)")
+    assert not regressions, "per-query bench regressions vs round-10:\n" + "\n".join(regressions)
