@@ -68,9 +68,12 @@ def _scan_files_read(df, layout: str) -> int:
 
 
 def main() -> int:
+    global FACTOR
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
+    ap.add_argument("--factor", type=int, default=FACTOR)
     args = ap.parse_args()
+    FACTOR = args.factor
 
     from pyspark.sql import functions as F
 

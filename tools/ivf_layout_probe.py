@@ -109,9 +109,12 @@ def _probe_once(spark, layout, queries_df, cent):
 
 
 def main() -> int:
+    global FACTOR
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
+    ap.add_argument("--factor", type=int, default=FACTOR)
     args = ap.parse_args()
+    FACTOR = args.factor
 
     from pyspark.sql import functions as F
 
