@@ -246,6 +246,9 @@ HEADLINE = [
     # probe+append, layout rebuilt per run — the full loop cost)
     "banded_layout_portable",
     "streaming_banded_cdc_dedup",
+    # registered behind the frozen r10 window (_POST_R10_ADDITIONS),
+    # benched same-round: concat-and-cut training-sequence packing
+    "corpus_pack_sequences",
 ]
 
 

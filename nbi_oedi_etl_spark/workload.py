@@ -1799,6 +1799,7 @@ from nbi_oedi_etl_spark import workload_ext30 as ext30
 from nbi_oedi_etl_spark import workload_ext31 as ext31
 from nbi_oedi_etl_spark import workload_ext32 as ext32
 from nbi_oedi_etl_spark import workload_ext33 as ext33
+from nbi_oedi_etl_spark import workload_ext34 as ext34
 from nbi_oedi_etl_spark import workload_banded as wbanded
 from nbi_oedi_etl_spark import workload_spine as wspine
 from nbi_oedi_etl_spark import workload_tpch as tpch
@@ -2158,6 +2159,15 @@ SPECS: list[QuerySpec] = [
         wbanded.streaming_banded_cdc_dedup,
         wbanded.STREAMING_BANDED_CDC_ORACLE,
     ),
+    # round-10, registered BEHIND the frozen r10 window (the documented
+    # overflow path): concat-and-cut training-sequence packing — the
+    # LLM-pipeline step between chunking and shard assignment. Benched
+    # same-round; enters the r11 window head via _POST_R10_ADDITIONS.
+    QuerySpec(
+        "corpus_pack_sequences",
+        ext34.corpus_pack_sequences,
+        ext34.PACK_SEQUENCES_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2306,8 +2316,9 @@ _R10_WINDOW: list[str] = [
     "benford_first_digit", "bm25_search_ranking", "bpe_apply_merges",
 ]
 
-# Specs registered AFTER the r10 window froze (none yet).
-_POST_R10_ADDITIONS: list[str] = []
+# Specs registered AFTER the r10 window froze — benched same-round per
+# the freeze policy; they head the r11 window.
+_POST_R10_ADDITIONS: list[str] = ["corpus_pack_sequences"]
 
 # Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [
