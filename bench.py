@@ -249,6 +249,7 @@ HEADLINE = [
     # registered behind the frozen r10 window (_POST_R10_ADDITIONS),
     # benched same-round: concat-and-cut training-sequence packing
     "corpus_pack_sequences",
+    "corpus_pack_slices",
 ]
 
 

@@ -2168,6 +2168,11 @@ SPECS: list[QuerySpec] = [
         ext34.corpus_pack_sequences,
         ext34.PACK_SEQUENCES_ORACLE,
     ),
+    QuerySpec(
+        "corpus_pack_slices",
+        ext34.corpus_pack_slices,
+        ext34.PACK_SLICES_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2318,7 +2323,7 @@ _R10_WINDOW: list[str] = [
 
 # Specs registered AFTER the r10 window froze — benched same-round per
 # the freeze policy; they head the r11 window.
-_POST_R10_ADDITIONS: list[str] = ["corpus_pack_sequences"]
+_POST_R10_ADDITIONS: list[str] = ["corpus_pack_sequences", "corpus_pack_slices"]
 
 # Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [

@@ -67,6 +67,92 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed sequences' PAYLOADS: one row per (doc, sequence) pair
+    with the doc's token slice that lands in that sequence — what a
+    training-data writer would actually emit, grouped downstream by
+    (source, seq_id) to assemble each fixed-budget example. A doc
+    spanning k sequences explodes into k rows (k is ceil(n_tokens/L)+1
+    at most — almost always 1); the explode is a narrow map over the
+    same single-shuffle cumsum plan as ``corpus_pack_sequences``.
+
+    Slice bounds are TOKEN indices into the whitespace split, 0-based
+    half-open here, mapped to the engines' 1-based inclusive slice
+    primitives identically on both sides.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    d = d.where(F.col("text").isNotNull() & (F.trim(F.col("text")) != "")).select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("first_seq", F.floor(F.col("cum_before") / PACK_TOKENS)).withColumn(
+        "last_seq",
+        F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / PACK_TOKENS),
+    )
+    e = d.select(
+        "doc_id",
+        "source",
+        "toks",
+        "n_tokens",
+        "cum_before",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    start_tok = F.greatest(
+        F.lit(0), F.col("seq_id") * PACK_TOKENS - F.col("cum_before")
+    )
+    end_tok = F.least(
+        F.col("n_tokens"), (F.col("seq_id") + 1) * PACK_TOKENS - F.col("cum_before")
+    )
+    return e.select(
+        "source",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (end_tok - start_tok).cast("long").alias("slice_tokens"),
+        F.concat_ws(
+            " ", F.slice("toks", (start_tok + 1).cast("int"), (end_tok - start_tok).cast("int"))
+        ).alias("slice_text"),
+    )
+
+
+PACK_SLICES_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+), e AS (
+  SELECT doc_id, source, toks, n_tokens, cum_before,
+         unnest(range(CAST(floor(cum_before / {PACK_TOKENS}) AS BIGINT),
+                      CAST(floor((cum_before + n_tokens - 1) / {PACK_TOKENS}) AS BIGINT) + 1))
+           AS seq_id
+  FROM c
+), b AS (
+  SELECT *, greatest(0, seq_id * {PACK_TOKENS} - cum_before) AS start_tok,
+         least(n_tokens, (seq_id + 1) * {PACK_TOKENS} - cum_before) AS end_tok
+  FROM e
+)
+SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(end_tok - start_tok AS BIGINT) AS slice_tokens,
+       array_to_string(list_slice(toks, CAST(start_tok + 1 AS BIGINT),
+                                  CAST(end_tok AS BIGINT)), ' ') AS slice_text
+FROM b
+"""
+
+
 PACK_SEQUENCES_ORACLE = rf"""
 WITH d AS (
   SELECT doc_id, source,
