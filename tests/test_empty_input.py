@@ -41,6 +41,11 @@ _REPRESENTATIVES = [
     # partition dirs; the probe must read it with the batch's band-row
     # schema instead of failing parquet schema inference
     "banded_layout_portable",
+    # round 10: concat-and-cut packing — the zero-token exclusion and
+    # the COALESCE'd cumsum must degrade to an empty frame, and the
+    # slice explode must not divide-by-zero on an empty stream
+    "corpus_pack_sequences",
+    "corpus_pack_slices",
     # round 5: mapInPandas codec path on a 0-row documents table
     "multimodal_jpeg_features",
     # round 5: heartbeat sentinels must synthesize template rows when the
