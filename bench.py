@@ -250,6 +250,7 @@ HEADLINE = [
     # benched same-round: concat-and-cut training-sequence packing
     "corpus_pack_sequences",
     "corpus_pack_slices",
+    "corpus_pack_sequences_global",
 ]
 
 

@@ -2173,6 +2173,11 @@ SPECS: list[QuerySpec] = [
         ext34.corpus_pack_slices,
         ext34.PACK_SLICES_ORACLE,
     ),
+    QuerySpec(
+        "corpus_pack_sequences_global",
+        ext34.corpus_pack_sequences_global,
+        ext34.PACK_SEQUENCES_GLOBAL_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2323,7 +2328,11 @@ _R10_WINDOW: list[str] = [
 
 # Specs registered AFTER the r10 window froze — benched same-round per
 # the freeze policy; they head the r11 window.
-_POST_R10_ADDITIONS: list[str] = ["corpus_pack_sequences", "corpus_pack_slices"]
+_POST_R10_ADDITIONS: list[str] = [
+    "corpus_pack_sequences",
+    "corpus_pack_slices",
+    "corpus_pack_sequences_global",
+]
 
 # Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [

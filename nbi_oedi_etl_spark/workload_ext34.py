@@ -122,6 +122,65 @@ def corpus_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL (single-stream) packing: one corpus-wide training stream
+    cut every ``PACK_TOKENS`` tokens, with NO shard key to parallelize
+    on — exactly the un-keyed-window wall (`Window.orderBy` moves every
+    row through one task), so the cumsum runs through
+    ``operators/skew.global_running_sum_two_pass`` (the bucket-offset
+    two-pass prefix sum; doc_id is the "time" axis, 1000-id buckets the
+    parallelism unit). Same output contract as the per-source form minus
+    the shard column. The RANGE-frame running sum is INCLUSIVE of the
+    current doc; cum_before subtracts the doc's own tokens — exact
+    because doc_id is unique (no RANGE ties).
+    """
+    from nbi_oedi_etl_spark.operators.skew import global_running_sum_two_pass
+
+    d = read_table(spark, sf_dir, "documents")
+    d = d.where(F.col("text").isNotNull() & (F.trim(F.col("text")) != "")).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    out = global_running_sum_two_pass(
+        d, ts_col="doc_id", value_col="n_tokens", bucket_seconds=1000.0,
+        out_col="cum_incl",
+    )
+    cum_before = (F.col("cum_incl") - F.col("n_tokens")).cast("long")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(cum_before / PACK_TOKENS).alias("seq_id"),
+        (cum_before % PACK_TOKENS).alias("offset_in_seq"),
+        (
+            F.floor((cum_before + F.col("n_tokens") - 1) / PACK_TOKENS)
+            - F.floor(cum_before / PACK_TOKENS)
+            + 1
+        ).alias("seq_span"),
+    )
+
+
+PACK_SEQUENCES_GLOBAL_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(cum_before / {PACK_TOKENS}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_TOKENS} AS BIGINT) AS offset_in_seq,
+       CAST(floor((cum_before + n_tokens - 1) / {PACK_TOKENS})
+            - floor(cum_before / {PACK_TOKENS}) + 1 AS BIGINT) AS seq_span
+FROM c
+"""
+
+
 PACK_SLICES_ORACLE = rf"""
 WITH d AS (
   SELECT doc_id, source,
