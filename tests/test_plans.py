@@ -1284,6 +1284,58 @@ def test_banded_layout_cdc_probe_then_append_loop(spark, tmp_path):
     assert len(all_pairs) > 0  # the loop exercised non-trivial candidates
 
 
+def test_banded_layout_partition_compaction_preserves_probe(spark, tmp_path):
+    """The maintenance composition the append docstring promises: after
+    N appends a pcell holds N files; compacting one partition directory
+    with ``sources.sinks.compact_parquet`` (into a sibling dir swap)
+    must leave probe results identical and cut the file count."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators.banded_layout import (
+        append_to_banded_layout,
+        probe_banded_layout,
+        write_banded_layout,
+    )
+    from nbi_oedi_etl_spark.sources import read_table
+    from nbi_oedi_etl_spark.sources.sinks import compact_parquet
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    dest = str(tmp_path / "layout")
+    write_banded_layout(docs.where(F.col("doc_id") % 3 == 0), dest, n_buckets=8)
+    for k in (1, 2):
+        append_to_banded_layout(spark, dest, docs.where(F.col("doc_id") % 3 == k))
+
+    batch = docs.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    before = sorted(map(tuple, probe_banded_layout(spark, dest, batch).collect()))
+
+    # compact the most fragmented pcell dir (3 appends -> up to 3 files)
+    pdirs = [
+        os.path.join(dest, d) for d in os.listdir(dest) if d.startswith("pcell=")
+    ]
+    frag = max(
+        pdirs, key=lambda d: len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    )
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_before >= 2, "appends should have fragmented at least one pcell"
+    tmp_out = str(tmp_path / "compacted")
+    compact_parquet(spark, frag, tmp_out)
+    shutil.rmtree(frag)
+    shutil.move(tmp_out, frag)
+    os.remove(os.path.join(frag, "_SUCCESS"))
+    n_after = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_after < n_before
+
+    after = sorted(map(tuple, probe_banded_layout(spark, dest, batch).collect()))
+    assert after == before and len(after) >= 2
+
+
 def test_ivf_layout_self_exclusion_native_vs_string(spark, tmp_path):
     """ADVICE r9: self-exclusion compares NATIVELY when corpus and query
     id dtypes match (exact, matches ivf_topk), falling back to string
