@@ -251,6 +251,7 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_pack_slices",
     "corpus_pack_sequences_global",
+    "source_token_budget_cap",
 ]
 
 

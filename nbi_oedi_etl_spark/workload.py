@@ -2178,6 +2178,11 @@ SPECS: list[QuerySpec] = [
         ext34.corpus_pack_sequences_global,
         ext34.PACK_SEQUENCES_GLOBAL_ORACLE,
     ),
+    QuerySpec(
+        "source_token_budget_cap",
+        ext34.source_token_budget_cap,
+        ext34.SOURCE_BUDGET_CAP_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2332,6 +2337,7 @@ _POST_R10_ADDITIONS: list[str] = [
     "corpus_pack_sequences",
     "corpus_pack_slices",
     "corpus_pack_sequences_global",
+    "source_token_budget_cap",
 ]
 
 # Retained for the rotation audit trail (round-7 window).

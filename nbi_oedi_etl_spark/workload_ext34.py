@@ -159,6 +159,69 @@ def corpus_pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-source token budget for the mixture-fill selection.
+SOURCE_TOKEN_BUDGET = 10_000
+
+
+def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction under token budgets: per source, walk the
+    docs in deterministic-shuffle order (md5 of doc_id — an unbiased
+    sample order that every engine reproduces) and keep docs until the
+    source's token budget fills. The doc that CROSSES the boundary is
+    kept (concat-style fill: budgets bound the stream cut, not the doc
+    list), so every source with any tokens contributes at least one doc.
+
+    This is the selection step upstream of ``weighted_mixture_sample``
+    (which reweights by count) when the mixture is specified in TOKENS —
+    how LLM data recipes are actually written. One keyed window cumsum,
+    single shuffle; the same hot-source note as the packing specs.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    d = d.where(F.col("text").isNotNull() & (F.trim(F.col("text")) != "")).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.withColumn("cum_before", cum_before.cast("long"))
+        .where(F.col("cum_before") < SOURCE_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "cum_before",
+        )
+    )
+
+
+SOURCE_BUDGET_CAP_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_before AS BIGINT) AS cum_before
+FROM c
+WHERE cum_before < {SOURCE_TOKEN_BUDGET}
+"""
+
+
 PACK_SEQUENCES_GLOBAL_ORACLE = rf"""
 WITH d AS (
   SELECT doc_id,
