@@ -15,13 +15,37 @@ Reference parity: no reference analogue (§2.12 extension).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nbi_oedi_etl_spark.operators.skew import keyed_cumsum
 from nbi_oedi_etl_spark.sources import read_table
 
 #: Fixed token budget per training sequence.
 PACK_TOKENS = 2048
+
+#: Bucket width (in doc_id units) for the two-pass packing cumsum — the
+#: parallelism unit when a source is hot enough to dispatch off the
+#: naive window (see ``_doc_id_bucket``).
+PACK_BUCKET_DOCS = 1_000
+
+
+def _doc_id_bucket() -> Column:
+    """Monotone bucketizer for the doc_id-ordered packing cumsums:
+    ``floor(doc_id / PACK_BUCKET_DOCS)`` — non-decreasing in doc_id by
+    construction, so the two-pass spine's earlier-bucket prefix is exact
+    (the ``keyed_cumsum_two_pass`` caller contract)."""
+    return F.floor(F.col("doc_id") / PACK_BUCKET_DOCS)
+
+
+def _hash_prefix_bucket(hex_col: str = "h", chars: int = 2) -> Column:
+    """Monotone bucketizer for an md5-hex shuffle order: the first
+    ``chars`` hex digits as an integer (256 buckets at 2). Hex digits
+    0-9a-f sort identically by ASCII and by numeric value, so the bucket
+    is non-decreasing in the (h, doc_id) lexicographic order — a hot
+    source's budget walk spreads over its non-empty hash-prefix buckets
+    instead of one task."""
+    return F.conv(F.substring(F.col(hex_col), 1, chars), 16, 10).cast("long")
 
 
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,11 +57,14 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     token offset there, and how many sequences it spans (a doc larger
     than the budget legitimately spans several).
 
-    Plan/scale: one keyed window cumsum (RANGE-equivalent ROWS frame on
-    a unique key) — map-side token counting, single shuffle on
-    ``source``. A hot source is exactly the regime
-    ``operators/skew.running_sum`` two-passes; at testdata cardinality
-    the naive keyed window is the right plan. Zero-token docs (null or
+    Plan/scale: the cumsum routes through ``operators/skew.keyed_cumsum``
+    (VERDICT r10 task 2) — ``source`` is a LOW-cardinality key (a handful
+    of values in any real mixture recipe), so below the measured ~1M
+    rows/key crossover the naive keyed window runs (one shuffle on
+    ``source``, map-side token counting), and a hot source dispatches to
+    the two-pass spine bucketed by doc_id range
+    (``floor(doc_id/PACK_BUCKET_DOCS)``) so its stream spreads over
+    buckets instead of one task. Zero-token docs (null or
     whitespace-only text) are excluded — they contribute nothing to the
     stream and would otherwise alias their neighbor's offset.
     """
@@ -47,12 +74,11 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    d = keyed_cumsum(
+        d, "source", ["doc_id"], _doc_id_bucket(), "n_tokens",
+        out_col="cum_before", include_current=False,
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    cum_before = F.col("cum_before")
     return d.select(
         "doc_id",
         "source",
@@ -74,7 +100,9 @@ def corpus_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, seq_id) to assemble each fixed-budget example. A doc
     spanning k sequences explodes into k rows (k is ceil(n_tokens/L)+1
     at most — almost always 1); the explode is a narrow map over the
-    same single-shuffle cumsum plan as ``corpus_pack_sequences``.
+    same skew-dispatched cumsum plan as ``corpus_pack_sequences``
+    (``skew.keyed_cumsum``, doc_id-range buckets; the probe's key-pruned
+    aggregate never materializes the ``toks`` array).
 
     Slice bounds are TOKEN indices into the whitespace split, 0-based
     half-open here, mapped to the engines' 1-based inclusive slice
@@ -86,14 +114,11 @@ def corpus_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
     ).withColumn("n_tokens", F.size("toks"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    d = keyed_cumsum(
+        d, "source", ["doc_id"], _doc_id_bucket(), "n_tokens",
+        out_col="cum_before", include_current=False,
     )
-    d = d.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    ).withColumn("first_seq", F.floor(F.col("cum_before") / PACK_TOKENS)).withColumn(
+    d = d.withColumn("first_seq", F.floor(F.col("cum_before") / PACK_TOKENS)).withColumn(
         "last_seq",
         F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / PACK_TOKENS),
     )
@@ -173,8 +198,11 @@ def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the selection step upstream of ``weighted_mixture_sample``
     (which reweights by count) when the mixture is specified in TOKENS —
-    how LLM data recipes are actually written. One keyed window cumsum,
-    single shuffle; the same hot-source note as the packing specs.
+    how LLM data recipes are actually written. The cumsum routes through
+    ``skew.keyed_cumsum`` like the packing specs, bucketed by the md5
+    hash prefix (``conv(substring(h,1,2),16,10)`` — monotone in the
+    (h, doc_id) walk order), so a hot source's budget walk spreads over
+    256 hash-prefix buckets instead of one task at scale.
     """
     d = read_table(spark, sf_dir, "documents")
     d = d.where(F.col("text").isNotNull() & (F.trim(F.col("text")) != "")).select(
@@ -183,14 +211,12 @@ def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    d = keyed_cumsum(
+        d, "source", ["h", "doc_id"], _hash_prefix_bucket("h"), "n_tokens",
+        out_col="__cum", include_current=False,
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (
-        d.withColumn("cum_before", cum_before.cast("long"))
+        d.withColumn("cum_before", F.col("__cum").cast("long")).drop("__cum")
         .where(F.col("cum_before") < SOURCE_TOKEN_BUDGET)
         .select(
             "doc_id",

@@ -742,3 +742,180 @@ def test_spine_oracles_agree_cross_engine_on_null_timestamps(spark, tmp_path):
         assert_oracle_match(
             specs[n].fn(spark, str(tmp_path)), con, specs[n].oracle
         )
+
+
+# ---- generalized keyed cumsum (VERDICT r10 task 2) --------------------
+
+
+def _cumsum_rows(df):
+    return sorted(
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+
+
+def test_keyed_cumsum_two_pass_matches_naive_doc_id_order(spark):
+    """The packing bucketizer (floor(doc_id/N)) over the real documents
+    table: two-pass == naive for both inclusive and exclusive frames."""
+    from nbi_oedi_etl_spark.operators.skew import (
+        keyed_cumsum_two_pass,
+        naive_keyed_cumsum,
+    )
+    from nbi_oedi_etl_spark.workload_ext34 import _doc_id_bucket
+
+    d = (
+        read_table(spark, SF_SMALL, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", F.length("text").alias("v"))
+    )
+    for inc in (True, False):
+        a = naive_keyed_cumsum(
+            d, "source", ["doc_id"], "v", out_col="c", include_current=inc
+        )
+        # bucket width 7 forces many buckets even at sf0.001
+        b = keyed_cumsum_two_pass(
+            d, "source", ["doc_id"], F.floor(F.col("doc_id") / 7), "v",
+            out_col="c", include_current=inc,
+        )
+        assert _cumsum_rows(a) == _cumsum_rows(b)
+    # and with the shipped production bucketizer
+    b = keyed_cumsum_two_pass(
+        d, "source", ["doc_id"], _doc_id_bucket(), "v",
+        out_col="c", include_current=False,
+    )
+    a = naive_keyed_cumsum(
+        d, "source", ["doc_id"], "v", out_col="c", include_current=False
+    )
+    assert _cumsum_rows(a) == _cumsum_rows(b)
+
+
+def test_keyed_cumsum_two_pass_matches_naive_hash_order(spark):
+    """The budget-cap walk order (md5 hex, doc_id) with the hash-prefix
+    bucketizer: hex-prefix buckets must be monotone in the (h, doc_id)
+    lexicographic order — the caller contract, pinned on real data."""
+    from nbi_oedi_etl_spark.operators.skew import (
+        keyed_cumsum_two_pass,
+        naive_keyed_cumsum,
+    )
+    from nbi_oedi_etl_spark.workload_ext34 import _hash_prefix_bucket
+
+    d = (
+        read_table(spark, SF_SMALL, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+            F.lit(3).alias("v"),
+        )
+    )
+    # chars=1 → 16 buckets: plenty of cross-bucket traffic at sf0.001
+    for chars in (1, 2):
+        a = naive_keyed_cumsum(
+            d, "source", ["h", "doc_id"], "v", out_col="c", include_current=False
+        )
+        b = keyed_cumsum_two_pass(
+            d, "source", ["h", "doc_id"], _hash_prefix_bucket("h", chars), "v",
+            out_col="c", include_current=False,
+        )
+        assert _cumsum_rows(a) == _cumsum_rows(b)
+
+
+def test_keyed_cumsum_matches_naive_on_hot_source_corpus(spark):
+    """One source holding 90% of rows — the regime the dispatch exists
+    for. Values must be identical naive vs two-pass."""
+    from nbi_oedi_etl_spark.operators.skew import (
+        keyed_cumsum_two_pass,
+        naive_keyed_cumsum,
+    )
+
+    n = 4000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold"), (F.col("id") % 5).cast("string"))
+        ).alias("source"),
+        (F.col("id") % 37 + 1).alias("v"),
+    )
+    a = naive_keyed_cumsum(
+        d, "source", ["doc_id"], "v", out_col="c", include_current=False
+    )
+    b = keyed_cumsum_two_pass(
+        d, "source", ["doc_id"], F.floor(F.col("doc_id") / 100), "v",
+        out_col="c", include_current=False,
+    )
+    assert _cumsum_rows(a) == _cumsum_rows(b)
+
+
+def test_keyed_cumsum_front_door_dispatch_both_ways(spark):
+    """keyed_cumsum dispatches naive below the crossover, two-pass
+    at/above it, with identical values either way (sessionize pattern)."""
+    from nbi_oedi_etl_spark.operators import skew
+
+    d = (
+        read_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "source", F.length("text").alias("v"))
+    )
+    bucket = F.floor(F.col("doc_id") / 7)
+
+    def shape(df):
+        return "__bucket" in df._jdf.queryExecution().executedPlan().toString()
+
+    naive = skew.keyed_cumsum(
+        d, "source", ["doc_id"], bucket, "v", out_col="c", include_current=False
+    )
+    assert not shape(naive)  # sf0.001 hot source is far below 1M rows
+    spine = skew.keyed_cumsum(
+        d, "source", ["doc_id"], bucket, "v", out_col="c",
+        include_current=False, crossover=1,
+    )
+    assert shape(spine)
+    assert _cumsum_rows(naive) == _cumsum_rows(spine)
+    # max_rows_per_key skips the probe and steers the dispatch
+    assert not shape(
+        skew.keyed_cumsum(d, "source", ["doc_id"], bucket, "v", max_rows_per_key=10)
+    )
+    assert shape(
+        skew.keyed_cumsum(d, "source", ["doc_id"], bucket, "v", max_rows_per_key=10**9)
+    )
+
+
+def test_keyed_cumsum_plan_never_partitions_facts_by_key_alone(spark):
+    """Structural pin of the scale property for the generalized form:
+    fact windows partition on (key, __bucket); the only key-alone window
+    is the spine's prefix over bucket-grain totals."""
+    from nbi_oedi_etl_spark.operators.skew import keyed_cumsum_two_pass
+
+    d = (
+        read_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "source", F.length("text").alias("v"))
+    )
+    df = keyed_cumsum_two_pass(
+        d, "source", ["doc_id"], F.floor(F.col("doc_id") / 7), "v",
+        out_col="c", include_current=False, broadcast_spine=True,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = _window_partition_specs(plan)
+    assert windows, plan
+    fact_windows = [ln for spec, ln in windows if "__bucket" in spec]
+    spine_windows = [ln for spec, ln in windows if "__bucket" not in spec]
+    assert fact_windows, plan
+    assert spine_windows, plan
+    for ln in spine_windows:
+        assert "__total" in ln, ln
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_keyed_cumsum_rejects_colliding_columns(spark):
+    import pytest as _pytest
+
+    from nbi_oedi_etl_spark.operators.skew import keyed_cumsum_two_pass
+
+    d = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        F.lit(1).alias("v"),
+        F.lit(0).alias("__prefix"),
+    )
+    with _pytest.raises(ValueError, match="__prefix"):
+        keyed_cumsum_two_pass(
+            d, "source", ["doc_id"], F.floor(F.col("doc_id") / 7), "v"
+        )
