@@ -252,6 +252,10 @@ HEADLINE = [
     "corpus_pack_slices",
     "corpus_pack_sequences_global",
     "source_token_budget_cap",
+    # round-11 (VERDICT r10 task 5): the xxhash64 production-family CDC
+    # twin at the portable twin's banding geometry — the per-round
+    # portable-vs-production hashing premium is the ratio of these two
+    "streaming_banded_cdc_dedup_production",
 ]
 
 

@@ -108,6 +108,33 @@ def write_banded_layout(
     ``external_banding`` and probes must supply matching ``banded_rows``
     too."""
     external = banded_rows is not None
+    meta = {
+        "external_banding": external,
+        "num_hashes": None if external else num_hashes,
+        "bands": None if external else bands,
+        "shingle_n": None if external else shingle_n,
+        "n_buckets": n_buckets,
+    }
+    if mode == "append":
+        # An append into an existing layout MUST be the same banding
+        # family: the old behavior rewrote the sidecar with the new
+        # call's parameters, silently mixing two incompatible bandings
+        # under one sidecar describing only the newer (ADVICE r10).
+        # ``append_to_banded_layout`` embodies the safe contract (it
+        # reads the sidecar and bands with ITS parameters); here we
+        # fail loudly on mismatch instead of guessing.
+        try:
+            existing = _read_meta(df.sparkSession if df is not None
+                                  else banded_rows.sparkSession, dest)
+        except Exception:
+            existing = None  # fresh dest: append behaves like a first write
+        if existing is not None and existing != meta:
+            raise ValueError(
+                f"append into {dest!r} with mismatched banding parameters: "
+                f"layout sidecar {existing} != requested {meta}; use "
+                f"append_to_banded_layout to band with the layout's own "
+                f"parameters, or write to a new dest"
+            )
     banded = (
         banded_rows
         if external
@@ -122,17 +149,7 @@ def write_banded_layout(
     banded.withColumn("pcell", _pcell(n_buckets)).repartition("pcell").write.mode(
         mode
     ).partitionBy("pcell").parquet(dest)
-    _write_meta(
-        banded.sparkSession,
-        dest,
-        {
-            "external_banding": external,
-            "num_hashes": None if external else num_hashes,
-            "bands": None if external else bands,
-            "shingle_n": None if external else shingle_n,
-            "n_buckets": n_buckets,
-        },
-    )
+    _write_meta(banded.sparkSession, dest, meta)
 
 
 def append_to_banded_layout(

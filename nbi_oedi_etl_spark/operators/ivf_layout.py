@@ -69,6 +69,12 @@ def write_ivf_layout(
     return cent_unit
 
 
+#: Hard cap on the driver-collected probe batch — well past broadcast
+#: scale (1M × a few-hundred-double embedding would already be GBs);
+#: the guard exists to make a contract violation loud, not to tune.
+_MAX_PROBE_BATCH_ROWS = 1_000_000
+
+
 def probe_ivf_layout(
     spark: SparkSession,
     path: str,
@@ -99,7 +105,19 @@ def probe_ivf_layout(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
     )
-    rows = q_src.collect()  # broadcast-sized by contract (as in ivf_topk)
+    # Broadcast-sized by contract (as in ivf_topk) — but a caller
+    # violating the contract previously got a driver OOM. Collect through
+    # limit(cap+1): same single job, and row cap+1's presence is the loud
+    # contract-violation signal before anything unbounded materializes
+    # (ADVICE r10; the limit stops task output at cap+1 rows, so even the
+    # violating job ships bounded data to the driver).
+    rows = q_src.limit(_MAX_PROBE_BATCH_ROWS + 1).collect()
+    if len(rows) > _MAX_PROBE_BATCH_ROWS:
+        raise ValueError(
+            f"probe_ivf_layout query batch exceeds {_MAX_PROBE_BATCH_ROWS} "
+            f"rows — the batch is collected driver-side by contract; split "
+            f"it into smaller batches or use ivf_topk's distributed path"
+        )
     if rows:
         mat = np.asarray([r["q_emb"] for r in rows], dtype=np.float64)
         cells = probe_cells(mat, cent_unit, n_probe)

@@ -178,13 +178,27 @@ def ingest_untrusted_records(
             # replaces; ignore-on-existing short-circuited above)
             pre_rows = _dest_row_count(spark, dest) if mode == "append" else 0
             obs = Observation("ingest_untrusted_records")
-            write_parquet(
-                clean.observe(obs, F.count(F.lit(1)).alias("rows")),
-                dest,
-                partition_by=partition_by,
-                mode=mode,
-            )
-            rows_clean = int(obs.get["rows"])
+            # Check-then-act race (ADVICE r10): dest may be created by a
+            # concurrent writer between _dest_exists and this write, and
+            # SaveMode.Ignore's no-op fills the observation with ZEROS on
+            # this Spark build — a silently wrong report. On a fresh dest
+            # 'ignore' behaves exactly like 'error': write with 'error'
+            # and translate a lost race into the skip behavior (count the
+            # clean rows directly, rows_written=0).
+            try:
+                write_parquet(
+                    clean.observe(obs, F.count(F.lit(1)).alias("rows")),
+                    dest,
+                    partition_by=partition_by,
+                    mode="error" if mode == "ignore" else mode,
+                )
+                rows_clean = int(obs.get["rows"])
+            except Exception as e:
+                if mode == "ignore" and "ALREADY_EXISTS" in str(e).upper():
+                    skip_write = True
+                    rows_clean = int(clean.count())
+                else:
+                    raise
         # compact the malformed rows out of the full-width cache (populated
         # by the write/count job), then free the cache — only the small
         # quarantine frame survives in executor storage

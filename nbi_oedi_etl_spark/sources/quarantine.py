@@ -38,28 +38,39 @@ _FILE_FORMATS = ("parquet", "orc")
 _URI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
 
-#: Cap on serial driver-side footer probes during schema discovery — a
-#: mostly-corrupt directory previously cost O(files) driver round-trips
-#: before erroring (VERDICT r9 task 6).
+#: Default cap on serial driver-side footer probes during schema
+#: discovery — a mostly-corrupt directory previously cost O(files)
+#: driver round-trips before erroring (VERDICT r9 task 6). Callers with
+#: known mostly-corrupt listings can raise it per call via the
+#: ``max_probes`` parameter threaded through the public APIs (ADVICE
+#: r10: the cap is a parameter, not a module constant to monkeypatch).
 _MAX_SCHEMA_PROBES = 16
 
 
-def _probe_schema(spark: SparkSession, paths: list[str], fmt: str = "parquet"):
+def _probe_schema(
+    spark: SparkSession,
+    paths: list[str],
+    fmt: str = "parquet",
+    max_probes: int = _MAX_SCHEMA_PROBES,
+):
     # Schema inference reads EVERY footer and fails before
     # ignoreCorruptFiles can apply at task level — probe a BOUNDED,
     # evenly-spaced sample of the listing for one readable footer and
     # scan with that explicit schema instead. The sample always includes
     # the first and last path; a listing whose only readable files all
     # fall between sample points now fails loudly with the probe count
-    # instead of being found by an O(files) serial crawl — re-list with
-    # fewer corrupt files or probe a readable file directly.
+    # instead of being found by an O(files) serial crawl — retry with a
+    # larger ``max_probes`` (the error says so) or probe a readable file
+    # directly.
     if fmt not in _FILE_FORMATS:
         raise ValueError(f"unsupported columnar format: {fmt!r} {_FILE_FORMATS}")
-    if len(paths) <= _MAX_SCHEMA_PROBES:
+    if max_probes < 2:
+        raise ValueError(f"max_probes must be >= 2, got {max_probes}")
+    if len(paths) <= max_probes:
         sample = list(paths)
     else:
-        step = (len(paths) - 1) / (_MAX_SCHEMA_PROBES - 1)
-        sample = [paths[round(i * step)] for i in range(_MAX_SCHEMA_PROBES)]
+        step = (len(paths) - 1) / (max_probes - 1)
+        sample = [paths[round(i * step)] for i in range(max_probes)]
     for p in sample:
         try:
             return spark.read.format(fmt).load(p).schema
@@ -67,8 +78,22 @@ def _probe_schema(spark: SparkSession, paths: list[str], fmt: str = "parquet"):
             continue
     raise ValueError(
         f"no readable {fmt} footer among {len(sample)} probed of "
-        f"{len(paths)} listed files (probe cap {_MAX_SCHEMA_PROBES})"
+        f"{len(paths)} listed files (probe cap {max_probes}; retry with "
+        f"a larger max_probes if readable files may sit between sample "
+        f"points)"
     )
+
+
+def _observation_filled(obs) -> bool | None:
+    """Whether an Observation's action actually ran: True/False via the
+    non-public JVM probe (classic mode), None when the probe is
+    unavailable (Spark Connect). Callers use this to avoid blocking
+    forever on ``obs.get`` after a write that may have been a
+    SaveMode.Ignore no-op (ADVICE r10: the exists-then-write race)."""
+    try:
+        return not obs._jo.getRowOrEmpty().isEmpty()
+    except Exception:
+        return None
 
 
 def _normalize(path: str) -> str:
@@ -132,13 +157,9 @@ class LazyQuarantineReport:
         self._readable: list[str] | None = None
 
     def _observation_filled(self) -> bool:
-        try:
-            # Non-public JVM probe (classic mode); absent under Spark
-            # Connect, where this returns False and the trusted path
-            # below degrades to one redundant-but-correct count().
-            return not self._obs._jo.getRowOrEmpty().isEmpty()
-        except Exception:
-            return False
+        # None (probe unavailable) degrades to one redundant-but-correct
+        # count() below, same as False.
+        return _observation_filled(self._obs) is True
 
     def _files(self) -> list[str]:
         if self._obs is not None:
@@ -182,7 +203,12 @@ class LazyQuarantineReport:
         return self
 
 
-def _quarantine_scan(spark: SparkSession, paths: list[str], fmt: str) -> DataFrame:
+def _quarantine_scan(
+    spark: SparkSession,
+    paths: list[str],
+    fmt: str,
+    max_probes: int = _MAX_SCHEMA_PROBES,
+) -> DataFrame:
     """Per-relation ignoreCorruptFiles scan (not the session conf): the
     returned DataFrame must keep its drop-semantics across later actions
     without leaking a session-wide corrupt-files policy. Multi-path reads
@@ -190,7 +216,7 @@ def _quarantine_scan(spark: SparkSession, paths: list[str], fmt: str) -> DataFra
     DataFrameReader.orc(p1, p2) is broken in this build
     (IllegalArgumentException without a schema; SILENTLY reads only the
     first path with one), measured while adding ORC support."""
-    schema = _probe_schema(spark, paths, fmt)
+    schema = _probe_schema(spark, paths, fmt, max_probes)
     return (
         spark.read.schema(schema)
         .option("ignoreCorruptFiles", "true")
@@ -227,6 +253,7 @@ def read_with_quarantine(
     paths: list[str],
     fmt: str = "parquet",
     trust_first_action: bool = False,
+    max_probes: int = _MAX_SCHEMA_PROBES,
 ) -> tuple[DataFrame, LazyQuarantineReport]:
     """Read parquet (or ORC) files, dropping unreadable ones with a report
     instead of failing the job (reference drop-and-report semantics).
@@ -247,7 +274,7 @@ def read_with_quarantine(
     observation. Treat the quarantine list as drop-AND-REPORT; inspect
     before deleting.
     """
-    df = _quarantine_scan(spark, paths, fmt)
+    df = _quarantine_scan(spark, paths, fmt, max_probes)
     listed = sorted(_normalize(p) for p in paths)
     if trust_first_action:
         observed, obs = _observe_files(df)
@@ -303,6 +330,7 @@ def ingest_untrusted(
     partition_by: tuple[str, ...] = (),
     mode: str = "error",
     fmt: str = "parquet",
+    max_probes: int = _MAX_SCHEMA_PROBES,
 ) -> IngestReport:
     """Trust boundary for external parquet (or ORC): quarantine unreadable files,
     re-encode the survivors through the engine's page-CRC-checksummed sink,
@@ -337,14 +365,14 @@ def ingest_untrusted(
     """
     from nbi_oedi_etl_spark.sources.sinks import write_parquet
 
-    if mode == "ignore" and _dest_exists(spark, dest):
+    def _skipped_report() -> IngestReport:
         # SaveMode.Ignore with an existing destination runs NO job, so an
         # attached Observation would never fill and ``obs.get`` would
         # block forever (ADVICE r9). Report the skip faithfully instead:
         # one column-pruned detection pass fills the file report and the
         # input row count; rows_written=0 so ``reconciled`` is False for
         # any non-empty input — the caller sees nothing was ingested.
-        scan = _quarantine_scan(spark, paths, fmt)
+        scan = _quarantine_scan(spark, paths, fmt, max_probes)
         # input_file_name() materialized as a column first — it cannot be
         # evaluated inside an aggregate (same constraint as _observe_files)
         agg = (
@@ -362,14 +390,33 @@ def ingest_untrusted(
             QuarantineReport(listed, readable, quarantined), int(agg["rows"]), 0
         )
 
-    observed, obs = _observe_files(_quarantine_scan(spark, paths, fmt))
+    if mode == "ignore" and _dest_exists(spark, dest):
+        return _skipped_report()
+
+    observed, obs = _observe_files(_quarantine_scan(spark, paths, fmt, max_probes))
     # pre-count only when pre-existing rows can survive the write:
     # mode='error' fails on an existing dest and 'overwrite' replaces it,
     # so both start from 0 without touching dest (the ignore+existing-dest
     # case short-circuited above; reaching here with 'ignore' means dest
     # does not exist yet and the write behaves like 'error'-on-fresh)
     pre_rows = _dest_row_count(spark, dest) if mode == "append" else 0
-    write_parquet(observed, dest, partition_by=partition_by, mode=mode)
+    # Check-then-act race (ADVICE r10): dest may be created by a
+    # concurrent writer between the _dest_exists check above and the
+    # write. SaveMode.Ignore would then run NO real job — and this Spark
+    # build fills the observation with ZEROS on the no-op, so the report
+    # would silently claim every file quarantined and count the
+    # concurrent writer's rows as ours. Act-and-catch instead: on a
+    # fresh dest, 'ignore' behaves exactly like 'error', so write with
+    # 'error' and translate a lost race into the faithful skip report.
+    try:
+        write_parquet(
+            observed, dest, partition_by=partition_by,
+            mode="error" if mode == "ignore" else mode,
+        )
+    except Exception as e:  # AnalysisException [PATH_ALREADY_EXISTS]
+        if mode == "ignore" and "ALREADY_EXISTS" in str(e).upper():
+            return _skipped_report()
+        raise
     rows_read = int(obs.get["rows"])
     readable = sorted(_normalize(p) for p in obs.get["files"])
     listed = sorted(_normalize(p) for p in paths)

@@ -2183,6 +2183,18 @@ SPECS: list[QuerySpec] = [
         ext34.source_token_budget_cap,
         ext34.SOURCE_BUDGET_CAP_ORACLE,
     ),
+    # round-11 (VERDICT r10 task 5): rows-only PRODUCTION-family twin of
+    # streaming_banded_cdc_dedup — same CDC loop, xxhash64 banding at the
+    # portable twin's geometry, so the bench carries the measured
+    # portable-vs-production hashing premium. Rows-only like the other
+    # hash-seeded specs (xxhash64 is not DuckDB-reproducible); its value
+    # evidence is the oracled portable twin + write→probe parity
+    # property tests.
+    QuerySpec(
+        "streaming_banded_cdc_dedup_production",
+        wbanded.streaming_banded_cdc_dedup_production,
+        None,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------

@@ -180,6 +180,90 @@ def streaming_banded_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.read.parquet(os.path.join(pairs_root, f"v{state['version']}"))
 
 
+def streaming_banded_cdc_dedup_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION-family twin of ``streaming_banded_cdc_dedup``: the
+    identical 3-micro-batch CDC loop (probe the batch against the at-rest
+    layout, append, accumulate pairs under versioned commits) run with
+    the default xxhash64 banding (``operators.dedup.band_rows`` via the
+    layout's own sidecar parameters) instead of the md5-portable bridge.
+
+    Registered rows-only (xxhash64 is not reproducible in DuckDB — the
+    same adjudication as ``minhash_lsh_candidates``); the VALUE evidence
+    is the portable twin above plus the write→probe parity property
+    tests. This spec exists to MEASURE the portable-vs-production hashing
+    premium the r10 verdict asked to quantify (task 5): both twins run in
+    the bench headline set, so BENCH_DETAIL carries the ratio per round.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.operators.banded_layout import (
+        append_to_banded_layout,
+        probe_banded_layout,
+        write_banded_layout,
+    )
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    def _mod3(col):
+        return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
+
+    s = ingest.scoped_streaming_session(spark)
+    src = tempfile.mkdtemp(prefix="banded_cdc_prod_src_")
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    for k in range(3):
+        path = os.path.join(src, f"part{k}.parquet")
+        pq.write_table(t.filter(pc.equal(_mod3(t.column("doc_id")), k)), path)
+        os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
+
+    layout = tempfile.mkdtemp(prefix="banded_cdc_prod_layout_") + "/layout"
+    pairs_root = tempfile.mkdtemp(prefix="banded_cdc_prod_pairs_")
+    state = {"version": -1}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bs = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text")
+        if state["version"] < 0:
+            # SAME banding geometry as the portable twin (8 hashes ×
+            # 4 bands, 16 buckets) so the bench ratio isolates the HASH
+            # FAMILY premium, not a signature-width difference
+            write_banded_layout(
+                docs, layout, num_hashes=8, bands=4, n_buckets=16
+            )
+            pairs = bs.createDataFrame(
+                [], "doc_id_new long, doc_id_corpus long"
+            )
+        else:
+            pairs = probe_banded_layout(bs, layout, new_docs=docs)
+            prev = bs.read.parquet(
+                os.path.join(pairs_root, f"v{state['version']}")
+            )
+            pairs = prev.unionByName(pairs).distinct()
+            append_to_banded_layout(bs, layout, new_docs=docs)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_root, f"v{batch_id}")
+        )
+        state["version"] = batch_id
+
+    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        s.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return s.read.parquet(os.path.join(pairs_root, f"v{state['version']}"))
+
+
 # Cross-batch pairs directly from the %3 split: a doc's batch is
 # doc_id % 3, the "new" side is the LATER batch, and candidates share a
 # band's (v1, v2) slots — the same CTE chain as the layout oracle below.

@@ -631,3 +631,85 @@ def test_probe_schema_bounded_on_mostly_corrupt_listing(spark, tmp_path):
     assert [f.name for f in schema.fields] == ["x"]
     with pytest.raises(ValueError, match=rf"{_MAX_SCHEMA_PROBES} probed of 100"):
         _probe_schema(spark, corrupt)
+
+
+def test_probe_schema_max_probes_parameter(spark, tmp_path):
+    """ADVICE r10: the probe cap is a per-call parameter — a listing whose
+    only readable file falls between default sample points succeeds when
+    the caller raises max_probes, instead of requiring a re-list."""
+    from nbi_oedi_etl_spark.sources.quarantine import _probe_schema
+
+    corrupt = []
+    for i in range(100):
+        p = tmp_path / f"bad-{i:03d}.parquet"
+        p.write_bytes(b"PAR1 this is not parquet")
+        corrupt.append(str(p))
+    good = tmp_path / "bad-050x.parquet"  # sorts between sample points
+    pd.DataFrame({"x": [1]}).to_parquet(good, index=False)
+    paths = sorted(corrupt + [str(good)])
+    # default cap 16 over 101 files probes every ~6th: craft a miss by
+    # checking which indexes are sampled, then verify the widened pass
+    idx = paths.index(str(good))
+    step = (len(paths) - 1) / 15
+    sampled = {round(i * step) for i in range(16)}
+    if idx in sampled:  # unlucky placement: shift the good file's name
+        good2 = tmp_path / "bad-050y.parquet"
+        good.rename(good2)
+        paths = sorted(corrupt + [str(good2)])
+        idx = paths.index(str(good2))
+    assert idx not in sampled
+    with pytest.raises(ValueError, match="max_probes"):
+        _probe_schema(spark, paths)
+    schema = _probe_schema(spark, paths, max_probes=len(paths))
+    assert [f.name for f in schema.fields] == ["x"]
+    with pytest.raises(ValueError, match="max_probes must be >= 2"):
+        _probe_schema(spark, paths, max_probes=1)
+
+
+def test_ingest_untrusted_survives_ignore_mode_race(spark, tmp_path, monkeypatch):
+    """ADVICE r10: if dest is created by a concurrent writer between the
+    exists-check and the write, SaveMode.Ignore runs no job — the ingest
+    must degrade to the skip report (rows_written=0), not hang on
+    obs.get. Simulated by forcing the exists-check to say False while
+    dest already exists."""
+    from nbi_oedi_etl_spark.sources import quarantine as q
+
+    src = tmp_path / "in.parquet"
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(src, index=False)
+    dest = tmp_path / "dest"
+    # dest pre-populated: the "concurrent writer"
+    spark.createDataFrame([(99,)], "x int").write.parquet(str(dest))
+
+    monkeypatch.setattr(q, "_dest_exists", lambda *_: False)
+    rep = q.ingest_untrusted(spark, [str(src)], str(dest), mode="ignore")
+    assert rep.rows_read == 3
+    assert rep.rows_written == 0
+    assert not rep.reconciled
+    # dest untouched: still the concurrent writer's single row
+    assert spark.read.parquet(str(dest)).count() == 1
+
+
+def test_ingest_untrusted_records_survives_ignore_mode_race(
+    spark, tmp_path, monkeypatch
+):
+    """Same race, text-format sibling (formats.py)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from nbi_oedi_etl_spark.sources import quarantine as q
+    from nbi_oedi_etl_spark.sources.formats import ingest_untrusted_records
+
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,2\n3,4\n")
+    dest = tmp_path / "dest"
+    spark.createDataFrame([(99, 99)], "a int, b int").write.parquet(str(dest))
+
+    monkeypatch.setattr(q, "_dest_exists", lambda *_: False)
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", IntegerType())]
+    )
+    rep = ingest_untrusted_records(
+        spark, str(src), schema, str(dest), fmt="csv", mode="ignore"
+    )
+    assert rep.rows_clean == 2
+    assert rep.rows_written == 0
+    assert spark.read.parquet(str(dest)).count() == 1

@@ -209,3 +209,61 @@ def test_banded_layout_probe_matches_in_memory_on_random_corpora(
             new, old = (a, b) if a in batch_ids else (b, a)
             want.add((new, old))
     assert got == want
+
+
+def test_banded_layout_append_mode_rejects_parameter_mismatch(spark):
+    """ADVICE r10: write_banded_layout(mode='append') onto an existing
+    layout must fail loudly on banding-parameter mismatch instead of
+    silently mixing two families under a sidecar describing only the
+    newer; same-parameter appends still work."""
+    import pytest as _pytest
+
+    from nbi_oedi_etl_spark.operators.banded_layout import (
+        _read_meta,
+        write_banded_layout,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "layout")
+        write_banded_layout(docs, dest, n_buckets=8)
+        before = _read_meta(spark, dest)
+        with _pytest.raises(ValueError, match="mismatched banding parameters"):
+            write_banded_layout(docs, dest, n_buckets=16, mode="append")
+        with _pytest.raises(ValueError, match="mismatched banding parameters"):
+            write_banded_layout(docs, dest, bands=4, n_buckets=8, mode="append")
+        assert _read_meta(spark, dest) == before  # sidecar untouched
+        # same parameters: append allowed, sidecar unchanged
+        write_banded_layout(docs, dest, n_buckets=8, mode="append")
+        assert _read_meta(spark, dest) == before
+        # append into a FRESH dest behaves like a first write
+        dest2 = os.path.join(tmp, "layout2")
+        write_banded_layout(docs, dest2, n_buckets=8, mode="append")
+        assert _read_meta(spark, dest2) == before
+
+
+def test_probe_ivf_layout_rejects_oversized_query_batch(spark, monkeypatch):
+    """ADVICE r10: a probe batch past the driver-collect contract fails
+    fast with an actionable error instead of a driver OOM."""
+    import numpy as np
+    import pytest as _pytest
+
+    from nbi_oedi_etl_spark.operators import ivf_layout as il
+
+    rng = np.random.default_rng(7)
+    docs = spark.createDataFrame(
+        [(i, rng.standard_normal(4).tolist()) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "ivf")
+        cent = il.write_ivf_layout(docs, dest, n_cells=4)
+        monkeypatch.setattr(il, "_MAX_PROBE_BATCH_ROWS", 10)
+        with _pytest.raises(ValueError, match="exceeds 10 rows"):
+            il.probe_ivf_layout(spark, dest, docs, cent, k=3, query_id_col="vec_id")
+        small = docs.limit(5)
+        out = il.probe_ivf_layout(spark, dest, small, cent, k=3, query_id_col="vec_id")
+        assert out.count() > 0
