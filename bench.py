@@ -256,6 +256,9 @@ HEADLINE = [
     # twin at the portable twin's banding geometry — the per-round
     # portable-vs-production hashing premium is the ratio of these two
     "streaming_banded_cdc_dedup_production",
+    # round-11 (task 9): substring-level dedup — sorted shingle spine +
+    # run-length grouping (the distributed Lee-et-al duplicate-span form)
+    "doc_duplicate_spans",
 ]
 
 

@@ -164,10 +164,11 @@ def append_to_banded_layout(
     sidecar parameters and APPEND their band rows into the partitioned
     layout — the other half of the CDC loop (probe the batch against the
     corpus, then fold the batch in so the next batch sees it). Appends
-    add one file per touched pcell per batch; compact periodically with
-    ``sources.sinks.compact_parquet`` per partition directory if batch
-    cadence is high. The sidecar is already correct (same parameters),
-    so only data files are written."""
+    add one file per touched pcell per batch; run
+    ``compact_banded_layout`` on a cadence if batch cadence is high
+    (file-count trajectory measured over a 20-batch drill in
+    ``tools/banded_cdc_drill.py``). The sidecar is already correct
+    (same parameters), so only data files are written."""
     m = _read_meta(spark, path)
     if m["external_banding"]:
         if banded_rows is None:
@@ -253,3 +254,72 @@ def probe_banded_layout(
         .distinct()
     )
     return pairs
+
+
+def compact_banded_layout(
+    spark: SparkSession,
+    path: str,
+    max_files_per_pcell: int = 4,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Maintenance half of the CDC loop (VERDICT r10 task 6): each
+    ``append_to_banded_layout`` writes one file per touched pcell, so a
+    long-running CDC stream fragments the layout linearly in batch
+    count. This rewrites every pcell partition directory holding more
+    than ``max_files_per_pcell`` data files through
+    ``sources.sinks.compact_parquet`` (size-targeted round-robin
+    rewrite) and swaps it in place via the Hadoop FS API — works on any
+    warehouse filesystem, same mechanism as the sidecar helpers.
+
+    Run it BETWEEN batches (e.g. every N appends, as
+    ``tools/banded_cdc_drill.py`` measures): the per-pcell swap is not
+    atomic against a concurrent probe of the same pcell. Probe results
+    are identical before/after (pinned in tests/test_plans.py) — the
+    band rows are unchanged, only their file packing.
+
+    Returns ``{pcell_dirname: (files_before, files_after)}`` for the
+    compacted directories only.
+    """
+    from nbi_oedi_etl_spark.sources.sinks import compact_parquet
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+
+    def _data_files(dirpath) -> int:
+        return sum(
+            1
+            for st in fs.listStatus(dirpath)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        )
+
+    out: dict = {}
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not name.startswith("pcell="):
+            continue
+        n_before = _data_files(st.getPath())
+        if n_before <= max_files_per_pcell:
+            continue
+        # compact into an underscore-prefixed sibling (invisible to
+        # readers), then delete-and-rename into place
+        tmp = jvm.org.apache.hadoop.fs.Path(path, f"_compacting_{name}")
+        if fs.exists(tmp):
+            fs.delete(tmp, True)  # leftover from an interrupted run
+        compact_parquet(
+            spark,
+            str(st.getPath()),
+            str(tmp),
+            target_file_bytes=target_file_bytes,
+        )
+        success = jvm.org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+        if fs.exists(success):
+            fs.delete(success, False)
+        fs.delete(st.getPath(), True)
+        if not fs.rename(tmp, st.getPath()):
+            raise IOError(f"rename {tmp} -> {st.getPath()} failed")
+        out[name] = (n_before, _data_files(st.getPath()))
+    return out

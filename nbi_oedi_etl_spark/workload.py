@@ -1800,6 +1800,7 @@ from nbi_oedi_etl_spark import workload_ext31 as ext31
 from nbi_oedi_etl_spark import workload_ext32 as ext32
 from nbi_oedi_etl_spark import workload_ext33 as ext33
 from nbi_oedi_etl_spark import workload_ext34 as ext34
+from nbi_oedi_etl_spark import workload_ext35 as ext35
 from nbi_oedi_etl_spark import workload_banded as wbanded
 from nbi_oedi_etl_spark import workload_spine as wspine
 from nbi_oedi_etl_spark import workload_tpch as tpch
@@ -2194,6 +2195,16 @@ SPECS: list[QuerySpec] = [
         "streaming_banded_cdc_dedup_production",
         wbanded.streaming_banded_cdc_dedup_production,
         None,
+    ),
+    # round-11 (VERDICT r10 optional task 9): exact substring-level
+    # dedup — maximal cross-doc duplicated token spans via the sorted
+    # shingle spine + run-length grouping (the distributed form of the
+    # Lee et al. suffix-array recipe). Registered INSIDE the r11 window
+    # (never-verified by construction), benched same-round.
+    QuerySpec(
+        "doc_duplicate_spans",
+        ext35.doc_duplicate_spans,
+        ext35.DOC_DUPLICATE_SPANS_ORACLE,
     ),
 ]
 

@@ -46,6 +46,9 @@ _REPRESENTATIVES = [
     # slice explode must not divide-by-zero on an empty stream
     "corpus_pack_sequences",
     "corpus_pack_slices",
+    # round 11: duplicate spans — size(toks)>=k filter on an empty/short
+    # corpus must yield an empty frame, not a negative sequence() bound
+    "doc_duplicate_spans",
     # round 5: mapInPandas codec path on a 0-row documents table
     "multimodal_jpeg_features",
     # round 5: heartbeat sentinels must synthesize template rows when the

@@ -267,3 +267,69 @@ def test_probe_ivf_layout_rejects_oversized_query_batch(spark, monkeypatch):
         small = docs.limit(5)
         out = il.probe_ivf_layout(spark, dest, small, cent, k=3, query_id_col="vec_id")
         assert out.count() > 0
+
+
+def test_doc_duplicate_spans_finds_planted_spans_exactly(spark, tmp_path):
+    """Crafted corpus: two docs share one 20-token paragraph at known
+    offsets; a third doc is unique. The spec must report EXACTLY the
+    planted span in each sharing doc (maximal, correct offsets) and
+    nothing for the unique doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.workload_ext35 import doc_duplicate_spans
+
+    shared = " ".join(f"dup{i}" for i in range(20))
+    docs = [
+        # doc 0: 5 unique tokens, the shared 20, 5 unique -> span [5, 25)
+        (0, " ".join(f"a{i}" for i in range(5)) + " " + shared + " "
+         + " ".join(f"b{i}" for i in range(5))),
+        # doc 1: shared 20 at the very start, 10 unique -> span [0, 20)
+        (1, shared + " " + " ".join(f"c{i}" for i in range(10))),
+        # doc 2: fully unique, longer than the shingle width
+        (2, " ".join(f"z{i}" for i in range(30))),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                  "text": pa.array([t for _, t in docs])}),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = sorted(
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["span_tokens"])
+        for r in doc_duplicate_spans(spark, str(tmp_path)).collect()
+    )
+    assert rows == [(0, 5, 25, 20), (1, 0, 20, 20)]
+
+
+def test_doc_duplicate_spans_merges_overlapping_duplicates(spark, tmp_path):
+    """Two overlapping duplicated regions in one doc must merge into ONE
+    maximal span (the run-length grouping property), and a duplicated
+    region shorter than MIN_SPAN_TOKENS must be suppressed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.workload_ext35 import (
+        MIN_SPAN_TOKENS,
+        SPAN_SHINGLE_TOKENS,
+        doc_duplicate_spans,
+    )
+
+    assert SPAN_SHINGLE_TOKENS < MIN_SPAN_TOKENS
+    # shared block exactly MIN_SPAN long; short block exactly shingle-width
+    long_block = " ".join(f"L{i}" for i in range(MIN_SPAN_TOKENS))
+    short_block = " ".join(f"S{i}" for i in range(SPAN_SHINGLE_TOKENS))
+    docs = [
+        (0, long_block + " mid0 mid1 mid2 " + short_block),
+        (1, long_block + " other0 other1 " + short_block),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                  "text": pa.array([t for _, t in docs])}),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = sorted(
+        (r["doc_id"], r["start_pos"], r["end_pos"])
+        for r in doc_duplicate_spans(spark, str(tmp_path)).collect()
+    )
+    # only the long block survives the MIN_SPAN filter, at [0, MIN_SPAN)
+    assert rows == [(0, 0, MIN_SPAN_TOKENS), (1, 0, MIN_SPAN_TOKENS)]
