@@ -2355,13 +2355,61 @@ _R10_WINDOW: list[str] = [
 ]
 
 # Specs registered AFTER the r10 window froze — benched same-round per
-# the freeze policy; they head the r11 window.
+# the freeze policy; they head the r11 window (retained for the audit
+# trail).
 _POST_R10_ADDITIONS: list[str] = [
     "corpus_pack_sequences",
     "corpus_pack_slices",
     "corpus_pack_sequences_global",
     "source_token_budget_cap",
 ]
+
+# ---- round-11 correctness-window rotation -----------------------------
+# Window = the full debt list tools/rotation_audit.py reports after this
+# round's code landed (5 never-verified: the 4 packing/budget specs
+# registered behind the frozen r10 window + the r11-registered
+# doc_duplicate_spans; 4 changed-since-green: the banded pair moved with
+# the append-guard + compaction additions, salted_event_value_sum with
+# the skew.py keyed_cumsum additions, doc_readability_forcast with its
+# FORCAST-spelling docstring pin), then the stalest banked evidence:
+# ALL 32 remaining r5-greens (including classifier_calibration_bins and
+# brand_basket_rules, displaced from the r10 window as promised) and the
+# 9 alphabetically-first r6-greens.
+_R11_WINDOW: list[str] = [
+    # -- 5 never-verified --
+    "corpus_pack_sequences", "corpus_pack_slices",
+    "corpus_pack_sequences_global", "source_token_budget_cap",
+    "doc_duplicate_spans",
+    # -- 4 changed-since-green --
+    "banded_layout_portable", "streaming_banded_cdc_dedup",
+    "salted_event_value_sum", "doc_readability_forcast",
+    # -- all 32 remaining r5-green refreshers (oldest in the ledger) --
+    "brand_basket_rules", "classifier_calibration_bins",
+    "classifier_roc_auc", "daily_active_wau",
+    "daily_volume_seasonal_residuals", "doc_jaccard_prefix_join",
+    "doc_sparse_cosine_pairs", "doc_token_entropy",
+    "dup_cluster_size_histogram", "event_funnel_windowed",
+    "event_type_ewma_daily", "event_value_mad_outliers",
+    "event_value_psi_drift", "event_value_welch_ttest",
+    "kfold_assignment", "lang_confusion_matrix", "lang_source_chi2",
+    "near_dup_source_modularity", "order_price_percentiles_cont",
+    "orders_keyset_pagination", "part_name_sorted_neighborhood",
+    "purchase_conversion_ab_test", "quality_classifier_inference",
+    "rapid_reorder_pairs", "referential_integrity_matrix",
+    "revenue_pareto_analysis", "session_event_trigrams",
+    "source_lang_kl_drift", "table_content_digest", "token_pmi_bigrams",
+    "user_interarrival_stats", "winnowing_fingerprints",
+    # -- 9 oldest r6-green refreshers (alphabetical head) --
+    "anti_join_reconciliation", "brand_price_quantity_ols",
+    "classifier_pr_curve", "cohort_ltv_curve",
+    "conversion_latency_histogram", "copurchase_bfs_hops",
+    "cumulative_unique_users", "customer_k_anonymity_audit",
+    "customer_order_counts",
+]
+
+# Specs registered AFTER the r11 window froze (none yet; any future
+# addition must land here and be benched in the same round).
+_POST_R11_ADDITIONS: list[str] = []
 
 # Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [
@@ -2470,7 +2518,7 @@ _R5_QUEUE: list[str] = [
 
 def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in specs}
-    front = [by_name[n] for n in _R10_WINDOW if n in by_name]
+    front = [by_name[n] for n in _R11_WINDOW if n in by_name]
     front_set = {s.name for s in front}
     rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
     rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]
