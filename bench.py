@@ -258,7 +258,9 @@ HEADLINE = [
     "streaming_banded_cdc_dedup_production",
     # round-11 (task 9): substring-level dedup — sorted shingle spine +
     # run-length grouping (the distributed Lee-et-al duplicate-span form)
+    # + its repair half (cut non-canonical spans, emit cleaned corpus)
     "doc_duplicate_spans",
+    "doc_cut_duplicate_spans",
 ]
 
 

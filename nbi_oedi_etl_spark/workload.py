@@ -2206,6 +2206,16 @@ SPECS: list[QuerySpec] = [
         ext35.doc_duplicate_spans,
         ext35.DOC_DUPLICATE_SPANS_ORACLE,
     ),
+    # round-11, registered BEHIND the frozen r11 window (the documented
+    # overflow path): the REPAIR half of substring dedup — cut every
+    # non-canonical duplicated span (keep-first by min doc_id) and emit
+    # the cleaned corpus. Listed in _POST_R11_ADDITIONS; benched
+    # same-round; enters the r12 window head.
+    QuerySpec(
+        "doc_cut_duplicate_spans",
+        ext35.doc_cut_duplicate_spans,
+        ext35.DOC_CUT_DUPLICATE_SPANS_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2407,9 +2417,11 @@ _R11_WINDOW: list[str] = [
     "customer_order_counts",
 ]
 
-# Specs registered AFTER the r11 window froze (none yet; any future
-# addition must land here and be benched in the same round).
-_POST_R11_ADDITIONS: list[str] = []
+# Specs registered AFTER the r11 window froze — benched same-round per
+# the freeze policy; they head the r12 window.
+_POST_R11_ADDITIONS: list[str] = [
+    "doc_cut_duplicate_spans",
+]
 
 # Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [

@@ -133,3 +133,138 @@ SELECT doc_id, start_pos, end_pos,
 FROM spans
 WHERE end_pos - start_pos >= {MIN_SPAN_TOKENS}
 """
+
+
+def doc_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIR half of substring-level dedup: cut every maximal
+    duplicated span from all but its FIRST corpus occurrence and emit
+    the cleaned text — what the Lee et al. pipeline actually writes out
+    (cut the substring, keep the document).
+
+    Keep-first rule, shingle grain: a position p in doc d is
+    NON-CANONICAL when the shingle starting at p also occurs in some doc
+    d' < d (min doc_id owns the occurrence — deterministic on any
+    engine). Non-canonical positions merge to maximal runs exactly as in
+    ``doc_duplicate_spans``; runs ≥ ``MIN_SPAN_TOKENS`` become cut
+    ranges; the kept text is the ordered join of tokens outside every
+    cut range. Docs with nothing to cut pass through with their
+    normalized token stream intact, so the output is a full corpus
+    replacement (one row per tokenizable doc).
+
+    Plan/scale: the spine/HAVING/runs stages are the detection spec's;
+    the extra work is one bounded explode (cut ranges → covered
+    positions, disjoint by construction) and a per-doc
+    sort-collect of kept tokens (array_sort over struct(pos, tok) —
+    per-doc state, bounded by document length).
+    """
+    k = SPAN_SHINGLE_TOKENS
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .where(F.size("toks") >= k)
+    )
+    toks = d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    sh = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {k})))"
+            )
+        ).alias("pos", "s"),
+    )
+    owner = sh.groupBy("s").agg(
+        F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
+    ).where(F.col("nd") >= 2)
+    noncanon = (
+        sh.join(owner, "s")
+        .where(F.col("doc_id") > F.col("owner"))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = noncanon.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("start_pos"), (F.max("pos") + k).alias("end_pos"))
+        .where(F.col("end_pos") - F.col("start_pos") >= MIN_SPAN_TOKENS)
+    )
+    cut_pos = spans.select(
+        "doc_id",
+        F.explode(F.sequence("start_pos", F.col("end_pos") - 1)).alias("pos"),
+    )
+    kept = toks.join(cut_pos, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .join(d.select("doc_id", F.size("toks").alias("n_tokens")), "doc_id", "right")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("kept"), F.lit(0)))
+            .cast("long")
+            .alias("cut_tokens"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+DOC_CUT_DUPLICATE_SPANS_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+    AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= {SPAN_SHINGLE_TOKENS}
+), sh AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(toks, i + 1, i + {SPAN_SHINGLE_TOKENS}), ' ') AS s
+  FROM d, unnest(range(len(toks) - {SPAN_SHINGLE_TOKENS} + 1)) t(i)
+), owner AS (
+  SELECT s, min(doc_id) AS owner
+  FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+), noncanon AS (
+  SELECT DISTINCT sh.doc_id, sh.pos
+  FROM sh JOIN owner USING (s) WHERE sh.doc_id > owner.owner
+), runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM noncanon
+), spans AS (
+  SELECT doc_id, min(pos) AS start_pos, max(pos) + {SPAN_SHINGLE_TOKENS} AS end_pos
+  FROM runs GROUP BY doc_id, grp
+  HAVING max(pos) + {SPAN_SHINGLE_TOKENS} - min(pos) >= {MIN_SPAN_TOKENS}
+), cut_pos AS (
+  SELECT DISTINCT doc_id, unnest(range(start_pos, end_pos)) AS pos
+  FROM spans
+), toks AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+  FROM d, unnest(range(len(toks))) t(i)
+), kept AS (
+  SELECT t.doc_id, count(*) AS kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS kept_text
+  FROM toks t LEFT JOIN cut_pos c
+    ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+  GROUP BY t.doc_id
+)
+SELECT d2.doc_id,
+       CAST(len(d2.toks) AS BIGINT) AS n_tokens,
+       CAST(len(d2.toks) - COALESCE(k.kept, 0) AS BIGINT) AS cut_tokens,
+       COALESCE(k.kept_text, '') AS kept_text
+FROM d d2 LEFT JOIN kept k ON d2.doc_id = k.doc_id
+"""

@@ -47,8 +47,11 @@ _REPRESENTATIVES = [
     "corpus_pack_sequences",
     "corpus_pack_slices",
     # round 11: duplicate spans — size(toks)>=k filter on an empty/short
-    # corpus must yield an empty frame, not a negative sequence() bound
+    # corpus must yield an empty frame, not a negative sequence() bound;
+    # the cut twin additionally right-joins kept tokens back (empty-safe
+    # coalesce of kept_text)
     "doc_duplicate_spans",
+    "doc_cut_duplicate_spans",
     # round 5: mapInPandas codec path on a 0-row documents table
     "multimodal_jpeg_features",
     # round 5: heartbeat sentinels must synthesize template rows when the

@@ -333,3 +333,33 @@ def test_doc_duplicate_spans_merges_overlapping_duplicates(spark, tmp_path):
     )
     # only the long block survives the MIN_SPAN filter, at [0, MIN_SPAN)
     assert rows == [(0, 0, MIN_SPAN_TOKENS), (1, 0, MIN_SPAN_TOKENS)]
+
+
+def test_doc_cut_duplicate_spans_keep_first_semantics(spark, tmp_path):
+    """Keep-first rule on planted docs: the min-doc_id owner keeps its
+    text intact; later docs lose exactly the shared span; uniques pass
+    through; token accounting is exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.workload_ext35 import doc_cut_duplicate_spans
+
+    shared = " ".join(f"dup{i}" for i in range(20))
+    pre1 = " ".join(f"a{i}" for i in range(5))
+    post1 = " ".join(f"b{i}" for i in range(5))
+    docs = [
+        (0, shared),                              # owner: kept intact
+        (1, pre1 + " " + shared + " " + post1),   # loses the 20 shared
+        (2, " ".join(f"z{i}" for i in range(30))),  # unique: untouched
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                  "text": pa.array([t for _, t in docs])}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["doc_id"]: r for r in doc_cut_duplicate_spans(spark, str(tmp_path)).collect()}
+    assert got[0]["cut_tokens"] == 0 and got[0]["kept_text"] == shared
+    assert got[1]["cut_tokens"] == 20
+    assert got[1]["kept_text"] == pre1 + " " + post1
+    assert got[2]["cut_tokens"] == 0
+    assert all(got[d]["n_tokens"] == len(t.split()) for d, t in docs)
