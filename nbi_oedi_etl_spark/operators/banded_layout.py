@@ -48,9 +48,11 @@ from nbi_oedi_etl_spark.operators.dedup import band_rows
 _META_FILE = "_banded_meta.json"
 
 
-def _write_meta(spark: SparkSession, dest: str, meta: dict) -> None:
+def _write_meta(
+    spark: SparkSession, dest: str, meta: dict, fname: str = _META_FILE
+) -> None:
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(f"{dest}/{_META_FILE}")
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{dest}/{fname}")
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     out = fs.create(hpath, True)
     try:
@@ -59,9 +61,9 @@ def _write_meta(spark: SparkSession, dest: str, meta: dict) -> None:
         out.close()
 
 
-def _read_meta(spark: SparkSession, path: str) -> dict:
+def _read_meta(spark: SparkSession, path: str, fname: str = _META_FILE) -> dict:
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_META_FILE}")
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{fname}")
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     stream = fs.open(hpath)
     try:
@@ -280,6 +282,22 @@ def compact_banded_layout(
     Returns ``{pcell_dirname: (files_before, files_after)}`` for the
     compacted directories only.
     """
+    return _compact_partition_dirs(
+        spark, path, "pcell=", max_files_per_pcell, target_file_bytes
+    )
+
+
+def _compact_partition_dirs(
+    spark: SparkSession,
+    path: str,
+    prefix: str,
+    max_files: int,
+    target_file_bytes: int,
+) -> dict:
+    """Shared per-partition-directory compactor for the at-rest layouts
+    (banded ``pcell=``, IVF ``cell=``): size-targeted rewrite of every
+    fragmented dir, swapped in place (underscore-prefixed temp, then
+    delete-and-rename) via the Hadoop FS API."""
     from nbi_oedi_etl_spark.sources.sinks import compact_parquet
 
     jvm = spark._jvm
@@ -299,10 +317,10 @@ def compact_banded_layout(
         if not st.isDirectory():
             continue
         name = st.getPath().getName()
-        if not name.startswith("pcell="):
+        if not name.startswith(prefix):
             continue
         n_before = _data_files(st.getPath())
-        if n_before <= max_files_per_pcell:
+        if n_before <= max_files:
             continue
         # compact into an underscore-prefixed sibling (invisible to
         # readers), then delete-and-rename into place

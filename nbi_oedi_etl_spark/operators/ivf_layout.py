@@ -40,6 +40,49 @@ from nbi_oedi_etl_spark.operators.similarity import (
 )
 
 
+#: Codebook sidecar (r11): underscore-prefixed like _banded_meta.json so
+#: the main parquet read never sees it. n_cells × dim doubles — a few KB
+#: of JSON; the layout becomes self-describing (probe/append no longer
+#: need the caller to carry the codebook).
+_IVF_META_FILE = "_ivf_meta.json"
+
+
+def _write_ivf_meta(spark: SparkSession, dest: str, cent_unit: np.ndarray) -> None:
+    from nbi_oedi_etl_spark.operators.banded_layout import _write_meta
+
+    _write_meta(
+        spark,
+        dest,
+        {
+            "n_cells": int(cent_unit.shape[1]),
+            "dim": int(cent_unit.shape[0]),
+            "codebook": cent_unit.tolist(),  # dim × cells, unit columns
+        },
+        fname=_IVF_META_FILE,
+    )
+
+
+def read_ivf_codebook(spark: SparkSession, path: str) -> np.ndarray:
+    """The layout's own unit-centroid codebook from its sidecar."""
+    from nbi_oedi_etl_spark.operators.banded_layout import _read_meta
+
+    m = _read_meta(spark, path, fname=_IVF_META_FILE)
+    cent = np.asarray(m["codebook"], dtype=np.float64)
+    if cent.shape != (m["dim"], m["n_cells"]):
+        raise ValueError(f"corrupt IVF sidecar: shape {cent.shape} != "
+                         f"({m['dim']}, {m['n_cells']})")
+    return cent
+
+
+def _assign_cells(
+    df: DataFrame, cent_unit: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    ).withColumn("cell", ivf_cell_udf(cent_unit)(F.col("emb")))
+
+
 def write_ivf_layout(
     corpus: DataFrame,
     dest: str,
@@ -48,17 +91,21 @@ def write_ivf_layout(
     vec_col: str = "embedding",
     seed: int = 42,
     mode: str = "error",
+    cent_unit: np.ndarray | None = None,
 ) -> np.ndarray:
     """Materialize the corpus hive-partitioned by IVF cell; returns the
-    codebook (unit centroids, dim × cells) the probe side needs. One full
-    scan ever; every later probe is partition-pruned."""
-    cent_unit = ivf_codebook(corpus, n_cells, id_col, vec_col, seed)
+    codebook (unit centroids, dim × cells) — also written to the
+    ``_ivf_meta.json`` sidecar (r11), so probes and appends can run
+    against the layout alone. One full scan ever; every later probe is
+    partition-pruned. Pass ``cent_unit`` to lay out under a FIXED
+    external codebook (e.g. the incremental-build equivalence test, or
+    re-using a production codebook across corpus versions) instead of
+    fitting one from this corpus."""
+    if cent_unit is None:
+        cent_unit = ivf_codebook(corpus, n_cells, id_col, vec_col, seed)
     if cent_unit is None:
         raise ValueError("empty corpus: no codebook")
-    assigned = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
-    ).withColumn("cell", ivf_cell_udf(cent_unit)(F.col("emb")))
+    assigned = _assign_cells(corpus, cent_unit, id_col, vec_col)
     # repartition by cell before the write so each populated cell is one
     # file instead of one per upstream task (the small-files measurement
     # in tools/banded_layout_probe.py applies identically here). A hot
@@ -66,7 +113,50 @@ def write_ivf_layout(
     # materialization; re-cluster n_cells upward if a cell outgrows a
     # task (the codebook is the knob, not the writer).
     assigned.repartition("cell").write.mode(mode).partitionBy("cell").parquet(dest)
+    _write_ivf_meta(corpus.sparkSession, dest, cent_unit)
     return cent_unit
+
+
+def append_to_ivf_layout(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the ANN family (r11 — the
+    ``append_to_banded_layout`` counterpart): assign ``new_vectors``
+    with the LAYOUT'S OWN codebook (sidecar) and append their rows into
+    the partitioned layout. Standard IVF practice: the codebook stays
+    FIXED across appends (probes stay consistent — a probed cell always
+    means the same region), at the cost that heavy distribution drift
+    degrades recall until a re-cluster rewrites the layout; monitor with
+    ``ann_recall``-style audits and re-cluster on a cadence. Appends add
+    one file per touched cell per batch — run ``compact_ivf_layout``
+    periodically (measured cadence maths in CDC_DRILL.json apply
+    identically)."""
+    cent = read_ivf_codebook(spark, path)
+    _assign_cells(new_vectors, cent, id_col, vec_col).repartition(
+        "cell"
+    ).write.mode("append").partitionBy("cell").parquet(path)
+
+
+def compact_ivf_layout(
+    spark: SparkSession,
+    path: str,
+    max_files_per_cell: int = 4,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """In-place per-cell compaction after CDC appends; see
+    ``compact_banded_layout`` (same shared swap mechanism, probe results
+    unchanged — only file packing moves)."""
+    from nbi_oedi_etl_spark.operators.banded_layout import (
+        _compact_partition_dirs,
+    )
+
+    return _compact_partition_dirs(
+        spark, path, "cell=", max_files_per_cell, target_file_bytes
+    )
 
 
 #: Hard cap on the driver-collected probe batch — well past broadcast
@@ -79,7 +169,7 @@ def probe_ivf_layout(
     spark: SparkSession,
     path: str,
     queries: DataFrame,
-    cent_unit: np.ndarray,
+    cent_unit: np.ndarray | None = None,
     k: int = 10,
     n_probe: int = 4,
     query_id_col: str = "query_id",
@@ -100,7 +190,13 @@ def probe_ivf_layout(
     drift). The exploded (query_id, q_emb, cell) side re-enters Spark as a
     local relation; the only job that touches the layout is the pruned
     scan itself — no ``distinct().collect()`` probe job per batch.
+
+    ``cent_unit=None`` (the r11 default) reads the codebook from the
+    layout's own ``_ivf_meta.json`` sidecar — the self-describing
+    contract the banded layout already has.
     """
+    if cent_unit is None:
+        cent_unit = read_ivf_codebook(spark, path)
     q_src = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
