@@ -69,12 +69,12 @@ _REPO = _os.path.dirname(_HERE)
 
 
 def test_no_per_query_regression_vs_reference():
-    """Reference refreshed to round-10 (r9 verdict task 5 discipline): the
-    r10 bench ran quiet (spread width 1.32× min — under the 1.5× refresh
-    bar) and covers all 176 headline queries incl. the banded-layout
-    family; per-query median ratio vs the r9 reference was 0.92 with max
-    1.3, so the series stays comparable. bench_reference_r7/r9.json are
-    kept for the round-over-round audit trail."""
+    """Reference refreshed to round-11 (the r9/r10 discipline): the r11
+    bench ran quiet (spread 1.29× min — under the 1.5× refresh bar) and
+    covers all 183 headline queries incl. the CDC production twin and
+    the duplicate-span pair; doc_readability_forcast returned to band
+    (0.39 s vs the r10 noise spike 0.69 s). bench_reference_r7/r9/r10
+    .json are kept for the round-over-round audit trail."""
     detail_path = _os.path.join(_REPO, "BENCH_DETAIL.json")
     if not _os.path.exists(detail_path):
         pytest.skip("no BENCH_DETAIL.json — run bench.py first")
@@ -82,14 +82,14 @@ def test_no_per_query_regression_vs_reference():
         detail = _json.load(f)
     if detail.get("sf") != 0.1:
         pytest.skip("BENCH_DETAIL.json is not an sf0.1 run")
-    with open(_os.path.join(_HERE, "bench_reference_r10.json")) as f:
+    with open(_os.path.join(_HERE, "bench_reference_r11.json")) as f:
         ref = _json.load(f)["queries"]
     regressions = []
     for name, ref_sec in ref.items():
         cur = detail["queries"].get(name)
-        if cur is None:  # renamed/retired since r10 — rotation handles it
+        if cur is None:  # renamed/retired since r11 — rotation handles it
             continue
         budget = max(3.0 * ref_sec, 5.0)
         if cur > budget:
-            regressions.append(f"{name}: {cur:.2f}s vs r10 {ref_sec:.2f}s (>{budget:.1f}s)")
-    assert not regressions, "per-query bench regressions vs round-10:\n" + "\n".join(regressions)
+            regressions.append(f"{name}: {cur:.2f}s vs r11 {ref_sec:.2f}s (>{budget:.1f}s)")
+    assert not regressions, "per-query bench regressions vs round-11:\n" + "\n".join(regressions)
