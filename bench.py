@@ -261,6 +261,10 @@ HEADLINE = [
     # + its repair half (cut non-canonical spans, emit cleaned corpus)
     "doc_duplicate_spans",
     "doc_cut_duplicate_spans",
+    # round-11: packing-family companions (boundary-mask audit stats +
+    # temperature mixture allocation)
+    "pack_boundary_stats",
+    "source_temperature_mixture",
 ]
 
 

@@ -2216,6 +2216,21 @@ SPECS: list[QuerySpec] = [
         ext35.doc_cut_duplicate_spans,
         ext35.DOC_CUT_DUPLICATE_SPANS_ORACLE,
     ),
+    # round-11, also behind the frozen r11 window: the packing family's
+    # audit + recipe-side companions — per-sequence boundary stats (the
+    # number that decides cross-doc attention masking) and the
+    # temperature-sampled mixture allocation (w ∝ tokens^0.7) upstream
+    # of source_token_budget_cap. Benched same-round.
+    QuerySpec(
+        "pack_boundary_stats",
+        ext34.pack_boundary_stats,
+        ext34.PACK_BOUNDARY_STATS_ORACLE,
+    ),
+    QuerySpec(
+        "source_temperature_mixture",
+        ext34.source_temperature_mixture,
+        ext34.SOURCE_TEMPERATURE_MIXTURE_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2421,6 +2436,8 @@ _R11_WINDOW: list[str] = [
 # the freeze policy; they head the r12 window.
 _POST_R11_ADDITIONS: list[str] = [
     "doc_cut_duplicate_spans",
+    "pack_boundary_stats",
+    "source_temperature_mixture",
 ]
 
 # Retained for the rotation audit trail (round-7 window).

@@ -321,3 +321,114 @@ SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
             - floor(cum_before / {PACK_TOKENS}) + 1 AS BIGINT) AS seq_span
 FROM c
 """
+
+
+def pack_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality audit: per (source, seq_id) training sequence,
+    how many documents it contains, how many tokens it holds (the last
+    sequence of each source may run short of the budget), and how many
+    CROSS-DOCUMENT boundaries it carries (n_docs − 1) — the number a
+    pipeline checks before deciding whether packed sequences need
+    boundary attention masking. Composes directly over
+    ``corpus_pack_slices`` (one extra keyed aggregate; the cumsum plan
+    underneath is the skew-dispatched one).
+    """
+    slices = corpus_pack_slices(spark, sf_dir)
+    return (
+        slices.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("slice_tokens").alias("seq_tokens"),
+        )
+        .select(
+            "source",
+            "seq_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("seq_tokens").cast("long").alias("seq_tokens"),
+            (F.col("n_docs") - 1).cast("long").alias("n_boundaries"),
+        )
+    )
+
+
+PACK_BOUNDARY_STATS_ORACLE = rf"""
+WITH slices AS ({PACK_SLICES_ORACLE})
+SELECT source, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(slice_tokens) AS BIGINT) AS seq_tokens,
+       CAST(count(*) - 1 AS BIGINT) AS n_boundaries
+FROM slices
+GROUP BY source, seq_id
+"""
+
+
+#: Temperature exponent for the sampled mixture (the mT5/multilingual
+#: recipe value: raising small sources, damping the head).
+MIXTURE_ALPHA = 0.7
+
+#: Global token budget the temperature mixture allocates.
+MIXTURE_TOKEN_BUDGET = 100_000
+
+
+def source_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled mixture weights (w_s ∝ tokens_s^alpha,
+    alpha=0.7 — the multilingual-LLM recipe that up-samples small
+    sources without letting the head dominate) and the resulting
+    per-source token allocation under a global budget, capped at what
+    the source actually has. The allocation step upstream of
+    ``source_token_budget_cap`` when the recipe is written as a
+    temperature instead of hand-set budgets.
+
+    Plan/scale: one grouped aggregate (map-side partial sums) + one
+    1-row broadcast of the normalization constant — no window, no
+    second corpus pass. Doubles are single expressions of exact token
+    counts and shared literals, rounded once to 6.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    per = (
+        d.where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("n_tokens"),
+        )
+    )
+    pw = per.withColumn(
+        "pw", F.pow(F.col("n_tokens").cast("double"), F.lit(float(MIXTURE_ALPHA)))
+    )
+    total = pw.agg(F.sum("pw").alias("z"))
+    return (
+        pw.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("pw") / F.col("z"), 6).alias("weight"),
+            F.least(
+                F.col("n_tokens").cast("double"),
+                F.floor(F.col("pw") / F.col("z") * MIXTURE_TOKEN_BUDGET),
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )
+
+
+SOURCE_TEMPERATURE_MIXTURE_ORACLE = rf"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+  GROUP BY source
+), pw AS (
+  SELECT *, pow(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA}) AS pw FROM per
+), z AS (
+  SELECT sum(pw) AS z FROM pw
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(pw / z, 6) AS weight,
+       CAST(least(CAST(n_tokens AS DOUBLE),
+                  floor(pw / z * {MIXTURE_TOKEN_BUDGET})) AS BIGINT) AS alloc_tokens
+FROM pw, z
+"""

@@ -52,6 +52,11 @@ _REPRESENTATIVES = [
     # coalesce of kept_text)
     "doc_duplicate_spans",
     "doc_cut_duplicate_spans",
+    # round 11: packing companions — empty slices group to an empty
+    # frame; the mixture's 1-row normalization cross-join over an empty
+    # aggregate must yield no rows, not a divide-by-null
+    "pack_boundary_stats",
+    "source_temperature_mixture",
     # round 5: mapInPandas codec path on a 0-row documents table
     "multimodal_jpeg_features",
     # round 5: heartbeat sentinels must synthesize template rows when the

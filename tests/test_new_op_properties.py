@@ -433,3 +433,40 @@ def test_ivf_layout_append_and_sidecar_roundtrip(spark, tmp_path):
     after = cell_files(inc_dest)
     assert done and max(after.values()) == 1
     assert probe(inc_dest) == inc_res
+
+
+def test_temperature_mixture_and_boundary_stats_semantics(spark):
+    """Mixture: weights sum to 1, temperature lifts small sources'
+    SHARE vs their raw share and damps the largest, alloc <= available.
+    Boundary stats: token totals reconcile with the packed stream and
+    every budget-full sequence holds exactly PACK_TOKENS tokens."""
+    from nbi_oedi_etl_spark.workload_ext34 import (
+        PACK_TOKENS,
+        pack_boundary_stats,
+        source_temperature_mixture,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    mix = source_temperature_mixture(spark, sf).collect()
+    assert abs(sum(r["weight"] for r in mix) - 1.0) < 1e-4
+    tot = sum(r["n_tokens"] for r in mix)
+    small = min(mix, key=lambda r: r["n_tokens"])
+    big = max(mix, key=lambda r: r["n_tokens"])
+    assert small["weight"] > small["n_tokens"] / tot  # up-sampled
+    assert big["weight"] < big["n_tokens"] / tot      # damped
+    assert all(r["alloc_tokens"] <= r["n_tokens"] for r in mix)
+
+    stats = pack_boundary_stats(spark, sf).collect()
+    assert all(r["n_boundaries"] == r["n_docs"] - 1 for r in stats)
+    # per source: every sequence except possibly the LAST is budget-full
+    by_src: dict = {}
+    for r in stats:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["seq_tokens"] == PACK_TOKENS, (src, r)
+        assert 0 < rows[-1]["seq_tokens"] <= PACK_TOKENS
+    # stream reconciliation: sum of sequence tokens == corpus tokens
+    assert sum(r["seq_tokens"] for r in stats) == tot
