@@ -262,9 +262,10 @@ HEADLINE = [
     "doc_duplicate_spans",
     "doc_cut_duplicate_spans",
     # round-11: packing-family companions (boundary-mask audit stats +
-    # temperature mixture allocation)
+    # temperature mixture allocation) and packing as a CDC stream
     "pack_boundary_stats",
     "source_temperature_mixture",
+    "streaming_pack_sequences",
 ]
 
 

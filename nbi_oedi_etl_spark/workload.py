@@ -2231,6 +2231,14 @@ SPECS: list[QuerySpec] = [
         ext34.source_temperature_mixture,
         ext34.SOURCE_TEMPERATURE_MIXTURE_ORACLE,
     ),
+    # round-11: packing as a CDC stream — 3 micro-batches continue the
+    # packed stream from per-source token-total state; drained union
+    # oracled as one-shot packing over (batch, doc_id) order.
+    QuerySpec(
+        "streaming_pack_sequences",
+        ext34.streaming_pack_sequences,
+        ext34.STREAMING_PACK_SEQUENCES_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2438,6 +2446,7 @@ _POST_R11_ADDITIONS: list[str] = [
     "doc_cut_duplicate_spans",
     "pack_boundary_stats",
     "source_temperature_mixture",
+    "streaming_pack_sequences",
 ]
 
 # Retained for the rotation audit trail (round-7 window).

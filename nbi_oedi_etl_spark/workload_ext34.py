@@ -432,3 +432,135 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
                   floor(pw / z * {MIXTURE_TOKEN_BUDGET})) AS BIGINT) AS alloc_tokens
 FROM pw, z
 """
+
+
+def streaming_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing as a CDC STREAM: documents arrive in 3 deterministic
+    micro-batches (batch k = doc_id % 3 == k, one file per trigger) and
+    each batch continues the packed training stream from where the last
+    one stopped — the state between batches is the per-source running
+    token total (a handful of longs), carried driver-side exactly like
+    the other foreachBatch accumulators and folded into each batch as a
+    broadcast join. Within a batch the cumsum is the same skew-dispatched
+    ``keyed_cumsum`` the batch spec uses.
+
+    Drained union contract: incremental packing in arrival order must
+    equal ONE-SHOT packing over the corpus ordered by (batch, doc_id) —
+    which the oracle reproduces as ``ORDER BY doc_id % 3, doc_id``. Same
+    output schema as ``corpus_pack_sequences``.
+    """
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    def _mod3(col):
+        return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
+
+    s = ingest.scoped_streaming_session(spark)
+    src = tempfile.mkdtemp(prefix="pack_stream_src_")
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    for k in range(3):
+        path = os.path.join(src, f"part{k}.parquet")
+        pq.write_table(t.filter(pc.equal(_mod3(t.column("doc_id")), k)), path)
+        os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
+
+    out_root = tempfile.mkdtemp(prefix="pack_stream_out_")
+    state: dict = {"totals": {}, "version": -1}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bs = batch_df.sparkSession
+        d = batch_df.where(
+            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        ).select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        )
+        d = keyed_cumsum(
+            d, "source", ["doc_id"], _doc_id_bucket(), "n_tokens",
+            out_col="__within", include_current=False,
+        )
+        totals = state["totals"]
+        if totals:
+            off = bs.createDataFrame(
+                [(k, v) for k, v in sorted(totals.items())],
+                "source string, __offset long",
+            )
+            d = d.join(F.broadcast(off), "source", "left").withColumn(
+                "__offset", F.coalesce(F.col("__offset"), F.lit(0))
+            )
+        else:
+            d = d.withColumn("__offset", F.lit(0))
+        cum_before = (F.col("__offset") + F.col("__within")).cast("long")
+        out = d.select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(cum_before / PACK_TOKENS).alias("seq_id"),
+            (cum_before % PACK_TOKENS).alias("offset_in_seq"),
+            (
+                F.floor((cum_before + F.col("n_tokens") - 1) / PACK_TOKENS)
+                - F.floor(cum_before / PACK_TOKENS)
+                + 1
+            ).alias("seq_span"),
+        )
+        prev = (
+            bs.read.parquet(os.path.join(out_root, f"v{state['version']}"))
+            if state["version"] >= 0
+            else None
+        )
+        merged = prev.unionByName(out) if prev is not None else out
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"v{batch_id}")
+        )
+        # advance the per-source totals AFTER the write commits
+        # (exactly-once versioned discipline: a replayed batch recomputes
+        # from the same state because totals only move on version bump)
+        adds = {
+            r["source"]: r["t"]
+            for r in d.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        for k, v in adds.items():
+            totals[k] = totals.get(k, 0) + int(v)
+        state["version"] = batch_id
+
+    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        s.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return s.read.parquet(os.path.join(out_root, f"v{state['version']}"))
+
+
+STREAMING_PACK_SEQUENCES_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id % 3, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(cum_before / {PACK_TOKENS}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_TOKENS} AS BIGINT) AS offset_in_seq,
+       CAST(floor((cum_before + n_tokens - 1) / {PACK_TOKENS})
+            - floor(cum_before / {PACK_TOKENS}) + 1 AS BIGINT) AS seq_span
+FROM c
+"""
