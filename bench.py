@@ -266,6 +266,9 @@ HEADLINE = [
     "pack_boundary_stats",
     "source_temperature_mixture",
     "streaming_pack_sequences",
+    # round-11: the IVF layout's CDC loop as a stream (ANN sibling of
+    # streaming_banded_cdc_dedup; rows-only)
+    "streaming_ivf_cdc_ann",
 ]
 
 

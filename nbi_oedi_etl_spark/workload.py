@@ -2239,6 +2239,16 @@ SPECS: list[QuerySpec] = [
         ext34.streaming_pack_sequences,
         ext34.STREAMING_PACK_SEQUENCES_ORACLE,
     ),
+    # round-11: the IVF layout's CDC loop as a stream (probe each
+    # embedding batch for top-k among PRIOR vectors, then append) —
+    # rows-only like embedding_ivf_topk (seeded k-means codebook is not
+    # SQL-reproducible); value evidence = the incremental==one-shot
+    # layout equivalence pins + the oracled exact-cosine specs.
+    QuerySpec(
+        "streaming_ivf_cdc_ann",
+        wbanded.streaming_ivf_cdc_ann,
+        None,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------

@@ -321,3 +321,80 @@ SELECT DISTINCT q.doc_id AS doc_id_new, c.doc_id AS doc_id_corpus
 FROM b q JOIN b c ON q.band = c.band AND q.v1 = c.v1 AND q.v2 = c.v2
 WHERE q.doc_id % 5 = 0 AND c.doc_id % 5 != 0
 """
+
+
+def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF layout's CDC loop as a STREAM — the ANN sibling of the
+    banded loops above (r11, after the r11 append/compaction legs):
+    embeddings arrive in 3 deterministic micro-batches (vec_id % 3); the
+    first batch materializes the layout (codebook fitted once, seeded —
+    then FIXED for the stream's life, the standard IVF practice); each
+    later batch is probed for its top-k nearest among all PRIOR vectors,
+    then appended so the next batch sees it. Results accumulate under
+    versioned exactly-once commits.
+
+    Rows-only: the seeded k-means codebook is not reproducible in SQL —
+    the same adjudication as ``embedding_ivf_topk``; the VALUE evidence
+    is the incremental==one-shot layout equivalence pinned in
+    tests/test_new_op_properties.py (same codebook → identical probes)
+    plus the oracled exact-cosine specs. Deterministic end-to-end given
+    the fixed seed, so the driver's rows-only check is stable.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        probe_ivf_layout,
+        write_ivf_layout,
+    )
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    def _mod3(col):
+        return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
+
+    s = ingest.scoped_streaming_session(spark)
+    src = tempfile.mkdtemp(prefix="ivf_cdc_src_")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    for k in range(3):
+        path = os.path.join(src, f"part{k}.parquet")
+        pq.write_table(t.filter(pc.equal(_mod3(t.column("vec_id")), k)), path)
+        os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
+
+    layout = tempfile.mkdtemp(prefix="ivf_cdc_layout_") + "/layout"
+    out_root = tempfile.mkdtemp(prefix="ivf_cdc_out_")
+    state = {"version": -1}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bs = batch_df.sparkSession
+        vecs = batch_df.select("vec_id", "embedding")
+        if state["version"] < 0:
+            write_ivf_layout(vecs, layout, n_cells=8)
+            # probe_ivf_layout's exact output contract (_rank_topk)
+            res = bs.createDataFrame(
+                [], "query_id long, vec_id long, cos_sim double, rank int"
+            )
+        else:
+            res = probe_ivf_layout(bs, layout, vecs, k=3, query_id_col="vec_id")
+            prev = bs.read.parquet(os.path.join(out_root, f"v{state['version']}"))
+            res = prev.unionByName(res)
+            append_to_ivf_layout(bs, layout, vecs)
+        res.write.mode("overwrite").parquet(os.path.join(out_root, f"v{batch_id}"))
+        state["version"] = batch_id
+
+    raw_schema = s.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        s.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return s.read.parquet(os.path.join(out_root, f"v{state['version']}"))
