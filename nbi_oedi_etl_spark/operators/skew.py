@@ -660,6 +660,61 @@ def keyed_cumsum(
 _GLOBAL_KEY = "__gkey"
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    bucket_col: Column,
+    value_col: str,
+    out_col: str = "cum_sum",
+    include_current: bool = True,
+    crossover: int = SPINE_CROSSOVER_ROWS_PER_KEY,
+    total_rows: int | None = None,
+) -> DataFrame:
+    """GLOBAL cumulative sum over an arbitrary UNIQUE order tuple — the
+    un-keyed sibling of ``keyed_cumsum`` (with value 1 it is a global
+    row_number). ``Window.orderBy(...)`` with no partition moves every
+    row through one task; at/above the crossover this runs the
+    generalized two-pass spine under a constant synthetic key with the
+    caller's monotone ``bucket_col`` as the parallelism unit, below it
+    the direct window (one exchange, no join). Pass ``total_rows`` when
+    the caller already counted the frame (skips the dispatch count).
+
+    Same caller contract as ``keyed_cumsum_two_pass``: ``bucket_col``
+    monotone non-decreasing in the order tuple, order tuple unique.
+    """
+    from pyspark.sql import Window
+
+    n = df.count() if total_rows is None else total_rows
+    _log.info(
+        "global cumsum dispatch: rows=%d (%s) crossover=%d -> %s",
+        n,
+        "counted" if total_rows is None else "caller-supplied",
+        crossover,
+        "two-pass spine" if n >= crossover else "direct window",
+    )
+    if n >= crossover:
+        if _GLOBAL_KEY in df.columns:
+            raise ValueError(f"input column collides with {_GLOBAL_KEY!r}")
+        out = keyed_cumsum_two_pass(
+            df.withColumn(_GLOBAL_KEY, F.lit(1)),
+            _GLOBAL_KEY,
+            order_cols,
+            bucket_col,
+            value_col,
+            out_col,
+            include_current,
+        )
+        return out.drop(_GLOBAL_KEY)
+    upper = Window.currentRow if include_current else -1
+    w = (
+        Window.orderBy(*[F.col(f"`{c}`") for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    return df.withColumn(
+        out_col, F.coalesce(F.sum(F.col(f"`{value_col}`")).over(w), F.lit(0))
+    )
+
+
 def global_running_sum_two_pass(
     df: DataFrame,
     ts_col: str,

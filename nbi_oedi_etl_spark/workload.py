@@ -2423,9 +2423,13 @@ _R11_WINDOW: list[str] = [
     "corpus_pack_sequences", "corpus_pack_slices",
     "corpus_pack_sequences_global", "source_token_budget_cap",
     "doc_duplicate_spans",
-    # -- 4 changed-since-green --
+    # -- 5 changed-since-green (source_quantile_normalize joined late in
+    # the round when its acknowledged rank-wart was closed via the new
+    # keyed/global cumsum dispatch, displacing the newest r6 refresher
+    # customer_order_counts) --
     "banded_layout_portable", "streaming_banded_cdc_dedup",
     "salted_event_value_sum", "doc_readability_forcast",
+    "source_quantile_normalize",
     # -- all 32 remaining r5-green refreshers (oldest in the ledger) --
     "brand_basket_rules", "classifier_calibration_bins",
     "classifier_roc_auc", "daily_active_wau",
@@ -2442,12 +2446,11 @@ _R11_WINDOW: list[str] = [
     "revenue_pareto_analysis", "session_event_trigrams",
     "source_lang_kl_drift", "table_content_digest", "token_pmi_bigrams",
     "user_interarrival_stats", "winnowing_fingerprints",
-    # -- 9 oldest r6-green refreshers (alphabetical head) --
+    # -- 8 oldest r6-green refreshers (alphabetical head) --
     "anti_join_reconciliation", "brand_price_quantity_ols",
     "classifier_pr_curve", "cohort_ltv_curve",
     "conversion_latency_histogram", "copurchase_bfs_hops",
     "cumulative_unique_users", "customer_k_anonymity_audit",
-    "customer_order_counts",
 ]
 
 # Specs registered AFTER the r11 window froze — benched same-round per

@@ -140,30 +140,39 @@ def source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     order). Both engines evaluate the identical double expression on
     exact integer ranks.
 
-    Plan/scale: within-source ranks are source-keyed windows (each
-    source one partition — skewed sources would sub-bucket with the
-    two-pass spine); the global rank table here uses a direct window
-    for clarity and would move onto the same two-pass bucket spine
-    (hash_uniformity_ks's) at fact scale. Output is per (source,
-    normalized decile) to keep the result bounded rather than per-row.
+    Plan/scale (r11, the acknowledged wart closed): both rank tables
+    now route through the skew machinery — ``row_number`` over a unique
+    order is a cumsum of 1s, so the within-source ranks dispatch via
+    ``skew.keyed_cumsum`` (naive keyed window below the measured ~1M
+    rows/key crossover — the test-SF plan — two-pass spine bucketed by
+    ``floor(n_chars/64)`` above it) and the global rank table via
+    ``skew.global_cumsum`` (direct window below the crossover, the
+    bucket-spine form above — no single-task sort at fact scale).
+    Output is per (source, normalized decile) to keep the result
+    bounded rather than per-row.
     """
+    from nbi_oedi_etl_spark.operators.skew import global_cumsum, keyed_cumsum
+
     d = read_table(spark, sf_dir, "documents")
     n_tot = d.count()
     if n_tot == 0:
         return spark.createDataFrame(
             [], "source string, decile long, n_docs long, mean_norm_chars double"
         )
-    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    nchars_bucket = F.floor(F.col("n_chars") / 64)
     ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    ranked_s = d.select("doc_id", "source", "n_chars").withColumn(
-        "r", F.row_number().over(ws)
-    ).join(F.broadcast(ns), "source")
+    ranked_s = keyed_cumsum(
+        d.select("doc_id", "source", "n_chars").withColumn("one", F.lit(1)),
+        "source", ["n_chars", "doc_id"], nchars_bucket, "one",
+        out_col="r", include_current=True,
+    ).drop("one").join(F.broadcast(ns), "source")
     p = F.when(F.col("n_s") > 1, (F.col("r") - 1).cast("double") / (F.col("n_s") - 1).cast("double")).otherwise(F.lit(0.0))
     gidx = (F.floor(p * F.lit(float(n_tot - 1)) + F.lit(0.5)) + 1).cast("bigint")
-    wg = Window.orderBy("n_chars", "doc_id")
-    glob = d.select("doc_id", "n_chars").withColumn(
-        "g", F.row_number().over(wg).cast("bigint")
-    ).select("g", F.col("n_chars").alias("norm_chars"))
+    glob = global_cumsum(
+        d.select("doc_id", "n_chars").withColumn("one", F.lit(1)),
+        ["n_chars", "doc_id"], nchars_bucket, "one",
+        out_col="g", include_current=True, total_rows=n_tot,
+    ).select(F.col("g").cast("bigint").alias("g"), F.col("n_chars").alias("norm_chars"))
     mapped = ranked_s.withColumn("g", gidx).join(glob, "g")
     # decile of the normalized value's relative rank — bounded output
     decile = F.least(F.lit(9), F.floor(p * 10)).cast("bigint")

@@ -919,3 +919,63 @@ def test_keyed_cumsum_rejects_colliding_columns(spark):
         keyed_cumsum_two_pass(
             d, "source", ["doc_id"], F.floor(F.col("doc_id") / 7), "v"
         )
+
+
+def test_global_cumsum_dispatch_and_equivalence(spark):
+    """global_cumsum (arbitrary-order global form, r11): direct-window
+    and two-pass-spine branches produce identical values; dispatch
+    honors total_rows/crossover; value=1 yields a global row_number."""
+    from nbi_oedi_etl_spark.operators import skew
+
+    d = (
+        read_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("one", F.lit(1))
+    )
+    bucket = F.floor(F.col("n_chars") / 16)
+
+    def shape(df):
+        return "__bucket" in df._jdf.queryExecution().executedPlan().toString()
+
+    direct = skew.global_cumsum(
+        d, ["n_chars", "doc_id"], bucket, "one", out_col="g", total_rows=50
+    )
+    assert not shape(direct)
+    spine = skew.global_cumsum(
+        d, ["n_chars", "doc_id"], bucket, "one", out_col="g", crossover=1
+    )
+    assert shape(spine)
+    key = lambda df: sorted((r["doc_id"], r["g"]) for r in df.collect())
+    a, b = key(direct), key(spine)
+    assert a == b
+    # row_number semantics: g is a permutation of 1..N
+    assert sorted(g for _, g in a) == list(range(1, len(a) + 1))
+
+
+def test_quantile_normalize_spine_branch_matches_naive(spark):
+    """The r11 rewiring of source_quantile_normalize: forcing BOTH rank
+    tables onto the two-pass spine (crossover=1 via monkeypatched
+    dispatch) must reproduce the registered spec's output exactly."""
+    from unittest import mock
+
+    from nbi_oedi_etl_spark.operators import skew
+    from nbi_oedi_etl_spark.workload_ext33 import source_quantile_normalize
+
+    sf = SF_SMALL
+    want = sorted(map(tuple, source_quantile_normalize(spark, sf).collect()))
+
+    real_keyed, real_global = skew.keyed_cumsum, skew.global_cumsum
+
+    def keyed_spine(*a, **kw):
+        kw["crossover"] = 1
+        return real_keyed(*a, **kw)
+
+    def global_spine(*a, **kw):
+        kw["crossover"] = 1
+        return real_global(*a, **kw)
+
+    with mock.patch.object(skew, "keyed_cumsum", keyed_spine), mock.patch.object(
+        skew, "global_cumsum", global_spine
+    ):
+        got = sorted(map(tuple, source_quantile_normalize(spark, sf).collect()))
+    assert got == want and len(got) > 0
