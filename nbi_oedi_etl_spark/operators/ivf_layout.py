@@ -159,10 +159,39 @@ def compact_ivf_layout(
     )
 
 
-#: Hard cap on the driver-collected probe batch — well past broadcast
-#: scale (1M × a few-hundred-double embedding would already be GBs);
-#: the guard exists to make a contract violation loud, not to tune.
-_MAX_PROBE_BATCH_ROWS = 1_000_000
+#: Dispatch threshold between the driver-side probe (collect the batch,
+#: numpy probe math, static partition-pruned scan — the single-job path
+#: for the broadcast-sized batches CDC probes use) and the DISTRIBUTED
+#: probe (executor-side ``ivf_probe_udf`` + shuffle join against the
+#: layout — no driver collect; right when the batch itself is
+#: fact-scale, where the probed-cell union approaches every cell and
+#: static pruning buys nothing anyway). r11: was a hard ValueError cap.
+#: Measured brackets on local[32] (shared host, noisy): the driver path
+#: clearly wins up to ~8k queries (3.7-11 s vs 10.6-44 s); at ~17k the
+#: two sessions disagreed (driver 23.5 s vs distributed 18.3 s in one,
+#: reversed magnitudes in another) — the crossover sits somewhere in
+#: 8k-20k here and is host-dependent, so the default is the bracket's
+#: low edge and callers pin either branch via ``driver_batch_rows``.
+_MAX_PROBE_BATCH_ROWS = 16_384
+
+
+def _rerank_candidates(c: DataFrame, q: DataFrame, k: int, broadcast_q: bool) -> DataFrame:
+    """Shared probe tail: candidate equi-join on cell, self-exclusion
+    (native compare on dtype match — ADVICE r9), exact cosine re-rank."""
+    corpus_id_t = dict(c.dtypes)["vec_id"]
+    query_id_t = dict(q.dtypes)["query_id"]
+    if corpus_id_t == query_id_t:
+        not_self = F.col("vec_id") != F.col("query_id")
+    else:
+        not_self = F.col("vec_id").cast("string") != F.col("query_id").cast("string")
+    qq = F.broadcast(q) if broadcast_q else q
+    cand = c.join(qq, "cell").where(not_self)
+    return _rank_topk(
+        cand.select(
+            "query_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("sim")
+        ),
+        k,
+    )
 
 
 def probe_ivf_layout(
@@ -174,6 +203,7 @@ def probe_ivf_layout(
     n_probe: int = 4,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    driver_batch_rows: int | None = None,
 ) -> DataFrame:
     """IVF probe over the at-rest layout: per-query n_probe nearest cells,
     scan ONLY those cells' partitions (static ``cell IN (...)`` filter →
@@ -194,6 +224,11 @@ def probe_ivf_layout(
     ``cent_unit=None`` (the r11 default) reads the codebook from the
     layout's own ``_ivf_meta.json`` sidecar — the self-describing
     contract the banded layout already has.
+
+    Batches past ``_MAX_PROBE_BATCH_ROWS`` dispatch to the DISTRIBUTED
+    branch (r11): executor-side probe math, shuffle join against the
+    layout, no driver collect — identical results, pinned in
+    tests/test_new_op_properties.py.
     """
     if cent_unit is None:
         cent_unit = read_ivf_codebook(spark, path)
@@ -201,18 +236,28 @@ def probe_ivf_layout(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
     )
-    # Broadcast-sized by contract (as in ivf_topk) — but a caller
-    # violating the contract previously got a driver OOM. Collect through
-    # limit(cap+1): same single job, and row cap+1's presence is the loud
-    # contract-violation signal before anything unbounded materializes
-    # (ADVICE r10; the limit stops task output at cap+1 rows, so even the
-    # violating job ships bounded data to the driver).
-    rows = q_src.limit(_MAX_PROBE_BATCH_ROWS + 1).collect()
-    if len(rows) > _MAX_PROBE_BATCH_ROWS:
-        raise ValueError(
-            f"probe_ivf_layout query batch exceeds {_MAX_PROBE_BATCH_ROWS} "
-            f"rows — the batch is collected driver-side by contract; split "
-            f"it into smaller batches or use ivf_topk's distributed path"
+    # Collect through limit(cap+1): one job, and row cap+1's presence is
+    # the dispatch signal (ADVICE r10 made the old unbounded collect a
+    # loud error; r11 turns the error into the DISTRIBUTED branch — the
+    # limit still bounds what ships to the driver either way).
+    cap = _MAX_PROBE_BATCH_ROWS if driver_batch_rows is None else driver_batch_rows
+    rows = q_src.limit(cap + 1).collect()
+    if len(rows) > cap:
+        # Fact-scale batch: executor-side probe math (same probe_cells
+        # via ivf_probe_udf), shuffle join against the full layout scan
+        # (a batch this size probes ~every cell — static pruning is
+        # moot), identical rerank tail. No driver collect of the batch.
+        from nbi_oedi_etl_spark.operators.similarity import ivf_probe_udf
+
+        q = q_src.select(
+            "query_id",
+            "q_emb",
+            F.explode(ivf_probe_udf(cent_unit, n_probe)(F.col("q_emb"))).alias(
+                "cell"
+            ),
+        )
+        return _rerank_candidates(
+            spark.read.parquet(path), q, k, broadcast_q=False
         )
     if rows:
         mat = np.asarray([r["q_emb"] for r in rows], dtype=np.float64)
@@ -237,21 +282,4 @@ def probe_ivf_layout(
     # prune the file listing with, before any IO
     probed_cells = sorted({int(c) for c in cells.ravel()})
     c = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
-    # self-exclusion: NATIVE comparison when the corpus and query id
-    # columns share a dtype (exact, matches ivf_topk); string-cast only on
-    # a type mismatch, where it is exact for the self-search case but a
-    # foreign-domain string id '1' also excludes bigint corpus id 1 —
-    # documented caveat (ADVICE r9)
-    corpus_id_t = dict(c.dtypes)["vec_id"]
-    query_id_t = dict(q.dtypes)["query_id"]
-    if corpus_id_t == query_id_t:
-        not_self = F.col("vec_id") != F.col("query_id")
-    else:
-        not_self = F.col("vec_id").cast("string") != F.col("query_id").cast("string")
-    cand = c.join(F.broadcast(q), "cell").where(not_self)
-    return _rank_topk(
-        cand.select(
-            "query_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("sim")
-        ),
-        k,
-    )
+    return _rerank_candidates(c, q, k, broadcast_q=True)

@@ -245,11 +245,14 @@ def test_banded_layout_append_mode_rejects_parameter_mismatch(spark):
         assert _read_meta(spark, dest2) == before
 
 
-def test_probe_ivf_layout_rejects_oversized_query_batch(spark, monkeypatch):
-    """ADVICE r10: a probe batch past the driver-collect contract fails
-    fast with an actionable error instead of a driver OOM."""
+def test_probe_ivf_layout_dispatches_oversized_batch_to_distributed(
+    spark, monkeypatch
+):
+    """r11 (supersedes the ADVICE-r10 hard error): a probe batch past
+    the driver-collect threshold dispatches to the distributed branch
+    (executor-side probe math, shuffle join, no driver collect) with
+    IDENTICAL results to the driver-side path."""
     import numpy as np
-    import pytest as _pytest
 
     from nbi_oedi_etl_spark.operators import ivf_layout as il
 
@@ -261,9 +264,16 @@ def test_probe_ivf_layout_rejects_oversized_query_batch(spark, monkeypatch):
     with tempfile.TemporaryDirectory() as tmp:
         dest = os.path.join(tmp, "ivf")
         cent = il.write_ivf_layout(docs, dest, n_cells=4)
+        want = sorted(map(tuple, il.probe_ivf_layout(
+            spark, dest, docs, cent, k=3, query_id_col="vec_id"
+        ).collect()))
         monkeypatch.setattr(il, "_MAX_PROBE_BATCH_ROWS", 10)
-        with _pytest.raises(ValueError, match="exceeds 10 rows"):
-            il.probe_ivf_layout(spark, dest, docs, cent, k=3, query_id_col="vec_id")
+        big = il.probe_ivf_layout(spark, dest, docs, cent, k=3, query_id_col="vec_id")
+        got = sorted(map(tuple, big.collect()))
+        assert got == want and len(got) > 0
+        # the distributed branch must not carry the static IN-list prune
+        # (it reads the whole layout) nor a broadcast of the query side
+        # forced by us — plan sanity only, values above are the contract
         small = docs.limit(5)
         out = il.probe_ivf_layout(spark, dest, small, cent, k=3, query_id_col="vec_id")
         assert out.count() > 0
