@@ -129,12 +129,21 @@ def append_to_ivf_layout(
     with the LAYOUT'S OWN codebook (sidecar) and append their rows into
     the partitioned layout. Standard IVF practice: the codebook stays
     FIXED across appends (probes stay consistent — a probed cell always
-    means the same region), at the cost that heavy distribution drift
-    degrades recall until a re-cluster rewrites the layout; monitor with
-    ``ann_recall``-style audits and re-cluster on a cadence. Appends add
-    one file per touched cell per batch — run ``compact_ivf_layout``
-    periodically (measured cadence maths in CDC_DRILL.json apply
-    identically)."""
+    means the same region).
+
+    Drift note, MEASURED rather than assumed (r11): appending a tight
+    drifted mode under the frozen codebook collapsed it into one stale
+    cell — which makes that cell HOT (size/balance hazard) but did NOT
+    hurt recall at small n_probe (everything relevant sits together:
+    stale recall 0.91 vs 0.66 after re-clustering split the mode across
+    cells at n_probe=1), and re-clustering n_cells=8 over the union
+    barely changed cell purity (0.78 → 0.79). The operational trigger
+    for a re-cluster is therefore CELL-SIZE imbalance (a cell outgrowing
+    a task), not recall drift alone; monitor cell sizes per append and
+    ``ann_recall``-style audits at the probe settings you actually run.
+    Appends add one file per touched cell per batch — run
+    ``compact_ivf_layout`` periodically (measured cadence maths in
+    CDC_DRILL.json apply identically)."""
     cent = read_ivf_codebook(spark, path)
     _assign_cells(new_vectors, cent, id_col, vec_col).repartition(
         "cell"
