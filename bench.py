@@ -267,8 +267,10 @@ HEADLINE = [
     "source_temperature_mixture",
     "streaming_pack_sequences",
     # round-11: the IVF layout's CDC loop as a stream (ANN sibling of
-    # streaming_banded_cdc_dedup; rows-only)
+    # streaming_banded_cdc_dedup; rows-only) + span-level benchmark
+    # decontamination (the cut-not-drop recipe)
     "streaming_ivf_cdc_ann",
+    "benchmark_contamination_spans",
 ]
 
 

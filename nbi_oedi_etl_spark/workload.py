@@ -2249,6 +2249,14 @@ SPECS: list[QuerySpec] = [
         wbanded.streaming_ivf_cdc_ann,
         None,
     ),
+    # round-11: span-level benchmark decontamination — WHERE the eval
+    # overlap sits (the cut-not-drop recipe), completing the
+    # decontamination family (score / bounded-broadcast / span).
+    QuerySpec(
+        "benchmark_contamination_spans",
+        ext35.benchmark_contamination_spans,
+        ext35.BENCHMARK_CONTAMINATION_SPANS_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2460,6 +2468,7 @@ _POST_R11_ADDITIONS: list[str] = [
     "pack_boundary_stats",
     "source_temperature_mixture",
     "streaming_pack_sequences",
+    "benchmark_contamination_spans",
 ]
 
 # Retained for the rotation audit trail (round-7 window).

@@ -268,3 +268,103 @@ SELECT d2.doc_id,
        COALESCE(k.kept_text, '') AS kept_text
 FROM d d2 LEFT JOIN kept k ON d2.doc_id = k.doc_id
 """
+
+
+#: The designated benchmark source — same convention as
+#: workload_ext6.cross_source_contamination so the family composes.
+BENCHMARK_SOURCE = "src0"
+
+
+def benchmark_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level benchmark decontamination — the third member of the
+    decontamination family: ``cross_source_contamination`` scores docs
+    (fraction of shingles in the benchmark), ``bloom_decontamination``
+    does it at bounded broadcast size, and THIS spec answers WHERE the
+    overlap sits, so a pipeline can CUT the contaminated span instead of
+    dropping the document (the doc_cut_duplicate_spans discipline
+    pointed at an eval set — the published span-grain decontamination
+    recipe). Output: (doc_id, start_pos, end_pos, span_tokens) of every
+    maximal run of benchmark-present shingles ≥ ``MIN_SPAN_TOKENS`` in
+    every NON-benchmark document.
+
+    Plan/scale: the benchmark's distinct shingle set broadcasts (an eval
+    suite is MBs even at a 100 TB corpus — the ext6 argument); the
+    corpus side is one shingle explode + the per-doc gaps-and-islands
+    merge. Same maximal-run machinery as ``doc_duplicate_spans`` with
+    the duplicated-shingle HAVING replaced by benchmark membership.
+    """
+    k = SPAN_SHINGLE_TOKENS
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .where(F.size("toks") >= k)
+    )
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {k})))"
+            )
+        ).alias("pos", "s"),
+    )
+    bench = (
+        sh.where(F.col("source") == BENCHMARK_SOURCE).select("s").distinct()
+    )
+    hits = (
+        sh.where(F.col("source") != BENCHMARK_SOURCE)
+        .join(F.broadcast(bench), "s")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("start_pos"), (F.max("pos") + k).alias("end_pos"))
+        .select(
+            "doc_id",
+            F.col("start_pos").cast("long").alias("start_pos"),
+            F.col("end_pos").cast("long").alias("end_pos"),
+            (F.col("end_pos") - F.col("start_pos")).cast("long").alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= MIN_SPAN_TOKENS)
+    )
+
+
+BENCHMARK_CONTAMINATION_SPANS_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+    AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= {SPAN_SHINGLE_TOKENS}
+), sh AS (
+  SELECT doc_id, source, i AS pos,
+         array_to_string(list_slice(toks, i + 1, i + {SPAN_SHINGLE_TOKENS}), ' ') AS s
+  FROM d, unnest(range(len(toks) - {SPAN_SHINGLE_TOKENS} + 1)) t(i)
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE source = '{BENCHMARK_SOURCE}'
+), hits AS (
+  SELECT sh.doc_id, sh.pos
+  FROM sh JOIN bench USING (s)
+  WHERE sh.source <> '{BENCHMARK_SOURCE}'
+), runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+), spans AS (
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS start_pos,
+         CAST(max(pos) + {SPAN_SHINGLE_TOKENS} AS BIGINT) AS end_pos
+  FROM runs GROUP BY doc_id, grp
+)
+SELECT doc_id, start_pos, end_pos,
+       CAST(end_pos - start_pos AS BIGINT) AS span_tokens
+FROM spans
+WHERE end_pos - start_pos >= {MIN_SPAN_TOKENS}
+"""

@@ -57,6 +57,7 @@ _REPRESENTATIVES = [
     # aggregate must yield no rows, not a divide-by-null
     "pack_boundary_stats",
     "source_temperature_mixture",
+    "benchmark_contamination_spans",
     # round 5: mapInPandas codec path on a 0-row documents table
     "multimodal_jpeg_features",
     # round 5: heartbeat sentinels must synthesize template rows when the

@@ -480,3 +480,40 @@ def test_temperature_mixture_and_boundary_stats_semantics(spark):
         assert 0 < rows[-1]["seq_tokens"] <= PACK_TOKENS
     # stream reconciliation: sum of sequence tokens == corpus tokens
     assert sum(r["seq_tokens"] for r in stats) == tot
+
+
+def test_benchmark_contamination_spans_planted(spark, tmp_path):
+    """Planted eval-set contamination: a training doc embedding a
+    20-token benchmark passage reports exactly that span; clean training
+    docs and the benchmark docs themselves report nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.workload_ext35 import (
+        BENCHMARK_SOURCE,
+        benchmark_contamination_spans,
+    )
+
+    passage = " ".join(f"bench{i}" for i in range(20))
+    rows = [
+        # the benchmark doc (src0)
+        (0, BENCHMARK_SOURCE, passage + " " + " ".join(f"q{i}" for i in range(10))),
+        # contaminated training doc: passage at offset 4
+        (1, "src1", " ".join(f"a{i}" for i in range(4)) + " " + passage
+         + " " + " ".join(f"b{i}" for i in range(6))),
+        # clean training doc
+        (2, "src2", " ".join(f"z{i}" for i in range(30))),
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = sorted(
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["span_tokens"])
+        for r in benchmark_contamination_spans(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 4, 24, 20)]
