@@ -71,7 +71,7 @@ _REPO = _os.path.dirname(_HERE)
 def test_no_per_query_regression_vs_reference():
     """Reference refreshed to round-11 (the r9/r10 discipline): the r11
     bench ran quiet (spread 1.29× min — under the 1.5× refresh bar) and
-    covers all 187 headline queries incl. the CDC production twin and
+    covers all 188 headline queries incl. the CDC production twin and
     the duplicate-span pair; doc_readability_forcast returned to band
     (0.39 s vs the r10 noise spike 0.69 s). bench_reference_r7/r9/r10
     .json are kept for the round-over-round audit trail."""
