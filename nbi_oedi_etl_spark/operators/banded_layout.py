@@ -96,6 +96,7 @@ def write_banded_layout(
     n_buckets: int = 64,
     mode: str = "error",
     banded_rows: DataFrame | None = None,
+    family: str | None = None,
 ) -> None:
     """Materialize the corpus's band rows hive-partitioned by ``pcell``
     plus a self-describing parameter sidecar. One full banding pass ever;
@@ -116,6 +117,11 @@ def write_banded_layout(
         "bands": None if external else bands,
         "shingle_n": None if external else shingle_n,
         "n_buckets": n_buckets,
+        # For EXTERNAL bandings the four parameters above are all null,
+        # so two different external families would otherwise compare
+        # equal (r11 self-review): ``family`` is the caller's label for
+        # the banding family, recorded so appends can be verified.
+        "family": family,
     }
     if mode == "append":
         # An append into an existing layout MUST be the same banding
@@ -128,15 +134,32 @@ def write_banded_layout(
         try:
             existing = _read_meta(df.sparkSession if df is not None
                                   else banded_rows.sparkSession, dest)
-        except Exception:
+        except Exception as e:
+            # only a MISSING sidecar means "fresh dest"; any other read
+            # failure (transient FS error, permissions) must propagate —
+            # swallowing it would silently re-enable the pre-r11 mixing
+            # hazard (r11 self-review)
+            if "FileNotFoundException" not in str(e):
+                raise
             existing = None  # fresh dest: append behaves like a first write
-        if existing is not None and existing != meta:
-            raise ValueError(
-                f"append into {dest!r} with mismatched banding parameters: "
-                f"layout sidecar {existing} != requested {meta}; use "
-                f"append_to_banded_layout to band with the layout's own "
-                f"parameters, or write to a new dest"
-            )
+        if existing is not None:
+            existing.setdefault("family", None)  # pre-r11 sidecars
+            if existing != meta:
+                raise ValueError(
+                    f"append into {dest!r} with mismatched banding parameters: "
+                    f"layout sidecar {existing} != requested {meta}; use "
+                    f"append_to_banded_layout to band with the layout's own "
+                    f"parameters, or write to a new dest"
+                )
+            if external and existing["family"] is None and family is None:
+                raise ValueError(
+                    f"append into {dest!r}: both the layout and this call "
+                    f"use EXTERNAL banded_rows with no family label — the "
+                    f"sidecar cannot verify they are the same banding "
+                    f"family. Pass family=... on both writes (or use "
+                    f"append_to_banded_layout, whose contract documents "
+                    f"that the caller guarantees the family)."
+                )
     banded = (
         banded_rows
         if external
@@ -312,6 +335,23 @@ def _compact_partition_dirs(
             if st.isFile() and st.getPath().getName().endswith(".parquet")
         )
 
+    # Crash recovery (r11 self-review): a prior run that died between
+    # the retire-rename and the swap-in leaves the data under
+    # ``_retired_<name>`` with no live dir — restore it FIRST, so no
+    # crash point ever loses a partition's rows (see the swap order
+    # below: data always lives under exactly one of the two names).
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_retired_"):
+            live = jvm.org.apache.hadoop.fs.Path(path, name[len("_retired_"):])
+            if not fs.exists(live):
+                if not fs.rename(st.getPath(), live):
+                    raise IOError(f"recovery rename {st.getPath()} -> {live} failed")
+            else:
+                # live dir exists => the swap-in completed; the retired
+                # copy is the superseded original
+                fs.delete(st.getPath(), True)
+
     out: dict = {}
     for st in fs.listStatus(root):
         if not st.isDirectory():
@@ -323,7 +363,11 @@ def _compact_partition_dirs(
         if n_before <= max_files:
             continue
         # compact into an underscore-prefixed sibling (invisible to
-        # readers), then delete-and-rename into place
+        # readers), then swap: retire the original, rename the compacted
+        # copy in, delete the retired original LAST — at every crash
+        # point the rows live under either the live name or _retired_
+        # (the old delete-then-rename order lost the partition if the
+        # process died between the two; r11 self-review)
         tmp = jvm.org.apache.hadoop.fs.Path(path, f"_compacting_{name}")
         if fs.exists(tmp):
             fs.delete(tmp, True)  # leftover from an interrupted run
@@ -336,8 +380,11 @@ def _compact_partition_dirs(
         success = jvm.org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
         if fs.exists(success):
             fs.delete(success, False)
-        fs.delete(st.getPath(), True)
+        retired = jvm.org.apache.hadoop.fs.Path(path, f"_retired_{name}")
+        if not fs.rename(st.getPath(), retired):
+            raise IOError(f"rename {st.getPath()} -> {retired} failed")
         if not fs.rename(tmp, st.getPath()):
             raise IOError(f"rename {tmp} -> {st.getPath()} failed")
+        fs.delete(retired, True)
         out[name] = (n_before, _data_files(st.getPath()))
     return out

@@ -245,13 +245,16 @@ def probe_ivf_layout(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
     )
-    # Collect through limit(cap+1): one job, and row cap+1's presence is
-    # the dispatch signal (ADVICE r10 made the old unbounded collect a
-    # loud error; r11 turns the error into the DISTRIBUTED branch — the
-    # limit still bounds what ships to the driver either way).
+    # Dispatch peek on the ID COLUMN only (r11 self-review: peeking with
+    # limit(cap+1) over the full rows shipped up to cap+1 embedding
+    # arrays to the driver just to discard them on the distributed
+    # branch — ~134 MB at 1024-dim). The count job is bounded and
+    # column-pruned; the driver branch then collects the full rows it
+    # actually needs (two small jobs for small batches — the trade for
+    # never spiking the driver on large ones).
     cap = _MAX_PROBE_BATCH_ROWS if driver_batch_rows is None else driver_batch_rows
-    rows = q_src.limit(cap + 1).collect()
-    if len(rows) > cap:
+    n_peek = q_src.select("query_id").limit(cap + 1).count()
+    if n_peek > cap:
         # Fact-scale batch: executor-side probe math (same probe_cells
         # via ivf_probe_udf), shuffle join against the full layout scan
         # (a batch this size probes ~every cell — static pruning is
@@ -268,6 +271,7 @@ def probe_ivf_layout(
         return _rerank_candidates(
             spark.read.parquet(path), q, k, broadcast_q=False
         )
+    rows = q_src.collect()  # ≤ cap rows by the peek above
     if rows:
         mat = np.asarray([r["q_emb"] for r in rows], dtype=np.float64)
         cells = probe_cells(mat, cent_unit, n_probe)

@@ -2419,13 +2419,16 @@ _POST_R10_ADDITIONS: list[str] = [
 # Window = the full debt list tools/rotation_audit.py reports after this
 # round's code landed (5 never-verified: the 4 packing/budget specs
 # registered behind the frozen r10 window + the r11-registered
-# doc_duplicate_spans; 4 changed-since-green: the banded pair moved with
+# doc_duplicate_spans; 5 changed-since-green: the banded pair moved with
 # the append-guard + compaction additions, salted_event_value_sum with
 # the skew.py keyed_cumsum additions, doc_readability_forcast with its
-# FORCAST-spelling docstring pin), then the stalest banked evidence:
-# ALL 32 remaining r5-greens (including classifier_calibration_bins and
-# brand_basket_rules, displaced from the r10 window as promised) and the
-# 9 alphabetically-first r6-greens.
+# FORCAST-spelling docstring pin, and source_quantile_normalize which
+# joined late when its rank wart was closed via the cumsum dispatch),
+# then the stalest banked evidence: ALL 32 remaining r5-greens
+# (including classifier_calibration_bins and brand_basket_rules,
+# displaced from the r10 window as promised) and the 8
+# alphabetically-first r6-greens (customer_order_counts displaced by
+# the late changed-since-green entry). 5 + 5 + 32 + 8 = 50.
 _R11_WINDOW: list[str] = [
     # -- 5 never-verified --
     "corpus_pack_sequences", "corpus_pack_slices",

@@ -34,6 +34,51 @@ from nbi_oedi_etl_spark.operators.banded_layout import (
 _BANDS = 4
 
 
+def drain_mod3_batches(spark, sf_dir: str, table: str, id_col: str, apply_batch, prefix: str):
+    """Shared 3-micro-batch CDC drain harness (r11 self-review: four
+    specs had copy-pasted this scaffold). Stages ``table`` into 3
+    deterministic parts (``id_col % 3``, mtimes ordered so file-age
+    ordering is stable), drains them one file per trigger through
+    ``foreachBatch(apply_batch)`` under availableNow, and returns the
+    scoped streaming session so the caller can read its own output
+    roots. State/versioning stays in the caller's closure — only the
+    staging + drain mechanics live here."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    def _mod3(col):
+        # pyarrow has no mod kernel in this build; ids are non-negative
+        # int64, so truncating integer division suffices
+        return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
+
+    s = ingest.scoped_streaming_session(spark)
+    src = tempfile.mkdtemp(prefix=prefix)
+    t = pq.read_table(f"{sf_dir}/{table}.parquet")
+    for k in range(3):
+        path = os.path.join(src, f"part{k}.parquet")
+        pq.write_table(t.filter(pc.equal(_mod3(t.column(id_col)), k)), path)
+        os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
+
+    raw_schema = s.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    stream = (
+        s.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return s
+
+
 def _portable_band_rows(sig: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_hash) under the md5-portable family: the
     band hash is the same hex→bigint md5 bridge the signatures use,
@@ -111,29 +156,10 @@ def streaming_banded_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    def _mod3(col):
-        # pyarrow has no mod kernel in this build; doc_id is a
-        # non-negative int64, so truncating integer division suffices
-        return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
-
     from nbi_oedi_etl_spark.operators.banded_layout import (
         append_to_banded_layout,
         write_banded_layout,
     )
-    from nbi_oedi_etl_spark.streaming import ingest
-
-    s = ingest.scoped_streaming_session(spark)
-    src = tempfile.mkdtemp(prefix="banded_cdc_src_")
-    t = pq.read_table(f"{sf_dir}/documents.parquet")
-    for k in range(3):
-        path = os.path.join(src, f"part{k}.parquet")
-        pq.write_table(
-            t.filter(pc.equal(_mod3(t.column("doc_id")), k)), path
-        )
-        os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
 
     layout = tempfile.mkdtemp(prefix="banded_cdc_layout_") + "/layout"
     pairs_root = tempfile.mkdtemp(prefix="banded_cdc_pairs_")
@@ -162,21 +188,9 @@ def streaming_banded_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["version"] = batch_id
 
-    # prepared drain directory of documents-shaped files; schema pinned
-    # from the sf_dir fixture (the events_file_stream stream_dir pattern)
-    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        s.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    s = drain_mod3_batches(
+        spark, sf_dir, "documents", "doc_id", apply_batch, "banded_cdc_src_"
     )
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return s.read.parquet(os.path.join(pairs_root, f"v{state['version']}"))
 
 
@@ -198,26 +212,11 @@ def streaming_banded_cdc_dedup_production(
     """
     import os
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
     from nbi_oedi_etl_spark.operators.banded_layout import (
         append_to_banded_layout,
         probe_banded_layout,
         write_banded_layout,
     )
-    from nbi_oedi_etl_spark.streaming import ingest
-
-    def _mod3(col):
-        return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
-
-    s = ingest.scoped_streaming_session(spark)
-    src = tempfile.mkdtemp(prefix="banded_cdc_prod_src_")
-    t = pq.read_table(f"{sf_dir}/documents.parquet")
-    for k in range(3):
-        path = os.path.join(src, f"part{k}.parquet")
-        pq.write_table(t.filter(pc.equal(_mod3(t.column("doc_id")), k)), path)
-        os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
 
     layout = tempfile.mkdtemp(prefix="banded_cdc_prod_layout_") + "/layout"
     pairs_root = tempfile.mkdtemp(prefix="banded_cdc_prod_pairs_")
@@ -248,19 +247,10 @@ def streaming_banded_cdc_dedup_production(
         )
         state["version"] = batch_id
 
-    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        s.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    s = drain_mod3_batches(
+        spark, sf_dir, "documents", "doc_id", apply_batch,
+        "banded_cdc_prod_src_",
     )
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return s.read.parquet(os.path.join(pairs_root, f"v{state['version']}"))
 
 
@@ -342,26 +332,11 @@ def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
     from nbi_oedi_etl_spark.operators.ivf_layout import (
         append_to_ivf_layout,
         probe_ivf_layout,
         write_ivf_layout,
     )
-    from nbi_oedi_etl_spark.streaming import ingest
-
-    def _mod3(col):
-        return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
-
-    s = ingest.scoped_streaming_session(spark)
-    src = tempfile.mkdtemp(prefix="ivf_cdc_src_")
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    for k in range(3):
-        path = os.path.join(src, f"part{k}.parquet")
-        pq.write_table(t.filter(pc.equal(_mod3(t.column("vec_id")), k)), path)
-        os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
 
     layout = tempfile.mkdtemp(prefix="ivf_cdc_layout_") + "/layout"
     out_root = tempfile.mkdtemp(prefix="ivf_cdc_out_")
@@ -384,17 +359,7 @@ def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.write.mode("overwrite").parquet(os.path.join(out_root, f"v{batch_id}"))
         state["version"] = batch_id
 
-    raw_schema = s.read.parquet(f"{sf_dir}/embeddings.parquet").schema
-    stream = (
-        s.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    s = drain_mod3_batches(
+        spark, sf_dir, "embeddings", "vec_id", apply_batch, "ivf_cdc_src_"
     )
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return s.read.parquet(os.path.join(out_root, f"v{state['version']}"))

@@ -452,21 +452,7 @@ def streaming_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from nbi_oedi_etl_spark.streaming import ingest
-
-    def _mod3(col):
-        return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
-
-    s = ingest.scoped_streaming_session(spark)
-    src = tempfile.mkdtemp(prefix="pack_stream_src_")
-    t = pq.read_table(f"{sf_dir}/documents.parquet")
-    for k in range(3):
-        path = os.path.join(src, f"part{k}.parquet")
-        pq.write_table(t.filter(pc.equal(_mod3(t.column("doc_id")), k)), path)
-        os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
+    from nbi_oedi_etl_spark.workload_banded import drain_mod3_batches
 
     out_root = tempfile.mkdtemp(prefix="pack_stream_out_")
     state: dict = {"totals": {}, "version": -1}
@@ -528,19 +514,9 @@ def streaming_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             totals[k] = totals.get(k, 0) + int(v)
         state["version"] = batch_id
 
-    raw_schema = s.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        s.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    s = drain_mod3_batches(
+        spark, sf_dir, "documents", "doc_id", apply_batch, "pack_stream_src_"
     )
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return s.read.parquet(os.path.join(out_root, f"v{state['version']}"))
 
 

@@ -156,6 +156,11 @@ def doc_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions, disjoint by construction) and a per-doc
     sort-collect of kept tokens (array_sort over struct(pos, tok) —
     per-doc state, bounded by document length).
+
+    Membership contract (r11 self-review fix): docs SHORTER than the
+    shingle width cannot carry a detectable span but are still corpus
+    members — they pass through intact. Only shingle GENERATION is
+    gated by the width; output membership is every tokenizable doc.
     """
     k = SPAN_SHINGLE_TOKENS
     d = (
@@ -165,12 +170,11 @@ def doc_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
         )
-        .where(F.size("toks") >= k)
     )
     toks = d.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
     )
-    sh = d.select(
+    sh = d.where(F.size("toks") >= k).select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -229,11 +233,11 @@ WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
   FROM documents
   WHERE text IS NOT NULL AND trim(text) <> ''
-    AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= {SPAN_SHINGLE_TOKENS}
 ), sh AS (
   SELECT doc_id, i AS pos,
          array_to_string(list_slice(toks, i + 1, i + {SPAN_SHINGLE_TOKENS}), ' ') AS s
   FROM d, unnest(range(len(toks) - {SPAN_SHINGLE_TOKENS} + 1)) t(i)
+  WHERE len(toks) >= {SPAN_SHINGLE_TOKENS}
 ), owner AS (
   SELECT s, min(doc_id) AS owner
   FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2

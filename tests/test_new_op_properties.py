@@ -517,3 +517,25 @@ def test_benchmark_contamination_spans_planted(spark, tmp_path):
         for r in benchmark_contamination_spans(spark, str(tmp_path)).collect()
     )
     assert got == [(1, 4, 24, 20)]
+
+
+def test_doc_cut_duplicate_spans_keeps_short_docs(spark, tmp_path):
+    """r11 self-review fix: docs shorter than the shingle width are
+    corpus members and must pass through intact — only shingle
+    generation is width-gated, not output membership."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.workload_ext35 import doc_cut_duplicate_spans
+
+    docs = [(0, "tiny doc"), (1, "a b c"),
+            (2, " ".join(f"w{i}" for i in range(30)))]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                  "text": pa.array([t for _, t in docs])}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["doc_id"]: r for r in doc_cut_duplicate_spans(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["kept_text"] == "tiny doc" and got[0]["cut_tokens"] == 0
+    assert got[1]["n_tokens"] == 3 and got[1]["cut_tokens"] == 0
