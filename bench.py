@@ -271,6 +271,13 @@ HEADLINE = [
     # decontamination (the cut-not-drop recipe)
     "streaming_ivf_cdc_ann",
     "benchmark_contamination_spans",
+    # round-11 wave 2: product quantization (train/encode + ADC top-k),
+    # the seeded deterministic epoch shuffle, and the CCNet perplexity
+    # filter decision
+    "embedding_pq_codes",
+    "embedding_pq_adc_topk",
+    "corpus_epoch_shuffle",
+    "ccnet_perplexity_buckets",
 ]
 
 

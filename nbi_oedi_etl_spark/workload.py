@@ -1801,6 +1801,7 @@ from nbi_oedi_etl_spark import workload_ext32 as ext32
 from nbi_oedi_etl_spark import workload_ext33 as ext33
 from nbi_oedi_etl_spark import workload_ext34 as ext34
 from nbi_oedi_etl_spark import workload_ext35 as ext35
+from nbi_oedi_etl_spark import workload_ext36 as ext36
 from nbi_oedi_etl_spark import workload_banded as wbanded
 from nbi_oedi_etl_spark import workload_spine as wspine
 from nbi_oedi_etl_spark import workload_tpch as tpch
@@ -2257,6 +2258,36 @@ SPECS: list[QuerySpec] = [
         ext35.benchmark_contamination_spans,
         ext35.BENCHMARK_CONTAMINATION_SPANS_ORACLE,
     ),
+    # round-11 wave 2 (behind the frozen r11 window, _POST_R11_ADDITIONS
+    # per the freeze policy — benched same-round, enter the r12 window):
+    # product quantization training/encoding + the ADC top-k scan (the
+    # 100 TB ANN memory layout: M bytes per vector; composes with the
+    # IVF layout as IVF-PQ), the seeded deterministic epoch shuffle
+    # (training order as a reproducible permutation, ranks through the
+    # skew-dispatched cumsum — epoch is the lowest-cardinality key in
+    # the registry), and the CCNet perplexity filter decision (corpus
+    # word-bigram LM score + per-source head/middle/tail terciles via
+    # exact integer rank arithmetic).
+    QuerySpec(
+        "embedding_pq_codes",
+        ext36.embedding_pq_codes,
+        ext36.PQ_CODES_ORACLE,
+    ),
+    QuerySpec(
+        "embedding_pq_adc_topk",
+        ext36.embedding_pq_adc_topk,
+        ext36.PQ_ADC_ORACLE,
+    ),
+    QuerySpec(
+        "corpus_epoch_shuffle",
+        ext36.corpus_epoch_shuffle,
+        ext36.EPOCH_SHUFFLE_ORACLE,
+    ),
+    QuerySpec(
+        "ccnet_perplexity_buckets",
+        ext36.ccnet_perplexity_buckets,
+        ext36.CCNET_PERPLEXITY_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2472,6 +2503,10 @@ _POST_R11_ADDITIONS: list[str] = [
     "source_temperature_mixture",
     "streaming_pack_sequences",
     "benchmark_contamination_spans",
+    "embedding_pq_codes",
+    "embedding_pq_adc_topk",
+    "corpus_epoch_shuffle",
+    "ccnet_perplexity_buckets",
 ]
 
 # Retained for the rotation audit trail (round-7 window).

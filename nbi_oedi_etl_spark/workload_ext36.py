@@ -1,0 +1,553 @@
+"""Round-11 wave 2: product quantization, seeded epoch shuffle, and
+CCNet-style perplexity bucketing (§2.12 extension).
+
+- ``embedding_pq_codes`` — PRODUCT QUANTIZATION training + encoding
+  (Jégou et al. 2011): split each vector into M subvectors, run Lloyd
+  k-means independently per subspace (the ``kmeans_lloyd_3iter`` recipe
+  with ``sub`` as an extra group key), and encode every vector as M
+  small code ids. This is the memory layout that makes 100 TB ANN
+  feasible: M bytes per vector instead of 4·dim — the corpus-resident
+  complement of ``embedding_int8_quantization`` (which keeps dim values)
+  and the IVF layout (which prunes the scan but stores full vectors).
+- ``embedding_pq_adc_topk`` — ASYMMETRIC DISTANCE COMPUTATION top-k over
+  the PQ codes: the query stays full-precision, corpus distances come
+  entirely from the (sub, code) → centroid lookup table, so the scan
+  never touches raw vectors. Production composes this with the IVF
+  layout (probe cells, then ADC on the survivors — IVF-PQ); here the
+  oracled spec runs the flat scan so every stage is value-checked.
+- ``corpus_epoch_shuffle`` — deterministic SEEDED per-epoch training
+  order: shuffle position = rank of md5(epoch, doc_id) within the
+  epoch, so every epoch is a reproducible pseudo-random permutation and
+  re-runs land byte-identical shards. The rank is a cumsum of 1s over a
+  unique order, routed through ``skew.keyed_cumsum`` — ``epoch`` is the
+  lowest-cardinality key imaginable, exactly the single-task window the
+  two-pass spine exists for (bucketized by the hash's leading byte, the
+  ``source_token_budget_cap`` pattern).
+- ``ccnet_perplexity_buckets`` — the CCNet filtering decision (Wenzek
+  et al. 2020): score each document with a corpus-trained word-bigram
+  LM (add-one smoothing), then bucket per source into head / middle /
+  tail terciles by perplexity rank. Scoring follows the
+  ``char_bigram_lm_score`` exactness recipe (model log-probs rounded
+  once to 9 places, DECIMAL(18,9) per-doc sums); the tercile is pure
+  integer arithmetic on a ``skew.keyed_cumsum`` rank — no per-source
+  single-task window, no float threshold comparisons.
+
+Oracle convention identical to workload.py (DuckDB twins, shared
+rounding expressions, aliased columns both sides).
+
+Reference parity: no reference analogue (§2.12 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from nbi_oedi_etl_spark.sources import read_table
+
+# ------------------------------------------------ product quantization
+
+#: Number of PQ subspaces (the 64-dim test embeddings split 4 × 16).
+PQ_M = 4
+
+#: Dimensions per subspace.
+PQ_DSUB = 16
+
+#: Codes per subspace codebook (per-subspace k-means k). M=4 × k=4 means
+#: every vector compresses to 4 code ids — at byte codes and k ≤ 256,
+#: 64 float32 dims (256 B) become 4 B per vector.
+PQ_K = 4
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, semb): each embedding split into ``PQ_M`` contiguous
+    ``PQ_DSUB``-dim subvectors. One narrow projection — the corpus never
+    shuffles for training (assignment is broadcast-codebook argmin)."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" s -> slice(emb, s * {PQ_DSUB} + 1, {PQ_DSUB}))"
+            )
+        ).alias("sub", "semb"),
+    )
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Per-subspace nearest-code assignment (argmin L2, ties to the
+    lowest code id) — ``similarity.kmeans_assignment_step`` with ``sub``
+    joined through. The codebook (M·k rows) broadcasts; the corpus side
+    is a per-row reduction, JVM-side end to end."""
+    from nbi_oedi_etl_spark.operators.similarity import l2_distance
+
+    d = subs.join(F.broadcast(codebook), "sub").select(
+        "vec_id",
+        "sub",
+        "semb",
+        "code",
+        l2_distance(F.col("semb"), F.col("c_emb")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("dist"), F.asc("code"))
+    return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+
+_PQ_CODEBOOK_SCHEMA = StructType(
+    [
+        StructField("sub", IntegerType()),
+        StructField("code", LongType()),
+        StructField("c_emb", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd update per subspace codebook (init = the first ``PQ_K``
+    vectors' subvectors, exactly the ``kmeans_lloyd_3iter`` seeding), then
+    the final assignment. Returns (subvectors, trained codebook).
+
+    The update's per-dimension mean goes through DECIMAL(18,9) sums
+    (order-independent) with one double division — the proven
+    cross-engine-exact Lloyd arithmetic. Between assign and re-assign the
+    M·k×(dim/M) codebook collects to the driver and re-broadcasts as
+    literals: bounded O(k·dim) driver state, lineage truncated (the
+    kmeans_lloyd_3iter posture; a deeper loop would iterate exactly the
+    same pair — ``kmeans_lloyd_3iter`` already proves 3 iterations)."""
+    subs = _pq_subvectors(spark, sf_dir)
+    cb0 = subs.where(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("code"), F.col("semb").alias("c_emb")
+    )
+    a0 = _pq_assign(subs, cb0)
+    dims = a0.select("sub", "code", F.posexplode("semb").alias("d", "val"))
+    means = (
+        dims.groupBy("sub", "code", "d")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda x: x["m"],
+            ).alias("c_emb")
+        )
+    )
+    rows = [(r["sub"], r["code"], list(r["c_emb"])) for r in means.collect()]
+    cb1 = spark.createDataFrame(rows, _PQ_CODEBOOK_SCHEMA)
+    return subs, cb1
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode the corpus: (vec_id, sub, code, sub_distance) — each
+    vector's nearest trained code per subspace with the residual L2 to
+    that code (the per-subspace quantization error), rounded to 6.
+
+    Every stage is cross-engine exact: the init is deterministic (first
+    k vectors), the Lloyd update is the DECIMAL-mean recipe, distances
+    use the index-order fold proven bit-equal to DuckDB's
+    ``list_distance``. Plan/scale: codebooks broadcast (M·k rows); both
+    assignment passes are per-row reductions over the broadcast side —
+    the corpus is scanned twice and never shuffled (the per-(vec_id,
+    sub) argmin window partitions on the corpus's own unique key, so AQE
+    sees a WindowGroupLimit over narrow rows, not a hot key)."""
+    subs, cb1 = _pq_train(spark, sf_dir)
+    a1 = _pq_assign(subs, cb1)
+    return a1.select(
+        "vec_id",
+        F.col("sub").cast("long").alias("sub"),
+        F.col("code").cast("long").alias("code"),
+        F.round("dist", 6).alias("sub_distance"),
+    )
+
+
+_PQ_ORACLE_PREFIX = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), subs AS (
+  SELECT vec_id, s AS sub,
+         list_slice(emb, s * {PQ_DSUB} + 1, s * {PQ_DSUB} + {PQ_DSUB}) AS semb
+  FROM e, unnest(range({PQ_M})) t(s)
+), cb0 AS (
+  SELECT sub, vec_id AS code, semb AS c_emb FROM subs WHERE vec_id < {PQ_K}
+), a0 AS (
+  SELECT vec_id, sub, semb, code FROM (
+    SELECT s.vec_id, s.sub, s.semb, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY list_distance(s.semb, c.c_emb),
+                                       c.code) AS rn
+    FROM subs s JOIN cb0 c ON c.sub = s.sub
+  ) WHERE rn = 1
+), cb1 AS (
+  SELECT sub, code, list(m ORDER BY d) AS c_emb FROM (
+    SELECT sub, code, d,
+           CAST(sum(CAST(semb[d] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM (SELECT sub, code, semb,
+                 unnest(range(1, len(semb) + 1)) AS d FROM a0)
+    GROUP BY sub, code, d
+  ) GROUP BY sub, code
+), a1 AS (
+  SELECT vec_id, sub, code, dist FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           list_distance(s.semb, c.c_emb) AS dist,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY list_distance(s.semb, c.c_emb),
+                                       c.code) AS rn
+    FROM subs s JOIN cb1 c ON c.sub = s.sub
+  ) WHERE rn = 1
+)"""
+
+PQ_CODES_ORACLE = (
+    _PQ_ORACLE_PREFIX
+    + """
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+       round(dist, 6) AS sub_distance
+FROM a1
+"""
+)
+
+
+#: Query set for the ADC spec (vec_id < this) and neighbors returned.
+PQ_N_QUERIES = 8
+PQ_TOPK = 3
+
+
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k: for each query vector (full precision)
+    rank the corpus by the PQ approximation sqrt(Σ_sub ‖q_sub −
+    codebook[sub][code]‖²) — corpus distances computed ENTIRELY from the
+    code table, never the raw vectors. Output (query_id, neighbor_id,
+    rank, adc_distance), top ``PQ_TOPK`` per query, self excluded, ties
+    to the lower neighbor id.
+
+    Exactness: per-sub distances use the proven index-order fold; the
+    4-term sum is written as an explicit d0+d1+d2+d3 chain (fixed IEEE
+    evaluation order both engines — no aggregate whose addend order an
+    engine could permute). Plan/scale: the query side (bounded —
+    queries × M subvector rows) broadcasts into the code join, the
+    per-(query, vec) reduce is a conditional-sum aggregate keyed by the
+    corpus's own unique key, and the final top-k is a per-query
+    WindowGroupLimit. At 100 TB this is the IVF-PQ residual scan: the
+    code table is M bytes/vector, so the scan reads ~1% of the raw
+    corpus bytes; composing with probe_ivf_layout prunes it further to
+    the probed-cell union."""
+    subs, cb1 = _pq_train(spark, sf_dir)
+    codes = _pq_assign(subs, cb1).select("vec_id", "sub", "code")
+    q = subs.where(F.col("vec_id") < PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("semb").alias("q_semb")
+    )
+    from nbi_oedi_etl_spark.operators.similarity import l2_distance
+
+    d = (
+        codes.join(F.broadcast(cb1), ["sub", "code"])
+        .join(F.broadcast(q), "sub")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "sub",
+            (
+                l2_distance(F.col("q_semb"), F.col("c_emb"))
+                * l2_distance(F.col("q_semb"), F.col("c_emb"))
+            ).alias("d2"),
+        )
+    )
+    sub_d2 = [
+        F.sum(F.when(F.col("sub") == s, F.col("d2"))).alias(f"d2_{s}")
+        for s in range(PQ_M)
+    ]
+    adc = d.groupBy("query_id", "vec_id").agg(*sub_d2)
+    total = F.col("d2_0")
+    for s in range(1, PQ_M):
+        total = total + F.col(f"d2_{s}")
+    adc = adc.select("query_id", "vec_id", F.sqrt(total).alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("adc", 6).alias("adc_distance"),
+        )
+    )
+
+
+PQ_ADC_ORACLE = (
+    _PQ_ORACLE_PREFIX
+    + f"""
+, q AS (
+  SELECT vec_id AS query_id, sub, semb AS q_semb
+  FROM subs WHERE vec_id < {PQ_N_QUERIES}
+), d AS (
+  SELECT q.query_id, a.vec_id, a.sub,
+         list_distance(q.q_semb, c.c_emb)
+           * list_distance(q.q_semb, c.c_emb) AS d2
+  FROM a1 a
+  JOIN cb1 c ON c.sub = a.sub AND c.code = a.code
+  JOIN q ON q.sub = a.sub
+  WHERE a.vec_id <> q.query_id
+), adc AS (
+  SELECT query_id, vec_id,
+         sqrt(sum(CASE WHEN sub = 0 THEN d2 END)
+              + sum(CASE WHEN sub = 1 THEN d2 END)
+              + sum(CASE WHEN sub = 2 THEN d2 END)
+              + sum(CASE WHEN sub = 3 THEN d2 END)) AS adc
+  FROM d GROUP BY query_id, vec_id
+), ranked AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(adc, 6) AS adc_distance
+FROM ranked WHERE rank <= {PQ_TOPK}
+"""
+)
+
+
+# ------------------------------------------------ seeded epoch shuffle
+
+#: Training epochs materialized per run and shard fan-out per epoch.
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 4
+
+
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded training order: for each epoch, every doc's
+    shuffle position is the rank of ``md5('ep<epoch>:<doc_id>')`` within
+    that epoch — a reproducible pseudo-random permutation per epoch
+    (re-running the pipeline lands byte-identical orders and shards; a
+    different epoch re-keys the hash, so consecutive epochs see the
+    corpus in independent orders — the data-ordering contract of a
+    training run). Output: (epoch, doc_id, shuffle_pos, shard) with
+    shard = (pos − 1) mod ``SHUFFLE_SHARDS``, the round-robin writer
+    assignment that keeps shards position-balanced.
+
+    Plan/scale: the rank is a cumsum of 1s over the unique (h, doc_id)
+    order routed through ``skew.keyed_cumsum`` — ``epoch`` has
+    ``SHUFFLE_EPOCHS`` values TOTAL, the most extreme low-cardinality
+    key in the registry, so above the dispatch crossover the two-pass
+    spine buckets by the hash's leading byte (256 balanced buckets by
+    construction — md5 is uniform) instead of funnelling each epoch
+    through one task. Below it (the test SF) the naive keyed window
+    runs. Same contract as ``source_token_budget_cap``."""
+    from nbi_oedi_etl_spark.operators.skew import keyed_cumsum
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    ep = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))).alias("epoch"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    ).withColumn("one", F.lit(1))
+    bucket = F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint")
+    ranked = keyed_cumsum(
+        ep, "epoch", ["h", "doc_id"], bucket, "one", out_col="shuffle_pos"
+    )
+    return ranked.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
+        ((F.col("shuffle_pos") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
+    )
+
+
+EPOCH_SHUFFLE_ORACLE = f"""
+WITH ep AS (
+  SELECT doc_id, e AS epoch,
+         md5('ep' || CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents, unnest(range({SHUFFLE_EPOCHS})) t(e)
+), ranked AS (
+  SELECT doc_id, epoch,
+         row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+  FROM ep
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       CAST(pos AS BIGINT) AS shuffle_pos,
+       CAST((pos - 1) % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+FROM ranked
+"""
+
+
+# --------------------------------------- CCNet perplexity bucketing
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet quality-filtering decision: score each document with a
+    corpus-trained word-bigram LM — add-one smoothing, p(w2|w1) =
+    (c(w1,w2)+1)/(c(w1,·)+V) — as mean negative log-probability per
+    bigram, then bucket per source into head / middle / tail terciles by
+    score rank (CCNet trains KenLM on held-out Wikipedia; the in-corpus
+    order-1 model keeps every stage oracle-buildable, the
+    ``char_bigram_lm_score`` adjudication). Output: (doc_id, source,
+    n_bigrams, ppl_score, bucket) for every doc with ≥ 1 bigram; lower
+    score = more predictable = 'head'.
+
+    Exactness: model log-probs round once to 9 places, per-doc sums run
+    in DECIMAL(18,9) (order-independent), the surfaced score divides
+    once and rounds to 6; the tercile is pure integer arithmetic
+    (3·(rank−1)) div n_source on exact ranks — no float threshold
+    comparison anywhere, so ties can never straddle engines.
+
+    Plan/scale: the word-bigram model is corpus-bounded but NOT
+    broadcast-bounded (vocab² worst case) — the score join shuffles on
+    (w1, w2), a plain keyed join; the per-source rank is a cumsum of 1s
+    through ``skew.keyed_cumsum`` (source is low-cardinality — above
+    the crossover the spine buckets by floor(score·8), below it the
+    naive keyed window), and per-source doc counts are one tiny
+    broadcast aggregate. At 100 TB CCNet proper swaps the in-corpus
+    model for a held-out one (the scoring join disappears into a
+    broadcast of the trained model's top tail + a bounded OOV default)
+    — the bucketing machinery is unchanged."""
+    from nbi_oedi_etl_spark.operators.skew import keyed_cumsum
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+        )
+    )
+    tk = docs.select(
+        "doc_id", "source", F.posexplode("toks").alias("pos", "w")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bgn = (
+        tk.select(
+            "doc_id",
+            "source",
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(wd).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .groupBy("doc_id", "source", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    model = bgn.groupBy("w1", "w2").agg(F.sum("n").alias("cnt"))
+    ctx = model.groupBy("w1").agg(F.sum("cnt").alias("ctx_n"))
+    vocab = tk.agg(F.countDistinct("w").alias("vocab"))
+    lnm = (
+        model.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("cnt") + F.lit(1.0))
+                    / (F.col("ctx_n") + F.col("vocab"))
+                ),
+                9,
+            ).alias("lnp"),
+        )
+    )
+    scored = (
+        bgn.join(lnm, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            # decimal(10,0) cast keeps the product at (29,9) — exact
+            # (the char_bigram_lm_score precision note)
+            F.sum(
+                F.col("lnp").cast("decimal(18,9)") * F.col("n").cast("decimal(10,0)")
+            ).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.col("_s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("ppl_score"),
+        )
+        .withColumn("one", F.lit(1))
+    )
+    ns = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    bucket_col = F.floor(F.col("ppl_score") * 8).cast("bigint")
+    ranked = keyed_cumsum(
+        scored, "source", ["ppl_score", "doc_id"], bucket_col, "one", out_col="rk"
+    ).join(F.broadcast(ns), "source")
+    tercile = F.expr("(3 * (rk - 1)) div n_s")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "ppl_score",
+        F.when(tercile == 0, F.lit("head"))
+        .when(tercile == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+CCNET_PERPLEXITY_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), tk AS (
+  SELECT doc_id, source, i AS pos, toks[i + 1] AS w
+  FROM d, unnest(range(len(toks))) t(i)
+), bg AS (
+  SELECT doc_id, source, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tk
+), bgn AS (
+  SELECT doc_id, source, w1, w2, count(*) AS n
+  FROM bg WHERE w2 IS NOT NULL GROUP BY doc_id, source, w1, w2
+), model AS (
+  SELECT w1, w2, sum(n) AS cnt FROM bgn GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, sum(cnt) AS ctx_n FROM model GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w) AS vocab FROM tk
+), lnm AS (
+  SELECT m.w1, m.w2,
+         round(ln((m.cnt + 1.0) / (c.ctx_n + v.vocab)), 9) AS lnp
+  FROM model m JOIN ctx c USING (w1), v
+), scored AS (
+  SELECT b.doc_id, b.source,
+         CAST(sum(b.n) AS BIGINT) AS n_bigrams,
+         round(-CAST(sum(CAST(l.lnp AS DECIMAL(18,9))
+                          * CAST(b.n AS DECIMAL(10,0))) AS DOUBLE)
+               / sum(b.n), 6) AS ppl_score
+  FROM bgn b JOIN lnm l ON b.w1 = l.w1 AND b.w2 = l.w2
+  GROUP BY b.doc_id, b.source
+), ranked AS (
+  SELECT doc_id, source, n_bigrams, ppl_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ppl_score, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n_s
+  FROM scored
+)
+SELECT doc_id, source, n_bigrams, ppl_score,
+       CASE (3 * (rk - 1)) // n_s
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""

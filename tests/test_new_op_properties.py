@@ -539,3 +539,161 @@ def test_doc_cut_duplicate_spans_keeps_short_docs(spark, tmp_path):
     assert set(got) == {0, 1, 2}
     assert got[0]["kept_text"] == "tiny doc" and got[0]["cut_tokens"] == 0
     assert got[1]["n_tokens"] == 3 and got[1]["cut_tokens"] == 0
+
+
+# ------------------------------------------------ round-11 wave 2: PQ,
+# epoch shuffle, CCNet buckets (workload_ext36)
+
+_SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_pq_codes_shape_and_lloyd_nonincrease(spark):
+    """Every vector gets exactly PQ_M codes, codes live in [0, PQ_K),
+    and the Lloyd update cannot increase per-subspace inertia:
+    J(assign under cb1) <= J(assign under cb0) — the k-means monotone
+    descent property, per subspace."""
+    from nbi_oedi_etl_spark.workload_ext36 import (
+        PQ_K,
+        PQ_M,
+        _pq_assign,
+        _pq_subvectors,
+        _pq_train,
+        embedding_pq_codes,
+    )
+
+    rows = embedding_pq_codes(spark, _SF_SMALL).collect()
+    n_vecs = len({r["vec_id"] for r in rows})
+    assert len(rows) == PQ_M * n_vecs and n_vecs > 0
+    assert all(0 <= r["code"] < PQ_K for r in rows)
+    assert all(r["sub_distance"] >= 0 for r in rows)
+
+    subs, cb1 = _pq_train(spark, _SF_SMALL)
+    cb0 = subs.where(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("code"), F.col("semb").alias("c_emb")
+    )
+    j0 = sum(r["dist"] ** 2 for r in _pq_assign(subs, cb0).collect())
+    j1 = sum(r["dist"] ** 2 for r in _pq_assign(subs, cb1).collect())
+    assert j1 <= j0 + 1e-9, (j0, j1)
+
+
+def test_pq_adc_matches_python_reference(spark):
+    """ADC distances recomputed in Python from the collected codebook +
+    codes + query subvectors, with the IDENTICAL fold order, must match
+    the Spark output bit-for-bit (after the shared round-6); ranks are
+    contiguous from 1, self never appears."""
+    import math
+
+    from nbi_oedi_etl_spark.workload_ext36 import (
+        PQ_M,
+        PQ_N_QUERIES,
+        PQ_TOPK,
+        _pq_assign,
+        _pq_train,
+        embedding_pq_adc_topk,
+    )
+
+    got = embedding_pq_adc_topk(spark, _SF_SMALL).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(PQ_N_QUERIES))
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, PQ_TOPK + 1))
+
+    subs, cb1 = _pq_train(spark, _SF_SMALL)
+    cb = {(r["sub"], r["code"]): list(r["c_emb"]) for r in cb1.collect()}
+    codes = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in _pq_assign(subs, cb1).collect()
+    }
+    qsubs = {
+        (r["vec_id"], r["sub"]): list(r["semb"])
+        for r in subs.where(F.col("vec_id") < PQ_N_QUERIES).collect()
+    }
+
+    def _l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return math.sqrt(acc)
+
+    for r in got:
+        total = 0.0
+        parts = []
+        for s in range(PQ_M):
+            d = _l2(qsubs[(r["query_id"], s)], cb[(s, codes[(r["neighbor_id"], s)])])
+            parts.append(d * d)
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        assert round(math.sqrt(total), 6) == r["adc_distance"], r
+
+
+def test_epoch_shuffle_is_permutation_and_deterministic(spark):
+    """Each epoch's positions are exactly 1..N (a permutation), epochs
+    order the corpus differently, re-runs are byte-identical, and the
+    round-robin shard assignment is balanced to within one row."""
+    from collections import Counter
+
+    from nbi_oedi_etl_spark.workload_ext36 import (
+        SHUFFLE_EPOCHS,
+        SHUFFLE_SHARDS,
+        corpus_epoch_shuffle,
+    )
+
+    rows = corpus_epoch_shuffle(spark, _SF_SMALL).collect()
+    n = len({r["doc_id"] for r in rows})
+    assert len(rows) == SHUFFLE_EPOCHS * n and n > 1
+    orders = {}
+    for e in range(SHUFFLE_EPOCHS):
+        ep = [r for r in rows if r["epoch"] == e]
+        assert sorted(r["shuffle_pos"] for r in ep) == list(range(1, n + 1))
+        orders[e] = tuple(
+            r["doc_id"] for r in sorted(ep, key=lambda r: r["shuffle_pos"])
+        )
+        shard_sizes = Counter(r["shard"] for r in ep)
+        assert set(shard_sizes) <= set(range(SHUFFLE_SHARDS))
+        assert max(shard_sizes.values()) - min(shard_sizes.values()) <= 1
+    assert orders[0] != orders[1]  # different epochs, different orders
+
+    again = corpus_epoch_shuffle(spark, _SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ccnet_buckets_tercile_and_score_semantics(spark, tmp_path):
+    """Planted corpus: within a source, tercile sizes differ by at most
+    one, bucket boundaries respect score order (max head <= min middle
+    <= ... with ties never straddling engines — rank-based), a
+    repetitive doc scores MORE predictable (lower) than an all-unique
+    doc, and only docs with >= 1 bigram appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.workload_ext36 import ccnet_perplexity_buckets
+
+    rep = "the cat sat on the mat " * 6          # repetitive -> low score
+    docs = [(0, rep), (1, " ".join(f"u{i}" for i in range(36)))]
+    docs += [(i, f"shared words here filler{i} tail{i}") for i in range(2, 9)]
+    docs += [(99, "one")]                        # single token: no bigram
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+            "source": pa.array(["s"] * len(docs)),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = ccnet_perplexity_buckets(spark, str(tmp_path)).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert 99 not in by_id and len(rows) == len(docs) - 1
+    assert by_id[0]["ppl_score"] < by_id[1]["ppl_score"]
+    sizes = {"head": 0, "middle": 0, "tail": 0}
+    for r in rows:
+        sizes[r["bucket"]] += 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    hi_head = max(r["ppl_score"] for r in rows if r["bucket"] == "head")
+    lo_mid = min(r["ppl_score"] for r in rows if r["bucket"] == "middle")
+    hi_mid = max(r["ppl_score"] for r in rows if r["bucket"] == "middle")
+    lo_tail = min(r["ppl_score"] for r in rows if r["bucket"] == "tail")
+    assert hi_head <= lo_mid <= hi_mid <= lo_tail
