@@ -278,6 +278,7 @@ HEADLINE = [
     "embedding_pq_adc_topk",
     "corpus_epoch_shuffle",
     "ccnet_perplexity_buckets",
+    "pq_recall_audit",
 ]
 
 

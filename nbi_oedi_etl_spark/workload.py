@@ -2288,6 +2288,14 @@ SPECS: list[QuerySpec] = [
         ext36.ccnet_perplexity_buckets,
         ext36.CCNET_PERPLEXITY_ORACLE,
     ),
+    # round-11 wave 2: the PQ family's recall audit (the ANN evidence
+    # convention — every approximate tier ships with one; this is
+    # ann_recall_portable for the compressed-domain scan).
+    QuerySpec(
+        "pq_recall_audit",
+        ext36.pq_recall_audit,
+        ext36.PQ_RECALL_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2507,6 +2515,7 @@ _POST_R11_ADDITIONS: list[str] = [
     "embedding_pq_adc_topk",
     "corpus_epoch_shuffle",
     "ccnet_perplexity_buckets",
+    "pq_recall_audit",
 ]
 
 # Retained for the rotation audit trail (round-7 window).

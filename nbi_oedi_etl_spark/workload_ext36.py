@@ -413,7 +413,11 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3·(rank−1)) div n_source on exact ranks — no float threshold
     comparison anywhere, so ties can never straddle engines.
 
-    Plan/scale: the word-bigram model is corpus-bounded but NOT
+    Plan/scale: bigrams come straight off each doc's token array (no
+    doc-keyed window sort — adjacency is an array property); the
+    bigram-grain frame materializes ONCE (localCheckpoint) because the
+    model aggregate and the score join need it under different
+    partitionings. The word-bigram model is corpus-bounded but NOT
     broadcast-bounded (vocab² worst case) — the score join shuffles on
     (w1, w2), a plain keyed join; the per-source rank is a cumsum of 1s
     through ``skew.keyed_cumsum`` (source is low-cardinality — above
@@ -434,21 +438,36 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
         )
     )
-    tk = docs.select(
-        "doc_id", "source", F.posexplode("toks").alias("pos", "w")
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
+    tk = docs.select(F.explode("toks").alias("w"))
+    # bigrams come straight off the token ARRAY (the ext35 shingle
+    # pattern) — zero doc-keyed window shuffle; adjacency is a property
+    # of the array, not of a sort order the engine must re-establish
+    # (the first draft's lead() window cost a corpus-wide doc-keyed
+    # sort exchange; measured ~3× the whole query's wall at 10×)
     bgn = (
-        tk.select(
+        docs.where(F.size("toks") >= 2)
+        .select(
             "doc_id",
             "source",
-            F.col("w").alias("w1"),
-            F.lead("w", 1).over(wd).alias("w2"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg"),
         )
-        .where(F.col("w2").isNotNull())
+        .select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .groupBy("doc_id", "source", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # bgn feeds the model aggregate AND the score join under DIFFERENT
+    # partitionings ((w1,w2) vs the doc-grain agg), so ReuseExchange
+    # cannot share them and plain lineage re-runs the explode + lead
+    # window once per consumer — measured ~3× wall at the 10× probe
+    # scale. Materialize the bigram-grain frame once (executor-storage
+    # bounded: one row per distinct (doc, bigram) — the "tokenize once"
+    # posture of a real corpus pipeline).
+    bgn = bgn.localCheckpoint()
     model = bgn.groupBy("w1", "w2").agg(F.sum("n").alias("cnt"))
     ctx = model.groupBy("w1").agg(F.sum("cnt").alias("ctx_n"))
     vocab = tk.agg(F.countDistinct("w").alias("vocab"))
@@ -488,6 +507,13 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("one", F.lit(1))
     )
+    # The doc-grain score frame feeds THREE consumers (the dispatch
+    # probe's count, the per-source totals, and the rank window); with
+    # plain lineage each would re-run the whole LM-scoring pipeline —
+    # measured 3× wall at the 10× probe scale. Checkpoint it so scoring
+    # runs once (the kcore/bfs posture: one row per scored doc,
+    # executor-storage-bounded, lineage truncated).
+    scored = scored.localCheckpoint()
     ns = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     bucket_col = F.floor(F.col("ppl_score") * 8).cast("bigint")
     ranked = keyed_cumsum(
@@ -551,3 +577,105 @@ SELECT doc_id, source, n_bigrams, ppl_score,
             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
 FROM ranked
 """
+
+
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@``PQ_TOPK`` of the PQ-ADC top-k against the exact
+    brute-force L2 top-k, per query — the QUALITY measurement of the
+    compressed-domain scan, itself oracle-checked (codebook training,
+    encoding, ADC, and the exact ground truth are all deterministic, so
+    the recall numbers value-hash-check cross-engine). The ANN-family
+    evidence convention: every approximate tier ships with its recall
+    audit (`ann_recall_portable` for IVF, this for PQ).
+
+    Plan/scale: ground truth is the broadcast-queries brute-force shape
+    (bounded query set against the corpus, per-query WindowGroupLimit);
+    the PQ side reuses ``embedding_pq_adc_topk``'s plan; the overlap
+    join is on the two tiny (queries × k) result tables."""
+    from nbi_oedi_etl_spark.operators.similarity import l2_distance
+
+    subs, _ = _pq_train(spark, sf_dir)  # subvector frame only for dims
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.where(F.col("vec_id") < PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(l2_distance(F.col("q_emb"), F.col("emb")), 6).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    exact = scored.select(
+        "query_id", "cand_id", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= PQ_TOPK)
+    approx = embedding_pq_adc_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("cand_id"), F.lit(1).alias("_hit")
+    )
+    joined = exact.join(approx, ["query_id", "cand_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_found"),
+        F.round(
+            F.sum(F.coalesce("_hit", F.lit(0))) * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias(f"recall_at_{PQ_TOPK}"),
+    )
+
+
+PQ_RECALL_ORACLE = (
+    _PQ_ORACLE_PREFIX
+    + f"""
+, q AS (
+  SELECT vec_id AS query_id, sub, semb AS q_semb
+  FROM subs WHERE vec_id < {PQ_N_QUERIES}
+), dd AS (
+  SELECT q.query_id, a.vec_id, a.sub,
+         list_distance(q.q_semb, c.c_emb)
+           * list_distance(q.q_semb, c.c_emb) AS d2
+  FROM a1 a
+  JOIN cb1 c ON c.sub = a.sub AND c.code = a.code
+  JOIN q ON q.sub = a.sub
+  WHERE a.vec_id <> q.query_id
+), adc AS (
+  SELECT query_id, vec_id,
+         sqrt(sum(CASE WHEN sub = 0 THEN d2 END)
+              + sum(CASE WHEN sub = 1 THEN d2 END)
+              + sum(CASE WHEN sub = 2 THEN d2 END)
+              + sum(CASE WHEN sub = 3 THEN d2 END)) AS adc
+  FROM dd GROUP BY query_id, vec_id
+), approx AS (
+  SELECT query_id, vec_id AS cand_id FROM (
+    SELECT query_id, vec_id, adc,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS rank
+    FROM adc
+  ) WHERE rank <= {PQ_TOPK}
+), qfull AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {PQ_N_QUERIES}
+), bf AS (
+  SELECT qf.query_id, e.vec_id AS cand_id,
+         round(list_distance(qf.q_emb, e.emb), 6) AS d
+  FROM e CROSS JOIN qfull qf WHERE e.vec_id <> qf.query_id
+), exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, cand_id) AS rank
+    FROM bf
+  ) WHERE rank <= {PQ_TOPK}
+)
+SELECT ex.query_id,
+       count(*) AS k,
+       CAST(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       round(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS recall_at_{PQ_TOPK}
+FROM exact ex
+LEFT JOIN approx ap ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
+GROUP BY ex.query_id
+"""
+)
