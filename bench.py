@@ -279,6 +279,7 @@ HEADLINE = [
     "corpus_epoch_shuffle",
     "ccnet_perplexity_buckets",
     "pq_recall_audit",
+    "ivf_pq_portable",
 ]
 
 

@@ -2296,6 +2296,14 @@ SPECS: list[QuerySpec] = [
         ext36.pq_recall_audit,
         ext36.PQ_RECALL_ORACLE,
     ),
+    # round-11 wave 2: the full IVF-PQ composition (coarse-cell probe +
+    # residual-PQ ADC rerank), every stage DuckDB-oracled — the
+    # production 100 TB ANN shape as one value-checked lineage.
+    QuerySpec(
+        "ivf_pq_portable",
+        ext36.ivf_pq_portable,
+        ext36.IVF_PQ_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2516,6 +2524,7 @@ _POST_R11_ADDITIONS: list[str] = [
     "corpus_epoch_shuffle",
     "ccnet_perplexity_buckets",
     "pq_recall_audit",
+    "ivf_pq_portable",
 ]
 
 # Retained for the rotation audit trail (round-7 window).

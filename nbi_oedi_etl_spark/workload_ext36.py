@@ -679,3 +679,227 @@ LEFT JOIN approx ap ON ex.query_id = ap.query_id AND ex.cand_id = ap.cand_id
 GROUP BY ex.query_id
 """
 )
+
+
+# ------------------------------------------------ IVF-PQ composition
+
+#: Coarse cells for the IVF-PQ composition (the embedding_ivf_portable
+#: coarse quantizer) and its query set / result depth.
+IVFPQ_COARSE_K = 8
+IVFPQ_N_QUERIES = 20
+IVFPQ_TOPK = 3
+
+
+def ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ index — the production 100 TB ANN shape — with
+    EVERY stage cross-engine value-checked: coarse cells from the
+    deterministic portable quantizer (``embedding_ivf_portable``'s
+    lowest-vec_id centroids + the proven argmin assignment), PQ trained
+    on the RESIDUALS (x − coarse_centroid, the Jégou et al. IVFADC
+    variant — residuals are centered, so the same code budget buys less
+    distortion), nprobe=1 own-cell probing, and ADC reranking of the
+    probed cell entirely from the code table. Output: (query_id,
+    cand_id, rank, adc_distance), top ``IVFPQ_TOPK`` per query.
+
+    Why this matters at 100 TB: IVF prunes WHICH partitions a probe
+    reads (files-read == probed-cell union — measured flat at 1×/10×/
+    100× for the at-rest layout); PQ shrinks what every SURVIVING row
+    costs (M code bytes instead of 4·dim). This spec is the composed
+    plan: cell-pruned scan → code join → ADC rerank, no raw vectors
+    touched after encoding. The at-rest production path stores the
+    codes as layout columns beside the cell partitioning; here every
+    stage stays in one lineage so DuckDB reproduces it bit-for-bit.
+
+    Plan/scale: both codebooks broadcast (coarse k + M·k·(dim/M)
+    doubles); residuals are a zip_with projection (no shuffle); the
+    probe join shuffles on the cell id exactly like
+    ``embedding_ivf_portable``; ADC is the conditional-sum aggregate
+    keyed by (query, candidate) within a cell — |cell| candidates per
+    query, never all-pairs."""
+    from nbi_oedi_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < IVFPQ_COARSE_K).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    assign = similarity.kmeans_assignment_step(emb, cents).select(
+        "vec_id", F.col("centroid_id").alias("cell")
+    )
+    cent_arr = cents.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("embedding").cast("array<double>").alias("cent_emb"),
+    )
+    e = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .join(assign, "vec_id")
+        .join(F.broadcast(cent_arr), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("emb", "cent_emb", lambda x, y: x - y).alias("res"),
+        )
+    )
+    rsubs = e.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" s -> slice(res, s * {PQ_DSUB} + 1, {PQ_DSUB}))"
+            )
+        ).alias("sub", "semb"),
+    )
+    # PQ training on residual subvectors — the embedding_pq_codes loop
+    # verbatim (init = first PQ_K vectors' residual subvectors, one
+    # DECIMAL-mean Lloyd update, bounded codebook collect)
+    cb0 = rsubs.where(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("code"), F.col("semb").alias("c_emb")
+    )
+    a0 = _pq_assign(rsubs.select("vec_id", "sub", "semb"), cb0)
+    dims = a0.select("sub", "code", F.posexplode("semb").alias("d", "val"))
+    means = (
+        dims.groupBy("sub", "code", "d")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda x: x["m"],
+            ).alias("c_emb")
+        )
+    )
+    rows = [(r["sub"], r["code"], list(r["c_emb"])) for r in means.collect()]
+    cb1 = spark.createDataFrame(rows, _PQ_CODEBOOK_SCHEMA)
+    codes = (
+        _pq_assign(rsubs.select("vec_id", "sub", "semb"), cb1)
+        .select("vec_id", "sub", "code")
+        .join(assign, "vec_id")
+    )
+    from nbi_oedi_etl_spark.operators.similarity import l2_distance
+
+    q = rsubs.where(F.col("vec_id") < IVFPQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        "sub",
+        F.col("semb").alias("q_semb"),
+    )
+    d = (
+        codes.join(F.broadcast(cb1), ["sub", "code"])
+        .join(F.broadcast(q), ["cell", "sub"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "sub",
+            (
+                l2_distance(F.col("q_semb"), F.col("c_emb"))
+                * l2_distance(F.col("q_semb"), F.col("c_emb"))
+            ).alias("d2"),
+        )
+    )
+    sub_d2 = [
+        F.sum(F.when(F.col("sub") == s, F.col("d2"))).alias(f"d2_{s}")
+        for s in range(PQ_M)
+    ]
+    adc = d.groupBy("query_id", "vec_id").agg(*sub_d2)
+    total = F.col("d2_0")
+    for s in range(1, PQ_M):
+        total = total + F.col(f"d2_{s}")
+    adc = adc.select("query_id", "vec_id", F.sqrt(total).alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVFPQ_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("adc", 6).alias("adc_distance"),
+        )
+    )
+
+
+IVF_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < {IVFPQ_COARSE_K}
+), dc AS (
+  SELECT e.vec_id, c.centroid_id, list_distance(e.emb, c.c_emb) AS dist
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+    FROM dc
+  ) WHERE rn = 1
+), rsubs AS (
+  SELECT b.vec_id, b.cell, s AS sub,
+         list_transform(range(1, {PQ_DSUB} + 1),
+                        i -> b.emb[s * {PQ_DSUB} + i] - b.c_emb[s * {PQ_DSUB} + i])
+           AS semb
+  FROM (SELECT e.vec_id, a.cell, e.emb, c.c_emb
+        FROM e JOIN assign a USING (vec_id)
+        JOIN c ON c.centroid_id = a.cell) b,
+       unnest(range({PQ_M})) t(s)
+), cb0 AS (
+  SELECT sub, vec_id AS code, semb AS c_emb FROM rsubs WHERE vec_id < {PQ_K}
+), a0 AS (
+  SELECT vec_id, sub, semb, code FROM (
+    SELECT r.vec_id, r.sub, r.semb, cb.code,
+           row_number() OVER (PARTITION BY r.vec_id, r.sub
+                              ORDER BY list_distance(r.semb, cb.c_emb),
+                                       cb.code) AS rn
+    FROM rsubs r JOIN cb0 cb ON cb.sub = r.sub
+  ) WHERE rn = 1
+), cb1 AS (
+  SELECT sub, code, list(m ORDER BY d) AS c_emb FROM (
+    SELECT sub, code, d,
+           CAST(sum(CAST(semb[d] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM (SELECT sub, code, semb,
+                 unnest(range(1, len(semb) + 1)) AS d FROM a0)
+    GROUP BY sub, code, d
+  ) GROUP BY sub, code
+), codes AS (
+  SELECT vec_id, sub, code, cell FROM (
+    SELECT r.vec_id, r.sub, r.cell, cb.code,
+           row_number() OVER (PARTITION BY r.vec_id, r.sub
+                              ORDER BY list_distance(r.semb, cb.c_emb),
+                                       cb.code) AS rn
+    FROM rsubs r JOIN cb1 cb ON cb.sub = r.sub
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, cell, sub, semb AS q_semb
+  FROM rsubs WHERE vec_id < {IVFPQ_N_QUERIES}
+), dd AS (
+  SELECT q.query_id, a.vec_id, a.sub,
+         list_distance(q.q_semb, cb.c_emb)
+           * list_distance(q.q_semb, cb.c_emb) AS d2
+  FROM codes a
+  JOIN cb1 cb ON cb.sub = a.sub AND cb.code = a.code
+  JOIN q ON q.sub = a.sub AND q.cell = a.cell
+  WHERE a.vec_id <> q.query_id
+), adc AS (
+  SELECT query_id, vec_id,
+         sqrt(sum(CASE WHEN sub = 0 THEN d2 END)
+              + sum(CASE WHEN sub = 1 THEN d2 END)
+              + sum(CASE WHEN sub = 2 THEN d2 END)
+              + sum(CASE WHEN sub = 3 THEN d2 END)) AS adc
+  FROM dd GROUP BY query_id, vec_id
+), ranked AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id AS cand_id, CAST(rank AS BIGINT) AS rank,
+       round(adc, 6) AS adc_distance
+FROM ranked WHERE rank <= {IVFPQ_TOPK}
+"""

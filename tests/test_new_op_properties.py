@@ -697,3 +697,43 @@ def test_ccnet_buckets_tercile_and_score_semantics(spark, tmp_path):
     hi_mid = max(r["ppl_score"] for r in rows if r["bucket"] == "middle")
     lo_tail = min(r["ppl_score"] for r in rows if r["bucket"] == "tail")
     assert hi_head <= lo_mid <= hi_mid <= lo_tail
+
+
+def test_ivf_pq_candidates_come_from_own_cell(spark):
+    """IVF-PQ structural properties: every returned candidate shares the
+    query's coarse cell (nprobe=1 own-cell probing, checked against an
+    independently recomputed assignment), self never appears, and each
+    query returns exactly min(TOPK, |cell|-1) contiguous ranks."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators import similarity
+    from nbi_oedi_etl_spark.sources import read_table
+    from nbi_oedi_etl_spark.workload_ext36 import (
+        IVFPQ_COARSE_K,
+        IVFPQ_N_QUERIES,
+        IVFPQ_TOPK,
+        ivf_pq_portable,
+    )
+
+    got = ivf_pq_portable(spark, _SF_SMALL).collect()
+    emb = read_table(spark, _SF_SMALL, "embeddings")
+    cents = emb.where(F.col("vec_id") < IVFPQ_COARSE_K).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    cell = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.kmeans_assignment_step(emb, cents).collect()
+    }
+    cell_sizes = Counter(cell.values())
+    by_q: dict[int, list] = {}
+    for r in got:
+        assert r["cand_id"] != r["query_id"]
+        assert cell[r["cand_id"]] == cell[r["query_id"]], r
+        assert r["adc_distance"] >= 0
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    n_vecs = len(cell)
+    for qid in range(min(IVFPQ_N_QUERIES, n_vecs)):
+        expect = min(IVFPQ_TOPK, cell_sizes[cell[qid]] - 1)
+        assert sorted(by_q.get(qid, [])) == list(range(1, expect + 1)), qid
