@@ -296,3 +296,222 @@ def probe_ivf_layout(
     probed_cells = sorted({int(c) for c in cells.ravel()})
     c = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
     return _rerank_candidates(c, q, k, broadcast_q=True)
+
+
+# ---------------------------------------------- at-rest IVF-PQ layout
+# The compressed tier of the layout: PQ codes stored as layout COLUMNS
+# beside the cell partitioning, so a probe composes BOTH prunings —
+# partition pruning picks which files it reads (PartitionFilters on
+# `cell`, same as probe_ivf_layout) and COLUMN pruning picks which bytes
+# of those files it reads (the ADC probe's ReadSchema carries only
+# vec_id + the M small code ints, never the embedding column — parquet
+# is columnar, so the vector pages are never fetched). At 64 float32
+# dims the code columns are ~1-2 % of the embedding column's bytes
+# (measured per layout by tools/ivf_pq_probe.py); at 1024-dim production
+# scale the ratio is ~0.4 %. The raw vectors stay in the same files, so
+# the exact tier (probe_ivf_layout) runs against the SAME layout.
+
+_IVF_PQ_META_FILE = "_ivf_pq_meta.json"
+
+
+def write_ivf_pq_layout(
+    corpus: DataFrame,
+    dest: str,
+    n_cells: int = 16,
+    pq_m: int = 4,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    mode: str = "error",
+    cent_unit: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize the corpus hive-partitioned by IVF cell WITH per-row
+    PQ codes (residual quantization: PQ trained on emb − cell_centroid,
+    the Jégou IVFADC layout): columns (vec_id, emb, code_0..code_{m-1}),
+    partition column ``cell``. Codes are DENSE 0..k-1 ints (the trained
+    codebook's code ids remapped in sorted order), so the probe's
+    reconstruction is a literal element_at — no join. Both sidecars are
+    written: ``_ivf_meta.json`` (coarse codebook — the layout stays
+    probe-compatible with ``probe_ivf_layout``) and ``_ivf_pq_meta.json``
+    (m, dsub, k + the dense per-(sub, code) codebooks).
+
+    Plan/scale: one full corpus scan ever (assign → residual → encode
+    are projections over broadcast codebooks; the only shuffles are the
+    bounded codebook-training aggregate and the per-cell write
+    repartition). Returns the coarse codebook."""
+    from nbi_oedi_etl_spark.operators.banded_layout import _write_meta
+    from nbi_oedi_etl_spark.operators.similarity import (
+        pq_assign,
+        pq_subvectors,
+        pq_train_codebook,
+    )
+
+    if cent_unit is None:
+        cent_unit = ivf_codebook(corpus, n_cells, id_col, vec_col, seed)
+    if cent_unit is None:
+        raise ValueError("empty corpus: no codebook")
+    dim, n_cells_eff = cent_unit.shape
+    if dim % pq_m:
+        raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
+    dsub = dim // pq_m
+    assigned = _assign_cells(corpus, cent_unit, id_col, vec_col)
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(cent_unit[d, j])) for d in range(dim)])
+            for j in range(n_cells_eff)
+        ]
+    )
+    res = assigned.withColumn(
+        "res",
+        F.zip_with("emb", F.element_at(cent_lit, F.col("cell") + 1), lambda x, y: x - y),
+    )
+    subs = pq_subvectors(res, pq_m, dsub, vec_col="res")
+    cb = pq_train_codebook(subs, pq_k)
+    cb_rows = sorted(
+        ((r["sub"], r["code"], list(r["c_emb"])) for r in cb.collect()),
+    )
+    # dense remap: per sub, sorted original code ids -> 0..k-1
+    dense: dict[int, dict[int, int]] = {}
+    books: dict[int, list[list[float]]] = {}
+    for sub, code, c_emb in cb_rows:
+        dense.setdefault(sub, {})
+        dense[sub][code] = len(dense[sub])
+        books.setdefault(sub, []).append(c_emb)
+    codes = pq_assign(subs.select("vec_id", "sub", "semb"), cb).select(
+        "vec_id", "sub", "code"
+    )
+    remap = F.create_map(
+        *[
+            F.lit(x)
+            for sub, m in dense.items()
+            for c, dc in m.items()
+            for x in (f"{sub}:{c}", dc)
+        ]
+    )
+    codes = codes.withColumn(
+        "dcode",
+        F.element_at(remap, F.concat_ws(":", F.col("sub"), F.col("code"))).cast("int"),
+    )
+    wide = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("dcode"))).alias(f"code_{s}")
+            for s in range(pq_m)
+        ]
+    )
+    (
+        assigned.join(wide, "vec_id")
+        .repartition("cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(dest)
+    )
+    spark = corpus.sparkSession
+    _write_ivf_meta(spark, dest, cent_unit)
+    _write_meta(
+        spark,
+        dest,
+        {
+            "pq_m": pq_m,
+            "pq_dsub": dsub,
+            "pq_k": pq_k,
+            # dense codebooks: books[sub][dense_code] = dsub doubles
+            "codebooks": [books[s] for s in range(pq_m)],
+        },
+        fname=_IVF_PQ_META_FILE,
+    )
+    return cent_unit
+
+
+def read_ivf_pq_meta(spark: SparkSession, path: str) -> dict:
+    """The layout's PQ sidecar: m, dsub, k and the dense codebooks."""
+    from nbi_oedi_etl_spark.operators.banded_layout import _read_meta
+
+    m = _read_meta(spark, path, fname=_IVF_PQ_META_FILE)
+    books = m["codebooks"]
+    if len(books) != m["pq_m"]:
+        raise ValueError(f"corrupt IVF-PQ sidecar: {len(books)} codebooks "
+                         f"for pq_m={m['pq_m']}")
+    return m
+
+
+def probe_ivf_pq_layout(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC probe over the at-rest IVF-PQ layout: per-query n_probe
+    nearest cells (static partition predicate, exactly like
+    ``probe_ivf_layout``), then rank candidates by cosine against the
+    PQ RECONSTRUCTION — cell centroid + per-sub codebook rows looked up
+    from the stored dense codes via literal ``element_at``. The scan's
+    ReadSchema carries only ``vec_id`` + the M code ints (+ the ``cell``
+    partition value): the embedding column's pages are never read —
+    column pruning IS the PQ memory win, composed on top of the
+    partition pruning (plan-pinned in tests/test_plans.py; bytes
+    measured by tools/ivf_pq_probe.py).
+
+    Query batches are broadcast-sized by contract (the CDC/interactive
+    tier — same contract as the driver branch of ``probe_ivf_layout``);
+    a fact-scale batch belongs on the exact tier's distributed branch,
+    which reads the same layout's raw vectors."""
+    cent_unit = read_ivf_codebook(spark, path)
+    meta = read_ivf_pq_meta(spark, path)
+    pq_m, dsub = meta["pq_m"], meta["pq_dsub"]
+    dim = cent_unit.shape[0]
+    q_src = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_emb"),
+    )
+    rows = q_src.collect()  # broadcast-sized by contract
+    if rows:
+        mat = np.asarray([r["q_emb"] for r in rows], dtype=np.float64)
+        cells = probe_cells(mat, cent_unit, n_probe)
+    else:
+        cells = np.empty((0, n_probe), dtype="int32")
+    exploded = [
+        (r["query_id"], r["q_emb"], int(cell))
+        for r, row_cells in zip(rows, cells)
+        for cell in row_cells
+    ]
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    q_schema = StructType(
+        list(q_src.schema.fields) + [StructField("cell", IntegerType(), False)]
+    )
+    q = spark.createDataFrame(exploded, q_schema)
+    probed = sorted({int(c) for c in cells.ravel()})
+    code_cols = [f"code_{s}" for s in range(pq_m)]
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probed))
+        .select("vec_id", "cell", *code_cols)
+    )
+    books = meta["codebooks"]
+    cb_lits = [
+        F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in books[s][c]])
+                for c in range(len(books[s]))
+            ]
+        )
+        for s in range(pq_m)
+    ]
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(cent_unit[d, j])) for d in range(dim)])
+            for j in range(cent_unit.shape[1])
+        ]
+    )
+    recon = F.concat(
+        *[F.element_at(cb_lits[s], F.col(f"code_{s}") + 1) for s in range(pq_m)]
+    )
+    xhat = F.zip_with(
+        recon, F.element_at(cent_lit, F.col("cell") + 1), lambda x, y: x + y
+    )
+    c = scan.withColumn("emb", xhat).drop(*code_cols)
+    return _rerank_candidates(c, q, k, broadcast_q=True)

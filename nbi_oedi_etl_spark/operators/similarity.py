@@ -26,6 +26,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from nbi_oedi_etl_spark.operators._util import ensure_parallelism
 
@@ -414,3 +422,107 @@ def kmeans_assignment_step(
         .where(F.col("rn") == 1)
         .select("vec_id", "centroid_id", F.round("dist", 6).alias("distance"))
     )
+
+
+# ---------------------------------------------- product quantization
+# Shared PQ primitives — ONE definition used by both the oracled workload
+# specs (workload_ext36) and the at-rest IVF-PQ layout
+# (operators/ivf_layout.py), the dedup.band_rows single-definition
+# precedent. Every stage is deterministic and cross-engine exact: the
+# init is the k smallest ids' subvectors, the Lloyd update is the
+# DECIMAL(18,9)-mean recipe, distances use the l2_distance index-order
+# fold proven bit-equal to DuckDB's list_distance.
+
+def pq_subvectors(
+    df: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """(vec_id, sub, semb): each vector split into ``m`` contiguous
+    ``dsub``-dim subvectors. One narrow projection — no shuffle."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(`{vec_col}`, s * {dsub} + 1, {dsub}))"
+            )
+        ).alias("sub", "semb"),
+    )
+
+
+def pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Per-subspace nearest-code assignment (argmin L2, ties to the
+    lowest code id). The codebook (m·k rows) broadcasts; the corpus side
+    is a per-row reduction, JVM-side end to end. Output keeps the input
+    columns plus (code, dist)."""
+    d = subs.join(F.broadcast(codebook), "sub").select(
+        *[F.col(c) for c in subs.columns],
+        "code",
+        l2_distance(F.col("semb"), F.col("c_emb")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("dist"), F.asc("code"))
+    return (
+        d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+
+
+PQ_CODEBOOK_SCHEMA = StructType(
+    [
+        StructField("sub", IntegerType()),
+        StructField("code", LongType()),
+        StructField("c_emb", ArrayType(DoubleType())),
+    ]
+)
+
+
+def pq_codebook_update(assigned: DataFrame) -> DataFrame:
+    """The Lloyd UPDATE step per (sub, code): per-dimension DECIMAL(18,9)
+    mean (order-independent) with one double division — the proven
+    cross-engine-exact arithmetic. Input: pq_assign output."""
+    dims = assigned.select("sub", "code", F.posexplode("semb").alias("d", "val"))
+    return (
+        dims.groupBy("sub", "code", "d")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda x: x["m"],
+            ).alias("c_emb")
+        )
+    )
+
+
+def pq_train_codebook(
+    subs: DataFrame, k: int, init_ids: list | None = None
+) -> DataFrame:
+    """One deterministic Lloyd pass per subspace: init = the ``k``
+    smallest vec_ids' subvectors (or an explicit ``init_ids`` list),
+    assign, DECIMAL-mean update — returned as a literal codebook
+    DataFrame (bounded m·k×dsub driver state, lineage truncated; the
+    kmeans_lloyd_3iter posture — a deeper loop iterates the same pair)."""
+    spark = subs.sparkSession
+    if init_ids is None:
+        init_ids = [
+            r["vec_id"]
+            for r in subs.select("vec_id").distinct().orderBy("vec_id").limit(k).collect()
+        ]
+    cb0 = subs.where(F.col("vec_id").isin(list(init_ids))).select(
+        "sub",
+        F.col("vec_id").cast("long").alias("code"),
+        F.col("semb").alias("c_emb"),
+    )
+    a0 = pq_assign(subs.select("vec_id", "sub", "semb"), cb0)
+    rows = [
+        (r["sub"], r["code"], list(r["c_emb"]))
+        for r in pq_codebook_update(a0).collect()
+    ]
+    return spark.createDataFrame(rows, PQ_CODEBOOK_SCHEMA)

@@ -345,6 +345,23 @@ def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         bs = batch_df.sparkSession
         vecs = batch_df.select("vec_id", "embedding")
+        if vecs.isEmpty():
+            # nothing to index or probe (e.g. an empty corpus stream) —
+            # carry the accumulated results forward; the layout's
+            # fit-on-first-NONEMPTY-batch contract stays intact
+            if state["version"] < 0:
+                res = bs.createDataFrame(
+                    [], "query_id long, vec_id long, cos_sim double, rank int"
+                )
+            else:
+                res = bs.read.parquet(
+                    os.path.join(out_root, f"v{state['version']}")
+                )
+            res.write.mode("overwrite").parquet(
+                os.path.join(out_root, f"v{batch_id}")
+            )
+            state["version"] = batch_id
+            return
         if state["version"] < 0:
             write_ivf_layout(vecs, layout, n_cells=8)
             # probe_ivf_layout's exact output contract (_rank_topk)

@@ -42,14 +42,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    DoubleType,
-    IntegerType,
-    LongType,
-    StructField,
-    StructType,
-)
 
 from nbi_oedi_etl_spark.sources import read_table
 
@@ -69,85 +61,56 @@ PQ_K = 4
 
 def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, sub, semb): each embedding split into ``PQ_M`` contiguous
-    ``PQ_DSUB``-dim subvectors. One narrow projection — the corpus never
-    shuffles for training (assignment is broadcast-codebook argmin)."""
+    ``PQ_DSUB``-dim subvectors — ``similarity.pq_subvectors`` over the
+    testdata table (ONE subvector definition; the at-rest IVF-PQ layout
+    shares it)."""
+    from nbi_oedi_etl_spark.operators.similarity import pq_subvectors
+
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    return e.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {PQ_M - 1}),"
-                f" s -> slice(emb, s * {PQ_DSUB} + 1, {PQ_DSUB}))"
-            )
-        ).alias("sub", "semb"),
-    )
+    return pq_subvectors(e, PQ_M, PQ_DSUB)
 
 
 def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Per-subspace nearest-code assignment (argmin L2, ties to the
-    lowest code id) — ``similarity.kmeans_assignment_step`` with ``sub``
-    joined through. The codebook (M·k rows) broadcasts; the corpus side
-    is a per-row reduction, JVM-side end to end."""
-    from nbi_oedi_etl_spark.operators.similarity import l2_distance
+    """Shared per-subspace argmin — ``similarity.pq_assign`` (broadcast
+    codebook, ties to the lowest code id, JVM-side end to end)."""
+    from nbi_oedi_etl_spark.operators.similarity import pq_assign
 
-    d = subs.join(F.broadcast(codebook), "sub").select(
-        "vec_id",
-        "sub",
-        "semb",
-        "code",
-        l2_distance(F.col("semb"), F.col("c_emb")).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("dist"), F.asc("code"))
-    return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
-
-
-_PQ_CODEBOOK_SCHEMA = StructType(
-    [
-        StructField("sub", IntegerType()),
-        StructField("code", LongType()),
-        StructField("c_emb", ArrayType(DoubleType())),
-    ]
-)
+    return pq_assign(subs, codebook)
 
 
 def _pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """One Lloyd update per subspace codebook (init = the first ``PQ_K``
-    vectors' subvectors, exactly the ``kmeans_lloyd_3iter`` seeding), then
+    vectors' subvectors, exactly the ``kmeans_lloyd_3iter`` seeding —
+    the oracle encodes ``vec_id < PQ_K``, so the init is pinned here
+    rather than ``pq_train_codebook``'s generic k-smallest default), then
     the final assignment. Returns (subvectors, trained codebook).
 
     The update's per-dimension mean goes through DECIMAL(18,9) sums
     (order-independent) with one double division — the proven
-    cross-engine-exact Lloyd arithmetic. Between assign and re-assign the
-    M·k×(dim/M) codebook collects to the driver and re-broadcasts as
-    literals: bounded O(k·dim) driver state, lineage truncated (the
-    kmeans_lloyd_3iter posture; a deeper loop would iterate exactly the
-    same pair — ``kmeans_lloyd_3iter`` already proves 3 iterations)."""
+    cross-engine-exact Lloyd arithmetic (``similarity.pq_codebook_update``).
+    Between assign and re-assign the M·k×(dim/M) codebook collects to the
+    driver and re-broadcasts as literals: bounded O(k·dim) driver state,
+    lineage truncated (the kmeans_lloyd_3iter posture; a deeper loop
+    would iterate exactly the same pair — ``kmeans_lloyd_3iter`` already
+    proves 3 iterations)."""
+    from nbi_oedi_etl_spark.operators.similarity import (
+        PQ_CODEBOOK_SCHEMA,
+        pq_assign,
+        pq_codebook_update,
+    )
+
     subs = _pq_subvectors(spark, sf_dir)
     cb0 = subs.where(F.col("vec_id") < PQ_K).select(
         "sub", F.col("vec_id").alias("code"), F.col("semb").alias("c_emb")
     )
-    a0 = _pq_assign(subs, cb0)
-    dims = a0.select("sub", "code", F.posexplode("semb").alias("d", "val"))
-    means = (
-        dims.groupBy("sub", "code", "d")
-        .agg(
-            (
-                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .groupBy("sub", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "m"))),
-                lambda x: x["m"],
-            ).alias("c_emb")
-        )
-    )
-    rows = [(r["sub"], r["code"], list(r["c_emb"])) for r in means.collect()]
-    cb1 = spark.createDataFrame(rows, _PQ_CODEBOOK_SCHEMA)
+    a0 = pq_assign(subs, cb0)
+    rows = [
+        (r["sub"], r["code"], list(r["c_emb"]))
+        for r in pq_codebook_update(a0).collect()
+    ]
+    cb1 = spark.createDataFrame(rows, PQ_CODEBOOK_SCHEMA)
     return subs, cb1
 
 
@@ -753,30 +716,22 @@ def ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # PQ training on residual subvectors — the embedding_pq_codes loop
     # verbatim (init = first PQ_K vectors' residual subvectors, one
-    # DECIMAL-mean Lloyd update, bounded codebook collect)
+    # DECIMAL-mean Lloyd update via the shared similarity primitives,
+    # bounded codebook collect)
+    from nbi_oedi_etl_spark.operators.similarity import (
+        PQ_CODEBOOK_SCHEMA,
+        pq_codebook_update,
+    )
+
     cb0 = rsubs.where(F.col("vec_id") < PQ_K).select(
         "sub", F.col("vec_id").alias("code"), F.col("semb").alias("c_emb")
     )
     a0 = _pq_assign(rsubs.select("vec_id", "sub", "semb"), cb0)
-    dims = a0.select("sub", "code", F.posexplode("semb").alias("d", "val"))
-    means = (
-        dims.groupBy("sub", "code", "d")
-        .agg(
-            (
-                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .groupBy("sub", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "m"))),
-                lambda x: x["m"],
-            ).alias("c_emb")
-        )
-    )
-    rows = [(r["sub"], r["code"], list(r["c_emb"])) for r in means.collect()]
-    cb1 = spark.createDataFrame(rows, _PQ_CODEBOOK_SCHEMA)
+    rows = [
+        (r["sub"], r["code"], list(r["c_emb"]))
+        for r in pq_codebook_update(a0).collect()
+    ]
+    cb1 = spark.createDataFrame(rows, PQ_CODEBOOK_SCHEMA)
     codes = (
         _pq_assign(rsubs.select("vec_id", "sub", "semb"), cb1)
         .select("vec_id", "sub", "code")

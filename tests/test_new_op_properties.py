@@ -737,3 +737,143 @@ def test_ivf_pq_candidates_come_from_own_cell(spark):
     for qid in range(min(IVFPQ_N_QUERIES, n_vecs)):
         expect = min(IVFPQ_TOPK, cell_sizes[cell[qid]] - 1)
         assert sorted(by_q.get(qid, [])) == list(range(1, expect + 1)), qid
+
+
+def _ivf_pq_reference(layout_dir, queries, cent_unit, meta, n_probe, k):
+    """Numpy reference for the ADC probe: reconstruct every stored row
+    from its codes + sidecars, probe cells with the SAME probe_cells,
+    cosine-rank per query (ties by vec_id). Returns a set of
+    (query_id, vec_id, round(sim, 6), rank)."""
+    import glob as _glob
+    import math
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from nbi_oedi_etl_spark.operators.similarity import probe_cells
+
+    books = meta["codebooks"]
+    recon = {}
+    for f in _glob.glob(f"{layout_dir}/cell=*/*.parquet"):
+        cell = int(re.search(r"cell=(\d+)", f).group(1))
+        t = _pq.read_table(f)
+        for i in range(t.num_rows):
+            vid = t["vec_id"][i].as_py()
+            parts = [
+                books[s][t[f"code_{s}"][i].as_py()] for s in range(meta["pq_m"])
+            ]
+            xhat = np.concatenate([np.asarray(p) for p in parts]) + cent_unit[:, cell]
+            recon[vid] = (cell, xhat)
+    out = set()
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    cells = probe_cells(qmat, cent_unit, n_probe)
+    for (qid, qv), row_cells in zip(queries, cells):
+        qv = np.asarray(qv, dtype=np.float64)
+        cands = []
+        for vid, (cell, xhat) in recon.items():
+            if cell in set(int(c) for c in row_cells) and vid != qid:
+                sim = float(qv @ xhat / (math.sqrt(qv @ qv) * math.sqrt(xhat @ xhat)))
+                cands.append((vid, sim))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, sim) in enumerate(cands[:k], 1):
+            out.add((qid, vid, round(sim, 6), rank))
+    return out
+
+
+def test_ivf_pq_layout_probe_matches_reconstruction_reference(spark, tmp_path):
+    """The at-rest ADC probe equals an independent numpy reconstruction
+    of the same layout (codes + both sidecars), and the probe plan
+    composes BOTH prunings: PartitionFilters on the probed cells AND a
+    ReadSchema without the embedding column (the PQ bytes win)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators.ivf_layout import (
+        probe_ivf_pq_layout,
+        read_ivf_codebook,
+        read_ivf_pq_meta,
+        write_ivf_pq_layout,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float64)
+    src = str(tmp_path / "src")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+        }),
+        src + ".parquet",
+    )
+    corpus = spark.read.parquet(src + ".parquet")
+    dest = str(tmp_path / "layout")
+    write_ivf_pq_layout(corpus, dest, n_cells=4, pq_m=4, pq_k=4)
+
+    q = corpus.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_df = probe_ivf_pq_layout(spark, dest, q, k=5, n_probe=2)
+    got = {
+        (r["query_id"], r["vec_id"], r["cos_sim"], r["rank"])
+        for r in got_df.collect()
+    }
+
+    cent = read_ivf_codebook(spark, dest)
+    meta = read_ivf_pq_meta(spark, dest)
+    queries = [(i, vecs[i].tolist()) for i in range(6)]
+    want = _ivf_pq_reference(dest, queries, cent, meta, n_probe=2, k=5)
+    assert got == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert all("emb" not in ln.split("ReadSchema")[1] for ln in scan_lines), scan_lines
+    assert "PartitionFilters: [" in plan
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "cell" in pf
+
+
+def test_ivf_pq_layout_exact_tier_shares_the_layout(spark, tmp_path):
+    """The SAME IVF-PQ layout serves the exact tier: probe_ivf_layout
+    (raw-vector cosine) runs against it unchanged, and its results equal
+    probing a plain IVF layout written with the same codebook — the
+    code columns are additive, never disruptive."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators.ivf_layout import (
+        probe_ivf_layout,
+        write_ivf_layout,
+        write_ivf_pq_layout,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 30, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float64)
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+        }),
+        src,
+    )
+    corpus = spark.read.parquet(src)
+    d_pq = str(tmp_path / "pq")
+    d_plain = str(tmp_path / "plain")
+    cent = write_ivf_pq_layout(corpus, d_pq, n_cells=4, pq_m=4, pq_k=4)
+    write_ivf_layout(corpus, d_plain, cent_unit=cent)
+    q = corpus.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, probe_ivf_layout(spark, d_pq, q, k=4, n_probe=2).collect()))
+    b = sorted(map(tuple, probe_ivf_layout(spark, d_plain, q, k=4, n_probe=2).collect()))
+    assert a == b and len(a) > 0
