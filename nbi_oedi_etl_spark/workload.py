@@ -2473,9 +2473,11 @@ _POST_R10_ADDITIONS: list[str] = [
 # joined late when its rank wart was closed via the cumsum dispatch),
 # then the stalest banked evidence: ALL 32 remaining r5-greens
 # (including classifier_calibration_bins and brand_basket_rules,
-# displaced from the r10 window as promised) and the 8
-# alphabetically-first r6-greens (customer_order_counts displaced by
-# the late changed-since-green entry). 5 + 5 + 32 + 8 = 50.
+# displaced from the r10 window as promised) and — wave 2 — the 8
+# similarity-family specs whose digests moved with the PQ-primitive
+# refactor of operators/similarity.py (they replace the 8
+# alphabetically-first r6-greens, which return at the r12 head
+# together with customer_order_counts). 5 + 5 + 32 + 8 = 50.
 _R11_WINDOW: list[str] = [
     # -- 5 never-verified --
     "corpus_pack_sequences", "corpus_pack_slices",
@@ -2504,11 +2506,14 @@ _R11_WINDOW: list[str] = [
     "revenue_pareto_analysis", "session_event_trigrams",
     "source_lang_kl_drift", "table_content_digest", "token_pmi_bigrams",
     "user_interarrival_stats", "winnowing_fingerprints",
-    # -- 8 oldest r6-green refreshers (alphabetical head) --
-    "anti_join_reconciliation", "brand_price_quantity_ols",
-    "classifier_pr_curve", "cohort_ltv_curve",
-    "conversion_latency_histogram", "copurchase_bfs_hops",
-    "cumulative_unique_users", "customer_k_anonymity_audit",
+    # -- 8 changed-since-green (wave 2: the PQ primitives moved into
+    # operators/similarity.py, so every banked spec whose dep closure
+    # includes that module re-entered debt — the entry-24 swap
+    # precedent; the 8 displaced r6 refreshers return at the r12 head) --
+    "ann_recall_portable", "embedding_ann_portable",
+    "embedding_ivf_portable", "embedding_near_dup_exact_small",
+    "embedding_topk_cosine", "kmeans_assign_embeddings",
+    "kmeans_lloyd_3iter", "semantic_dedup_cells",
 ]
 
 # Specs registered AFTER the r11 window froze — benched same-round per

@@ -70,10 +70,14 @@ _REPO = _os.path.dirname(_HERE)
 
 def test_no_per_query_regression_vs_reference():
     """Reference refreshed to round-11 (the r9/r10 discipline): the r11
-    bench ran quiet (spread 1.29× min — under the 1.5× refresh bar) and
-    covers all 188 headline queries incl. the CDC production twin and
-    the duplicate-span pair; doc_readability_forcast returned to band
-    (0.39 s vs the r10 noise spike 0.69 s). bench_reference_r7/r9/r10
+    closing bench ran quiet (spread 1.30× min) and covers the 188
+    headline queries of the r11 main window; doc_readability_forcast
+    returned to band (0.39 s vs the r10 noise spike 0.69 s). The 6
+    wave-2 additions (PQ family, epoch shuffle, CCNet buckets, IVF-PQ)
+    enter the reference at the next QUIET refresh — the wave-2 session's
+    re-bench windows measured the host 5× degraded (single-core probe
+    1.34 s/1e7 vs the documented 0.27 s; spreads 3-5× min), and a noisy
+    reference would only loosen this guard. bench_reference_r7/r9/r10
     .json are kept for the round-over-round audit trail."""
     detail_path = _os.path.join(_REPO, "BENCH_DETAIL.json")
     if not _os.path.exists(detail_path):
