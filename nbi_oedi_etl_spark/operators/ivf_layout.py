@@ -271,7 +271,27 @@ def probe_ivf_layout(
         return _rerank_candidates(
             spark.read.parquet(path), q, k, broadcast_q=False
         )
-    rows = q_src.collect()  # ≤ cap rows by the peek above
+    q, probed_cells = _driver_probe_relation(spark, q_src, cent_unit, n_probe)
+    c = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
+    return _rerank_candidates(c, q, k, broadcast_q=True)
+
+
+def _driver_probe_relation(
+    spark: SparkSession,
+    q_src: DataFrame,
+    cent_unit: np.ndarray,
+    n_probe: int,
+) -> tuple[DataFrame, list[int]]:
+    """Shared driver-branch probe scaffold (used by ``probe_ivf_layout``
+    and ``probe_ivf_pq_layout``): collect the broadcast-sized batch once,
+    run the probe math driver-side (``similarity.probe_cells`` — the same
+    function the executor UDF calls), and return the exploded (query_id,
+    q_emb, cell) LOCAL relation (query id keeps its NATIVE type: q_src's
+    schema plus the cell column — no type round-trip through strings)
+    together with the probed-cell union (≤ n_cells ints) that becomes the
+    STATIC partition predicate Catalyst prunes the file listing with,
+    before any IO."""
+    rows = q_src.collect()  # broadcast-sized by the caller's contract
     if rows:
         mat = np.asarray([r["q_emb"] for r in rows], dtype=np.float64)
         cells = probe_cells(mat, cent_unit, n_probe)
@@ -282,20 +302,13 @@ def probe_ivf_layout(
         for r, row_cells in zip(rows, cells)
         for cell in row_cells
     ]
-    # local relation with the query id's NATIVE type: reuse q_src's schema
-    # and append the cell column — no type round-trip through strings
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     q_schema = StructType(
         list(q_src.schema.fields) + [StructField("cell", IntegerType(), False)]
     )
     q = spark.createDataFrame(exploded, q_schema)
-    # driver-side union of probed cells (≤ n_cells ints) — this is what
-    # turns the probe into a STATIC partition predicate Catalyst can
-    # prune the file listing with, before any IO
-    probed_cells = sorted({int(c) for c in cells.ravel()})
-    c = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
-    return _rerank_candidates(c, q, k, broadcast_q=True)
+    return q, sorted({int(c) for c in cells.ravel()})
 
 
 # ---------------------------------------------- at-rest IVF-PQ layout
@@ -336,13 +349,17 @@ def write_ivf_pq_layout(
     probe-compatible with ``probe_ivf_layout``) and ``_ivf_pq_meta.json``
     (m, dsub, k + the dense per-(sub, code) codebooks).
 
-    Plan/scale: one full corpus scan ever (assign → residual → encode
-    are projections over broadcast codebooks; the only shuffles are the
-    bounded codebook-training aggregate and the per-cell write
-    repartition). Returns the coarse codebook."""
+    Plan/scale: one full corpus scan ever. Assign, residual, and encode
+    are PURE PROJECTIONS over literal codebooks — the dense codes come
+    from an expression argmin (array_position of the min distance over
+    the literal trained codebook: first-min = lowest dense code, the
+    same tie rule as ``similarity.pq_assign``), so the write path's only
+    shuffles are the bounded codebook-TRAINING pass (one per-(sub, code,
+    dim) aggregate over the corpus) and the per-cell write repartition.
+    Returns the coarse codebook."""
     from nbi_oedi_etl_spark.operators.banded_layout import _write_meta
     from nbi_oedi_etl_spark.operators.similarity import (
-        pq_assign,
+        l2_distance,
         pq_subvectors,
         pq_train_codebook,
     )
@@ -371,36 +388,32 @@ def write_ivf_pq_layout(
     cb_rows = sorted(
         ((r["sub"], r["code"], list(r["c_emb"])) for r in cb.collect()),
     )
-    # dense remap: per sub, sorted original code ids -> 0..k-1
-    dense: dict[int, dict[int, int]] = {}
+    # dense remap: per sub, sorted original code ids -> 0..k-1 (sorted
+    # original order == dense order, so lowest-original-id ties map to
+    # lowest dense code)
     books: dict[int, list[list[float]]] = {}
-    for sub, code, c_emb in cb_rows:
-        dense.setdefault(sub, {})
-        dense[sub][code] = len(dense[sub])
+    for sub, _code, c_emb in cb_rows:
         books.setdefault(sub, []).append(c_emb)
-    codes = pq_assign(subs.select("vec_id", "sub", "semb"), cb).select(
-        "vec_id", "sub", "code"
-    )
-    remap = F.create_map(
-        *[
-            F.lit(x)
-            for sub, m in dense.items()
-            for c, dc in m.items()
-            for x in (f"{sub}:{c}", dc)
-        ]
-    )
-    codes = codes.withColumn(
-        "dcode",
-        F.element_at(remap, F.concat_ws(":", F.col("sub"), F.col("code"))).cast("int"),
-    )
-    wide = codes.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("sub") == s, F.col("dcode"))).alias(f"code_{s}")
-            for s in range(pq_m)
-        ]
-    )
+    # encode as a pure projection: per sub, distances to the literal
+    # trained codebook; array_position of the min = FIRST min = lowest
+    # dense code (the pq_assign tie rule) — no window, no pivot, no join
+    encoded = res
+    for s in range(pq_m):
+        sub_slice = F.slice("res", s * dsub + 1, dsub)
+        dists = F.array(
+            *[
+                l2_distance(
+                    sub_slice, F.array(*[F.lit(float(v)) for v in books[s][c]])
+                )
+                for c in range(len(books[s]))
+            ]
+        )
+        encoded = encoded.withColumn(
+            f"code_{s}",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
     (
-        assigned.join(wide, "vec_id")
+        encoded.drop("res")
         .repartition("cell")
         .write.mode(mode)
         .partitionBy("cell")
@@ -467,24 +480,7 @@ def probe_ivf_pq_layout(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
     )
-    rows = q_src.collect()  # broadcast-sized by contract
-    if rows:
-        mat = np.asarray([r["q_emb"] for r in rows], dtype=np.float64)
-        cells = probe_cells(mat, cent_unit, n_probe)
-    else:
-        cells = np.empty((0, n_probe), dtype="int32")
-    exploded = [
-        (r["query_id"], r["q_emb"], int(cell))
-        for r, row_cells in zip(rows, cells)
-        for cell in row_cells
-    ]
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    q_schema = StructType(
-        list(q_src.schema.fields) + [StructField("cell", IntegerType(), False)]
-    )
-    q = spark.createDataFrame(exploded, q_schema)
-    probed = sorted({int(c) for c in cells.ravel()})
+    q, probed = _driver_probe_relation(spark, q_src, cent_unit, n_probe)
     code_cols = [f"code_{s}" for s in range(pq_m)]
     scan = (
         spark.read.parquet(path)
@@ -515,3 +511,55 @@ def probe_ivf_pq_layout(
     )
     c = scan.withColumn("emb", xhat).drop(*code_cols)
     return _rerank_candidates(c, q, k, broadcast_q=True)
+
+
+def ivf_pq_reconstruction_reference(
+    layout_dir: str,
+    queries: list,
+    cent_unit: np.ndarray,
+    meta: dict,
+    n_probe: int,
+    k: int,
+) -> set:
+    """INDEPENDENT parity reference for the ADC probe, deliberately
+    Spark-free: reads the layout's raw parquet files with pyarrow,
+    reconstructs every stored row from its dense codes + the two
+    sidecars in plain numpy, probes with the SAME ``probe_cells``, and
+    ranks by cosine (ties to the lower vec_id). Shared by
+    tests/test_new_op_properties.py and tools/ivf_pq_probe.py so the
+    evidence tool and the regression pin can never diverge. Returns a
+    set of (query_id, vec_id, round(sim, 6), rank); ``queries`` is a
+    list of (query_id, vector-as-list)."""
+    import glob as _glob
+    import math
+    import re
+
+    import pyarrow.parquet as _papq
+
+    books = meta["codebooks"]
+    recon = {}
+    for f in _glob.glob(f"{layout_dir}/cell=*/*.parquet"):
+        cell = int(re.search(r"cell=(\d+)", f).group(1))
+        t = _papq.read_table(f)
+        for i in range(t.num_rows):
+            vid = t["vec_id"][i].as_py()
+            parts = [
+                books[s][t[f"code_{s}"][i].as_py()] for s in range(meta["pq_m"])
+            ]
+            xhat = np.concatenate([np.asarray(p) for p in parts]) + cent_unit[:, cell]
+            recon[vid] = (cell, xhat)
+    out = set()
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    cells = probe_cells(qmat, cent_unit, n_probe)
+    for (qid, qv), row_cells in zip(queries, cells):
+        qv = np.asarray(qv, dtype=np.float64)
+        probed = set(int(c) for c in row_cells)
+        cands = []
+        for vid, (cell, xhat) in recon.items():
+            if cell in probed and vid != qid:
+                sim = float(qv @ xhat / (math.sqrt(qv @ qv) * math.sqrt(xhat @ xhat)))
+                cands.append((vid, sim))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, sim) in enumerate(cands[:k], 1):
+            out.add((qid, vid, round(sim, 6), rank))
+    return out

@@ -502,20 +502,33 @@ def pq_codebook_update(assigned: DataFrame) -> DataFrame:
 
 
 def pq_train_codebook(
-    subs: DataFrame, k: int, init_ids: list | None = None
+    subs: DataFrame,
+    k: int,
+    init_ids: list | None = None,
+    init_predicate: Column | None = None,
 ) -> DataFrame:
     """One deterministic Lloyd pass per subspace: init = the ``k``
-    smallest vec_ids' subvectors (or an explicit ``init_ids`` list),
-    assign, DECIMAL-mean update — returned as a literal codebook
-    DataFrame (bounded m·k×dsub driver state, lineage truncated; the
-    kmeans_lloyd_3iter posture — a deeper loop iterates the same pair)."""
+    smallest vec_ids' subvectors (or an explicit ``init_ids`` list, or
+    an ``init_predicate`` Column when the caller's init rule must match
+    an oracle expression exactly — e.g. workload_ext36's
+    ``vec_id < PQ_K``), assign, DECIMAL-mean update — returned as a
+    literal codebook DataFrame (bounded m·k×dsub driver state, lineage
+    truncated; the kmeans_lloyd_3iter posture — a deeper loop iterates
+    the same pair). This is the ONE Lloyd-loop definition: the oracled
+    specs and the at-rest IVF-PQ layout both train through it."""
     spark = subs.sparkSession
-    if init_ids is None:
-        init_ids = [
-            r["vec_id"]
-            for r in subs.select("vec_id").distinct().orderBy("vec_id").limit(k).collect()
-        ]
-    cb0 = subs.where(F.col("vec_id").isin(list(init_ids))).select(
+    if init_predicate is None:
+        if init_ids is None:
+            init_ids = [
+                r["vec_id"]
+                for r in subs.select("vec_id")
+                .distinct()
+                .orderBy("vec_id")
+                .limit(k)
+                .collect()
+            ]
+        init_predicate = F.col("vec_id").isin(list(init_ids))
+    cb0 = subs.where(init_predicate).select(
         "sub",
         F.col("vec_id").cast("long").alias("code"),
         F.col("semb").alias("c_emb"),

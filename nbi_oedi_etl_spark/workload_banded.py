@@ -340,38 +340,37 @@ def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     layout = tempfile.mkdtemp(prefix="ivf_cdc_layout_") + "/layout"
     out_root = tempfile.mkdtemp(prefix="ivf_cdc_out_")
-    state = {"version": -1}
+    # `version` tracks the latest committed result file; `fitted` tracks
+    # whether the layout exists. They are SEPARATE: an empty batch
+    # commits a result version without fitting a layout (the r11 wave-2
+    # self-review caught the single-flag version taking the probe branch
+    # against a never-written layout when only the FIRST batch is empty).
+    state = {"version": -1, "fitted": False}
+
+    def _prev(bs) -> DataFrame:
+        if state["version"] < 0:
+            # probe_ivf_layout's exact output contract (_rank_topk)
+            return bs.createDataFrame(
+                [], "query_id long, vec_id long, cos_sim double, rank int"
+            )
+        return bs.read.parquet(os.path.join(out_root, f"v{state['version']}"))
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         bs = batch_df.sparkSession
         vecs = batch_df.select("vec_id", "embedding")
         if vecs.isEmpty():
             # nothing to index or probe (e.g. an empty corpus stream) —
-            # carry the accumulated results forward; the layout's
-            # fit-on-first-NONEMPTY-batch contract stays intact
-            if state["version"] < 0:
-                res = bs.createDataFrame(
-                    [], "query_id long, vec_id long, cos_sim double, rank int"
-                )
-            else:
-                res = bs.read.parquet(
-                    os.path.join(out_root, f"v{state['version']}")
-                )
-            res.write.mode("overwrite").parquet(
-                os.path.join(out_root, f"v{batch_id}")
-            )
-            state["version"] = batch_id
-            return
-        if state["version"] < 0:
+            # carry the accumulated results forward; the layout fits on
+            # the first NONEMPTY batch
+            res = _prev(bs)
+        elif not state["fitted"]:
             write_ivf_layout(vecs, layout, n_cells=8)
-            # probe_ivf_layout's exact output contract (_rank_topk)
-            res = bs.createDataFrame(
-                [], "query_id long, vec_id long, cos_sim double, rank int"
-            )
+            state["fitted"] = True
+            res = _prev(bs)  # nothing prior to probe against
         else:
-            res = probe_ivf_layout(bs, layout, vecs, k=3, query_id_col="vec_id")
-            prev = bs.read.parquet(os.path.join(out_root, f"v{state['version']}"))
-            res = prev.unionByName(res)
+            res = _prev(bs).unionByName(
+                probe_ivf_layout(bs, layout, vecs, k=3, query_id_col="vec_id")
+            )
             append_to_ivf_layout(bs, layout, vecs)
         res.write.mode("overwrite").parquet(os.path.join(out_root, f"v{batch_id}"))
         state["version"] = batch_id

@@ -87,30 +87,18 @@ def _pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     rather than ``pq_train_codebook``'s generic k-smallest default), then
     the final assignment. Returns (subvectors, trained codebook).
 
-    The update's per-dimension mean goes through DECIMAL(18,9) sums
-    (order-independent) with one double division — the proven
-    cross-engine-exact Lloyd arithmetic (``similarity.pq_codebook_update``).
-    Between assign and re-assign the M·k×(dim/M) codebook collects to the
-    driver and re-broadcasts as literals: bounded O(k·dim) driver state,
-    lineage truncated (the kmeans_lloyd_3iter posture; a deeper loop
-    would iterate exactly the same pair — ``kmeans_lloyd_3iter`` already
-    proves 3 iterations)."""
-    from nbi_oedi_etl_spark.operators.similarity import (
-        PQ_CODEBOOK_SCHEMA,
-        pq_assign,
-        pq_codebook_update,
-    )
+    The loop itself is ``similarity.pq_train_codebook`` — the ONE Lloyd
+    definition (DECIMAL(18,9)-mean update, bounded O(k·dim) driver
+    state, lineage truncated; ``kmeans_lloyd_3iter`` proves the deeper
+    iteration of the same pair) — called with the pinned
+    ``init_predicate`` so the init matches the oracle expression
+    exactly."""
+    from nbi_oedi_etl_spark.operators.similarity import pq_train_codebook
 
     subs = _pq_subvectors(spark, sf_dir)
-    cb0 = subs.where(F.col("vec_id") < PQ_K).select(
-        "sub", F.col("vec_id").alias("code"), F.col("semb").alias("c_emb")
+    cb1 = pq_train_codebook(
+        subs, PQ_K, init_predicate=F.col("vec_id") < PQ_K
     )
-    a0 = pq_assign(subs, cb0)
-    rows = [
-        (r["sub"], r["code"], list(r["c_emb"]))
-        for r in pq_codebook_update(a0).collect()
-    ]
-    cb1 = spark.createDataFrame(rows, PQ_CODEBOOK_SCHEMA)
     return subs, cb1
 
 
@@ -228,6 +216,16 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2"),
         )
     )
+    return _adc_topk(d, PQ_TOPK, "neighbor_id")
+
+
+def _adc_topk(d: DataFrame, topk: int, out_id_alias: str) -> DataFrame:
+    """Shared ADC aggregation tail for the flat scan AND the IVF-PQ
+    composition: per-(query, candidate) conditional per-sub sums, the
+    explicit fixed-IEEE-order d2_0 + d2_1 + … chain (correctness-
+    bearing — an aggregate whose addend order an engine could permute
+    would break cross-engine exactness), sqrt, per-query rank window
+    (WindowGroupLimit), rounded output."""
     sub_d2 = [
         F.sum(F.when(F.col("sub") == s, F.col("d2"))).alias(f"d2_{s}")
         for s in range(PQ_M)
@@ -240,10 +238,10 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (
         adc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= PQ_TOPK)
+        .where(F.col("rank") <= topk)
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            F.col("vec_id").alias(out_id_alias),
             F.col("rank").cast("long").alias("rank"),
             F.round("adc", 6).alias("adc_distance"),
         )
@@ -557,7 +555,6 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is on the two tiny (queries × k) result tables."""
     from nbi_oedi_etl_spark.operators.similarity import l2_distance
 
-    subs, _ = _pq_train(spark, sf_dir)  # subvector frame only for dims
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -714,24 +711,17 @@ def ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sub", "semb"),
     )
-    # PQ training on residual subvectors — the embedding_pq_codes loop
-    # verbatim (init = first PQ_K vectors' residual subvectors, one
-    # DECIMAL-mean Lloyd update via the shared similarity primitives,
-    # bounded codebook collect)
-    from nbi_oedi_etl_spark.operators.similarity import (
-        PQ_CODEBOOK_SCHEMA,
-        pq_codebook_update,
-    )
+    # PQ training on residual subvectors — the ONE shared Lloyd loop
+    # (similarity.pq_train_codebook) with the same pinned-predicate init
+    # the flat-PQ specs use (init = first PQ_K vectors' residual
+    # subvectors, one DECIMAL-mean update, bounded codebook collect)
+    from nbi_oedi_etl_spark.operators.similarity import pq_train_codebook
 
-    cb0 = rsubs.where(F.col("vec_id") < PQ_K).select(
-        "sub", F.col("vec_id").alias("code"), F.col("semb").alias("c_emb")
+    cb1 = pq_train_codebook(
+        rsubs.select("vec_id", "sub", "semb"),
+        PQ_K,
+        init_predicate=F.col("vec_id") < PQ_K,
     )
-    a0 = _pq_assign(rsubs.select("vec_id", "sub", "semb"), cb0)
-    rows = [
-        (r["sub"], r["code"], list(r["c_emb"]))
-        for r in pq_codebook_update(a0).collect()
-    ]
-    cb1 = spark.createDataFrame(rows, PQ_CODEBOOK_SCHEMA)
     codes = (
         _pq_assign(rsubs.select("vec_id", "sub", "semb"), cb1)
         .select("vec_id", "sub", "code")
@@ -759,26 +749,7 @@ def ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2"),
         )
     )
-    sub_d2 = [
-        F.sum(F.when(F.col("sub") == s, F.col("d2"))).alias(f"d2_{s}")
-        for s in range(PQ_M)
-    ]
-    adc = d.groupBy("query_id", "vec_id").agg(*sub_d2)
-    total = F.col("d2_0")
-    for s in range(1, PQ_M):
-        total = total + F.col(f"d2_{s}")
-    adc = adc.select("query_id", "vec_id", F.sqrt(total).alias("adc"))
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= IVFPQ_TOPK)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            F.col("rank").cast("long").alias("rank"),
-            F.round("adc", 6).alias("adc_distance"),
-        )
-    )
+    return _adc_topk(d, IVFPQ_TOPK, "cand_id")
 
 
 IVF_PQ_ORACLE = f"""

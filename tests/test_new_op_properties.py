@@ -739,46 +739,12 @@ def test_ivf_pq_candidates_come_from_own_cell(spark):
         assert sorted(by_q.get(qid, [])) == list(range(1, expect + 1)), qid
 
 
-def _ivf_pq_reference(layout_dir, queries, cent_unit, meta, n_probe, k):
-    """Numpy reference for the ADC probe: reconstruct every stored row
-    from its codes + sidecars, probe cells with the SAME probe_cells,
-    cosine-rank per query (ties by vec_id). Returns a set of
-    (query_id, vec_id, round(sim, 6), rank)."""
-    import glob as _glob
-    import math
-    import re
-
-    import numpy as np
-    import pyarrow.parquet as _pq
-
-    from nbi_oedi_etl_spark.operators.similarity import probe_cells
-
-    books = meta["codebooks"]
-    recon = {}
-    for f in _glob.glob(f"{layout_dir}/cell=*/*.parquet"):
-        cell = int(re.search(r"cell=(\d+)", f).group(1))
-        t = _pq.read_table(f)
-        for i in range(t.num_rows):
-            vid = t["vec_id"][i].as_py()
-            parts = [
-                books[s][t[f"code_{s}"][i].as_py()] for s in range(meta["pq_m"])
-            ]
-            xhat = np.concatenate([np.asarray(p) for p in parts]) + cent_unit[:, cell]
-            recon[vid] = (cell, xhat)
-    out = set()
-    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
-    cells = probe_cells(qmat, cent_unit, n_probe)
-    for (qid, qv), row_cells in zip(queries, cells):
-        qv = np.asarray(qv, dtype=np.float64)
-        cands = []
-        for vid, (cell, xhat) in recon.items():
-            if cell in set(int(c) for c in row_cells) and vid != qid:
-                sim = float(qv @ xhat / (math.sqrt(qv @ qv) * math.sqrt(xhat @ xhat)))
-                cands.append((vid, sim))
-        cands.sort(key=lambda t: (-t[1], t[0]))
-        for rank, (vid, sim) in enumerate(cands[:k], 1):
-            out.add((qid, vid, round(sim, 6), rank))
-    return out
+# the independent numpy/pyarrow ADC parity reference lives beside the
+# layout implementation (shared with tools/ivf_pq_probe.py so the
+# evidence tool and this regression pin can never diverge)
+from nbi_oedi_etl_spark.operators.ivf_layout import (  # noqa: E402
+    ivf_pq_reconstruction_reference as _ivf_pq_reference,
+)
 
 
 def test_ivf_pq_layout_probe_matches_reconstruction_reference(spark, tmp_path):
@@ -877,3 +843,34 @@ def test_ivf_pq_layout_exact_tier_shares_the_layout(spark, tmp_path):
     a = sorted(map(tuple, probe_ivf_layout(spark, d_pq, q, k=4, n_probe=2).collect()))
     b = sorted(map(tuple, probe_ivf_layout(spark, d_plain, q, k=4, n_probe=2).collect()))
     assert a == b and len(a) > 0
+
+
+def test_streaming_ivf_cdc_ann_survives_empty_first_batch(spark, tmp_path):
+    """r11 wave-2 self-review regression: `version` doubled as the
+    layout-fitted flag, so a corpus whose FIRST mod-3 batch is empty
+    (no vec_id ≡ 0 mod 3) took the probe branch against a never-written
+    layout. The layout must fit on the first NONEMPTY batch, and the
+    final result must be exactly batch-2 queries probing batch-1
+    vectors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.workload_banded import streaming_ivf_cdc_ann
+
+    rng = np.random.default_rng(3)
+    ids = [i for i in range(30) if i % 3 != 0]  # batch 0 (i%3==0) empty
+    vecs = rng.normal(size=(len(ids), 64)).astype(np.float64)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = streaming_ivf_cdc_ann(spark, str(tmp_path)).collect()
+    b1 = {i for i in ids if i % 3 == 1}
+    b2 = {i for i in ids if i % 3 == 2}
+    assert rows, "batch-2 probes against batch-1 must produce results"
+    assert {r["query_id"] for r in rows} <= b2
+    assert {r["vec_id"] for r in rows} <= b1

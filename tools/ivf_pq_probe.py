@@ -11,9 +11,10 @@ three numbers that make the compressed tier worth shipping:
    prunings: PartitionFilters on the probed cells (which files) and a
    ReadSchema without the embedding column (which bytes of those files).
 3. **parity** — the ADC probe's result equals an independent numpy
-   reconstruction from the stored codes + sidecars (the
-   tests/test_new_op_properties.py reference, run here at layout scale
-   for a 24-query batch).
+   reconstruction from the stored codes + sidecars
+   (``ivf_layout.ivf_pq_reconstruction_reference`` — the same function
+   tests/test_new_op_properties.py pins, run here at layout scale for a
+   24-query batch).
 
 Usage:
     python tools/ivf_pq_probe.py [--json SCALE_PROBE_IVFPQ.json]
@@ -58,12 +59,12 @@ def main() -> int:
 
     from nbi_oedi_etl_spark import get_spark
     from nbi_oedi_etl_spark.operators.ivf_layout import (
+        ivf_pq_reconstruction_reference,
         probe_ivf_pq_layout,
         read_ivf_codebook,
         read_ivf_pq_meta,
         write_ivf_pq_layout,
     )
-    from tests.test_new_op_properties import _ivf_pq_reference
 
     spark = get_spark(app_name="ivf-pq-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -105,7 +106,7 @@ def main() -> int:
     qrows = [(r["query_id"], list(r["q_emb"])) for r in q.select(
         "query_id", F.col("embedding").cast("array<double>").alias("q_emb")
     ).collect()]
-    want = _ivf_pq_reference(dest, qrows, cent, meta, n_probe=4, k=5)
+    want = ivf_pq_reconstruction_reference(dest, qrows, cent, meta, n_probe=4, k=5)
     parity = got == want
 
     out = {
