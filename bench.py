@@ -283,6 +283,26 @@ HEADLINE = [
 ]
 
 
+def _host_calibration() -> float:
+    """Single-core speed token: seconds for a 1e7-iteration pure-Python
+    sum loop (the methodology documented in VERIFICATION_r10 §17 —
+    ~0.27 s on this VM's quiet state, 0.8-1.3 s under co-tenant CPU
+    steal). Recorded beside the per-query medians so the regression
+    guard can scale its budgets by how degraded the MEASURING host was
+    relative to the host that recorded the reference — shared-host
+    steal is invisible to loadavg, so wall-clock alone cannot tell a
+    regression from a slow day. Min of two trials (steal inflates,
+    never deflates)."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(10**7):
+            s += i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     # No console progress bars: their \r-redraw fragments interleave with the
@@ -315,11 +335,20 @@ def main() -> None:
     # between a query's samples, a burst hits at most one of them and the
     # median filters it. Total work is unchanged.
     sampled: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # One calibration sample per pass, reported as the MEDIAN: steal
+    # varies WITHIN a run, and a single end-of-run sample can claim a
+    # quiet host for a run that spent two passes degraded (observed:
+    # calib 0.36 on a run whose total was 2× the quiet baseline). The
+    # per-pass median represents the same host state the per-query
+    # medians were measured under.
+    calibs: list[float] = []
     for _ in range(3):
+        calibs.append(_host_calibration())
         for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
             sampled[name].append(time.perf_counter() - t0)
+    calibs.sort()
     times: dict[str, float] = {}
     lo: dict[str, float] = {}
     hi: dict[str, float] = {}
@@ -340,6 +369,8 @@ def main() -> None:
         "queries_max": hi,
         "spread": [round(sum(lo.values()), 3), round(sum(hi.values()), 3)],
         "sf": sf,
+        "calib_s": calibs[1],
+        "calib_samples": calibs,
     }
     # Per-query detail goes to a file + an early stdout line; the FINAL stdout
     # line is a short (<200 char) summary. Round 3's single ~2.5 KB JSON line

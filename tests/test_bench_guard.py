@@ -87,13 +87,29 @@ def test_no_per_query_regression_vs_reference():
     if detail.get("sf") != 0.1:
         pytest.skip("BENCH_DETAIL.json is not an sf0.1 run")
     with open(_os.path.join(_HERE, "bench_reference_r11.json")) as f:
-        ref = _json.load(f)["queries"]
+        ref_doc = _json.load(f)
+    ref = ref_doc["queries"]
+    # Host calibration (wave 2): co-tenant CPU steal slows this VM up to
+    # ~5× without showing in loadavg, and a bench run on a degraded host
+    # would trip dozens of queries that regressed nowhere (observed: 18
+    # false trips at calib 0.85-1.3 s vs the quiet 0.27). Scale the
+    # budget by measured-host vs reference-host speed, clamped to
+    # [1, 8]: a SLOW host loosens its own check proportionally; a fast
+    # host never tightens below the nominal 3×/5 s budget. The
+    # reference's calib falls back to the documented quiet-state 0.27
+    # for references recorded before the field existed.
+    ref_calib = float(ref_doc.get("calib_s", 0.27))
+    cur_calib = float(detail.get("calib_s", ref_calib))
+    host_ratio = min(8.0, max(1.0, cur_calib / ref_calib))
     regressions = []
     for name, ref_sec in ref.items():
         cur = detail["queries"].get(name)
         if cur is None:  # renamed/retired since r11 — rotation handles it
             continue
-        budget = max(3.0 * ref_sec, 5.0)
+        budget = max(3.0 * ref_sec, 5.0) * host_ratio
         if cur > budget:
-            regressions.append(f"{name}: {cur:.2f}s vs r11 {ref_sec:.2f}s (>{budget:.1f}s)")
+            regressions.append(
+                f"{name}: {cur:.2f}s vs r11 {ref_sec:.2f}s "
+                f"(>{budget:.1f}s at host_ratio {host_ratio:.2f})"
+            )
     assert not regressions, "per-query bench regressions vs round-11:\n" + "\n".join(regressions)
