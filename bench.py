@@ -388,6 +388,10 @@ def main() -> None:
                 "n_queries": len(times),
                 "estimator": "median3",
                 "spread": detail["spread"],
+                # median per-pass single-core host-speed token (quiet VM
+                # ≈ 0.27 s/1e7): lets a reader tell a regression from a
+                # degraded shared host when comparing rounds
+                "calib_s": detail["calib_s"],
             }
         ),
         flush=True,
