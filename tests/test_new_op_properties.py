@@ -874,3 +874,33 @@ def test_streaming_ivf_cdc_ann_survives_empty_first_batch(spark, tmp_path):
     assert rows, "batch-2 probes against batch-1 must produce results"
     assert {r["query_id"] for r in rows} <= b2
     assert {r["vec_id"] for r in rows} <= b1
+
+
+def test_epoch_shuffle_matches_python_md5_reference(spark):
+    """Black-box pin of the seeded-shuffle semantics: for every epoch,
+    the engine's order must equal Python's hashlib ranking of
+    md5('ep<epoch>:<doc_id>') with doc_id tie-break — the exact
+    reproducibility contract a training run depends on (not just
+    engine-internal branch equivalence)."""
+    import hashlib
+
+    from nbi_oedi_etl_spark.workload_ext36 import (
+        SHUFFLE_EPOCHS,
+        corpus_epoch_shuffle,
+    )
+
+    rows = corpus_epoch_shuffle(spark, _SF_SMALL).collect()
+    ids = sorted({r["doc_id"] for r in rows})
+    for e in range(SHUFFLE_EPOCHS):
+        want = sorted(
+            ids,
+            key=lambda i: (hashlib.md5(f"ep{e}:{i}".encode()).hexdigest(), i),
+        )
+        got = [
+            r["doc_id"]
+            for r in sorted(
+                (r for r in rows if r["epoch"] == e),
+                key=lambda r: r["shuffle_pos"],
+            )
+        ]
+        assert got == want, f"epoch {e} order diverges from hashlib"
