@@ -143,11 +143,87 @@ def append_to_ivf_layout(
     ``ann_recall``-style audits at the probe settings you actually run.
     Appends add one file per touched cell per batch — run
     ``compact_ivf_layout`` periodically (measured cadence maths in
-    CDC_DRILL.json apply identically)."""
+    CDC_DRILL.json apply identically).
+
+    Refuses an IVF-PQ layout (ADVICE r11): this writer emits no
+    ``code_*`` columns, so appended rows would reconstruct as nulls in
+    ``probe_ivf_pq_layout`` — null sims sort last and the appended
+    vectors silently vanish from ADC results. PQ layouts append through
+    ``append_to_ivf_pq_layout``, which encodes with the stored
+    codebooks."""
+    if _is_pq_layout(spark, path):
+        raise ValueError(
+            f"{path} is an IVF-PQ layout (_ivf_pq_meta.json present): "
+            "plain appends would leave code_* null and the rows invisible "
+            "to ADC probes — use append_to_ivf_pq_layout"
+        )
     cent = read_ivf_codebook(spark, path)
     _assign_cells(new_vectors, cent, id_col, vec_col).repartition(
         "cell"
     ).write.mode("append").partitionBy("cell").parquet(path)
+
+
+def _is_pq_layout(spark: SparkSession, path: str) -> bool:
+    from nbi_oedi_etl_spark.operators.banded_layout import _read_meta
+
+    try:
+        _read_meta(spark, path, fname=_IVF_PQ_META_FILE)
+        return True
+    except Exception:
+        return False
+
+
+def append_to_ivf_pq_layout(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """PQ-aware incremental maintenance (VERDICT r11 task 10): assign
+    ``new_vectors`` with the layout's own coarse codebook, residual
+    against the assigned centroid, and encode dense codes with the
+    STORED per-sub codebooks (``_pq_encode_codes`` — byte-identical
+    encoding to the build path), then append per touched cell. Both
+    codebooks stay FIXED across appends, same as the plain-IVF contract.
+    Rejects vectors whose dimension doesn't match the sidecars (a
+    mismatched batch would otherwise encode garbage codes silently)."""
+    cent = read_ivf_codebook(spark, path)
+    meta = read_ivf_pq_meta(spark, path)
+    pq_m, dsub = meta["pq_m"], meta["pq_dsub"]
+    dim = cent.shape[0]
+    if pq_m * dsub != dim:
+        raise ValueError(
+            f"inconsistent sidecars at {path}: pq_m*dsub = {pq_m * dsub} != dim {dim}"
+        )
+    first = new_vectors.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).limit(1).collect()
+    if first and first[0]["d"] != dim:
+        raise ValueError(
+            f"vector dim {first[0]['d']} does not match layout dim {dim}"
+        )
+    assigned = _assign_cells(new_vectors, cent, id_col, vec_col)
+    n_cells_eff = cent.shape[1]
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(cent[d, j])) for d in range(dim)])
+            for j in range(n_cells_eff)
+        ]
+    )
+    res = assigned.withColumn(
+        "res",
+        F.zip_with("emb", F.element_at(cent_lit, F.col("cell") + 1), lambda x, y: x - y),
+    )
+    books = meta["codebooks"]
+    (
+        _pq_encode_codes(res, books, pq_m, dsub)
+        .drop("res")
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
 
 
 def compact_ivf_layout(
@@ -327,6 +403,35 @@ def _driver_probe_relation(
 _IVF_PQ_META_FILE = "_ivf_pq_meta.json"
 
 
+def _pq_encode_codes(
+    res: DataFrame, books: list[list[list[float]]], pq_m: int, dsub: int
+) -> DataFrame:
+    """Dense-code encode as a PURE PROJECTION over the ``res`` residual
+    column: per sub, distances to the literal trained codebook;
+    ``array_position`` of the min = FIRST min = lowest dense code (the
+    ``similarity.pq_assign`` tie rule) — no window, no pivot, no join.
+    Shared by ``write_ivf_pq_layout`` and ``append_to_ivf_pq_layout`` so
+    the append path cannot drift from the build path's encoding."""
+    from nbi_oedi_etl_spark.operators.similarity import l2_distance
+
+    encoded = res
+    for s in range(pq_m):
+        sub_slice = F.slice("res", s * dsub + 1, dsub)
+        dists = F.array(
+            *[
+                l2_distance(
+                    sub_slice, F.array(*[F.lit(float(v)) for v in books[s][c]])
+                )
+                for c in range(len(books[s]))
+            ]
+        )
+        encoded = encoded.withColumn(
+            f"code_{s}",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+    return encoded
+
+
 def write_ivf_pq_layout(
     corpus: DataFrame,
     dest: str,
@@ -359,7 +464,6 @@ def write_ivf_pq_layout(
     Returns the coarse codebook."""
     from nbi_oedi_etl_spark.operators.banded_layout import _write_meta
     from nbi_oedi_etl_spark.operators.similarity import (
-        l2_distance,
         pq_subvectors,
         pq_train_codebook,
     )
@@ -394,24 +498,7 @@ def write_ivf_pq_layout(
     books: dict[int, list[list[float]]] = {}
     for sub, _code, c_emb in cb_rows:
         books.setdefault(sub, []).append(c_emb)
-    # encode as a pure projection: per sub, distances to the literal
-    # trained codebook; array_position of the min = FIRST min = lowest
-    # dense code (the pq_assign tie rule) — no window, no pivot, no join
-    encoded = res
-    for s in range(pq_m):
-        sub_slice = F.slice("res", s * dsub + 1, dsub)
-        dists = F.array(
-            *[
-                l2_distance(
-                    sub_slice, F.array(*[F.lit(float(v)) for v in books[s][c]])
-                )
-                for c in range(len(books[s]))
-            ]
-        )
-        encoded = encoded.withColumn(
-            f"code_{s}",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
-        )
+    encoded = _pq_encode_codes(res, books, pq_m, dsub)
     (
         encoded.drop("res")
         .repartition("cell")
@@ -456,6 +543,7 @@ def probe_ivf_pq_layout(
     n_probe: int = 4,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    driver_batch_rows: int | None = None,
 ) -> DataFrame:
     """ADC probe over the at-rest IVF-PQ layout: per-query n_probe
     nearest cells (static partition predicate, exactly like
@@ -468,10 +556,15 @@ def probe_ivf_pq_layout(
     partition pruning (plan-pinned in tests/test_plans.py; bytes
     measured by tools/ivf_pq_probe.py).
 
-    Query batches are broadcast-sized by contract (the CDC/interactive
-    tier — same contract as the driver branch of ``probe_ivf_layout``);
-    a fact-scale batch belongs on the exact tier's distributed branch,
-    which reads the same layout's raw vectors."""
+    Dispatch (ADVICE r11 — was driver-collect-only with a docstring as
+    the sole guard): the same column-pruned ``limit(cap+1)`` peek as
+    ``probe_ivf_layout``. Broadcast-sized batches collect once and probe
+    driver-side with a static partition predicate; batches past
+    ``_MAX_PROBE_BATCH_ROWS`` (override via ``driver_batch_rows``) take
+    the DISTRIBUTED branch — executor-side ``ivf_probe_udf`` + shuffle
+    join on cell against the full code scan (a batch that size probes
+    ~every cell, so static pruning buys nothing) — with the SAME ADC
+    reconstruction expression, so the two branches cannot drift."""
     cent_unit = read_ivf_codebook(spark, path)
     meta = read_ivf_pq_meta(spark, path)
     pq_m, dsub = meta["pq_m"], meta["pq_dsub"]
@@ -480,13 +573,29 @@ def probe_ivf_pq_layout(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
     )
-    q, probed = _driver_probe_relation(spark, q_src, cent_unit, n_probe)
     code_cols = [f"code_{s}" for s in range(pq_m)]
-    scan = (
-        spark.read.parquet(path)
-        .where(F.col("cell").isin(probed))
-        .select("vec_id", "cell", *code_cols)
-    )
+    cap = _MAX_PROBE_BATCH_ROWS if driver_batch_rows is None else driver_batch_rows
+    n_peek = q_src.select("query_id").limit(cap + 1).count()
+    if n_peek > cap:
+        from nbi_oedi_etl_spark.operators.similarity import ivf_probe_udf
+
+        q = q_src.select(
+            "query_id",
+            "q_emb",
+            F.explode(ivf_probe_udf(cent_unit, n_probe)(F.col("q_emb"))).alias(
+                "cell"
+            ),
+        )
+        scan = spark.read.parquet(path).select("vec_id", "cell", *code_cols)
+        broadcast_q = False
+    else:
+        q, probed = _driver_probe_relation(spark, q_src, cent_unit, n_probe)
+        scan = (
+            spark.read.parquet(path)
+            .where(F.col("cell").isin(probed))
+            .select("vec_id", "cell", *code_cols)
+        )
+        broadcast_q = True
     books = meta["codebooks"]
     cb_lits = [
         F.array(
@@ -510,7 +619,7 @@ def probe_ivf_pq_layout(
         recon, F.element_at(cent_lit, F.col("cell") + 1), lambda x, y: x + y
     )
     c = scan.withColumn("emb", xhat).drop(*code_cols)
-    return _rerank_candidates(c, q, k, broadcast_q=True)
+    return _rerank_candidates(c, q, k, broadcast_q=broadcast_q)
 
 
 def ivf_pq_reconstruction_reference(
@@ -557,7 +666,18 @@ def ivf_pq_reconstruction_reference(
         cands = []
         for vid, (cell, xhat) in recon.items():
             if cell in probed and vid != qid:
-                sim = float(qv @ xhat / (math.sqrt(qv @ qv) * math.sqrt(xhat @ xhat)))
+                # explicit sequential index-order fold, NOT qv @ xhat:
+                # BLAS reorders the summation, and on near-ties the
+                # round-6 value (or the rank order) could differ bit-wise
+                # from the Spark expression's left-to-right aggregate —
+                # the exact hazard the l2_distance docstring pins
+                # (ADVICE r11)
+                dot = nq = nx = 0.0
+                for a, b in zip(qv.tolist(), xhat.tolist()):
+                    dot += a * b
+                    nq += a * a
+                    nx += b * b
+                sim = dot / (math.sqrt(nq) * math.sqrt(nx))
                 cands.append((vid, sim))
         cands.sort(key=lambda t: (-t[1], t[0]))
         for rank, (vid, sim) in enumerate(cands[:k], 1):

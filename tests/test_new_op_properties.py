@@ -845,6 +845,116 @@ def test_ivf_pq_layout_exact_tier_shares_the_layout(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_ivf_pq_probe_distributed_branch_parity(spark, tmp_path):
+    """r12 (ADVICE r11): probe_ivf_pq_layout dispatches past the batch
+    cap to an executor-side branch (ivf_probe_udf + shuffle join on
+    cell) with the SAME ADC reconstruction expression; the two branches
+    must agree row-for-row. driver_batch_rows pins each branch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators.ivf_layout import (
+        probe_ivf_pq_layout,
+        write_ivf_pq_layout,
+    )
+
+    rng = np.random.default_rng(23)
+    n, dim = 40, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float64)
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+        }),
+        src,
+    )
+    corpus = spark.read.parquet(src)
+    dest = str(tmp_path / "layout")
+    write_ivf_pq_layout(corpus, dest, n_cells=4, pq_m=4, pq_k=4)
+    q = corpus.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    drv = sorted(map(tuple, probe_ivf_pq_layout(
+        spark, dest, q, k=5, n_probe=2, driver_batch_rows=100).collect()))
+    dist = sorted(map(tuple, probe_ivf_pq_layout(
+        spark, dest, q, k=5, n_probe=2, driver_batch_rows=2).collect()))
+    assert drv == dist and len(drv) > 0
+
+
+def test_append_guards_on_pq_layout(spark, tmp_path):
+    """r12 (ADVICE r11): a plain append onto an IVF-PQ layout would
+    write rows with null code_* — silently invisible to ADC probes — so
+    append_to_ivf_layout must refuse; append_to_ivf_pq_layout encodes
+    with the stored codebooks and the appended vectors must surface in
+    ADC results AND match the independent numpy reconstruction of the
+    post-append layout. A dim-mismatched batch is rejected."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators.ivf_layout import (
+        append_to_ivf_layout,
+        append_to_ivf_pq_layout,
+        ivf_pq_reconstruction_reference,
+        probe_ivf_pq_layout,
+        read_ivf_codebook,
+        read_ivf_pq_meta,
+        write_ivf_pq_layout,
+    )
+
+    rng = np.random.default_rng(29)
+    n, dim = 36, 16
+    vecs = rng.normal(size=(n + 6, dim)).astype(np.float64)
+
+    def _tbl(ids):
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [vecs[i].tolist() for i in ids], type=pa.list_(pa.float64())
+            ),
+        })
+
+    base_src = str(tmp_path / "base.parquet")
+    new_src = str(tmp_path / "new.parquet")
+    pq.write_table(_tbl(list(range(n))), base_src)
+    pq.write_table(_tbl(list(range(n, n + 6))), new_src)
+    dest = str(tmp_path / "layout")
+    write_ivf_pq_layout(spark.read.parquet(base_src), dest, n_cells=4, pq_m=4, pq_k=4)
+
+    new_df = spark.read.parquet(new_src)
+    with pytest.raises(ValueError, match="append_to_ivf_pq_layout"):
+        append_to_ivf_layout(spark, dest, new_df)
+
+    bad = new_df.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    with pytest.raises(ValueError, match="dim"):
+        append_to_ivf_pq_layout(spark, dest, bad)
+
+    append_to_ivf_pq_layout(spark, dest, new_df)
+    # probe FROM the appended vectors: with n_probe = n_cells every
+    # stored row is a candidate, so each appended id must appear
+    q = new_df.select(F.col("vec_id").alias("query_id"), "embedding")
+    got_df = probe_ivf_pq_layout(spark, dest, q, k=5, n_probe=4)
+    got = {
+        (r["query_id"], r["vec_id"], r["cos_sim"], r["rank"])
+        for r in got_df.collect()
+    }
+    cent = read_ivf_codebook(spark, dest)
+    meta = read_ivf_pq_meta(spark, dest)
+    queries = [(i, vecs[i].tolist()) for i in range(n, n + 6)]
+    want = ivf_pq_reconstruction_reference(dest, queries, cent, meta, n_probe=4, k=5)
+    assert got == want
+    assert {r[1] for r in got} & set(range(n, n + 6)), (
+        "appended vectors must be visible as ADC candidates"
+    )
+
+
 def test_streaming_ivf_cdc_ann_survives_empty_first_batch(spark, tmp_path):
     """r11 wave-2 self-review regression: `version` doubled as the
     layout-fitted flag, so a corpus whose FIRST mod-3 batch is empty
