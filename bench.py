@@ -280,7 +280,46 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "pq_recall_audit",
     "ivf_pq_portable",
+    # round-12 (VERDICT r11 task 9), benched same-round per the freeze
+    # policy: tokenizer-true packing on BPE unit counts
+    "corpus_pack_sequences_bpe",
 ]
+
+
+def _spin(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i
+    return s
+
+
+def _host_calibration_mt(nproc: int = 8) -> float:
+    """MULTI-core speed token (r12, VERDICT r11 task 4): wall seconds
+    for 8 concurrent 1e7-iteration loops in separate PROCESSES (the GIL
+    serializes threads, so a thread pool would measure single-core speed
+    twice). Quiet this runs ≈ the single-core token (8 loops on 32 cores
+    in parallel, ~0.27-0.4 s incl. pool overhead); under co-tenant
+    multi-core steal it inflates MORE than the single-core token — r11
+    measured a ~1.9× degraded bench window whose single-core calib read
+    only 1.3×, exactly the gap this probe exists to close. Min of two
+    trials on a shared pool (steal inflates, never deflates)."""
+    import concurrent.futures as cf
+    import multiprocessing as mp
+
+    best = float("inf")
+    try:
+        with cf.ProcessPoolExecutor(
+            nproc, mp_context=mp.get_context("fork")
+        ) as ex:
+            # warm the pool so worker spawn isn't billed to trial 1
+            list(ex.map(_spin, [1] * nproc))
+            for _ in range(2):
+                t0 = time.perf_counter()
+                list(ex.map(_spin, [10**7] * nproc))
+                best = min(best, time.perf_counter() - t0)
+    except Exception:
+        return -1.0  # sandboxed/fork-less host: guard falls back to 1-core
+    return round(best, 3)
 
 
 def _host_calibration() -> float:
@@ -342,13 +381,16 @@ def main() -> None:
     # per-pass median represents the same host state the per-query
     # medians were measured under.
     calibs: list[float] = []
+    calibs_mt: list[float] = []
     for _ in range(3):
         calibs.append(_host_calibration())
+        calibs_mt.append(_host_calibration_mt())
         for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
             sampled[name].append(time.perf_counter() - t0)
     calibs.sort()
+    calibs_mt.sort()
     times: dict[str, float] = {}
     lo: dict[str, float] = {}
     hi: dict[str, float] = {}
@@ -371,6 +413,11 @@ def main() -> None:
         "sf": sf,
         "calib_s": calibs[1],
         "calib_samples": calibs,
+        # multi-core token (r12): quiet ≈ calib_s + pool overhead; under
+        # multi-core steal it inflates more than the 1-core token, so the
+        # guard calibrates on the WORSE of the two ratios
+        "calib_mt_s": calibs_mt[1],
+        "calib_mt_samples": calibs_mt,
     }
     # Per-query detail goes to a file + an early stdout line; the FINAL stdout
     # line is a short (<200 char) summary. Round 3's single ~2.5 KB JSON line
@@ -388,10 +435,12 @@ def main() -> None:
                 "n_queries": len(times),
                 "estimator": "median3",
                 "spread": detail["spread"],
-                # median per-pass single-core host-speed token (quiet VM
-                # ≈ 0.27 s/1e7): lets a reader tell a regression from a
-                # degraded shared host when comparing rounds
+                # median per-pass host-speed tokens (single-core quiet VM
+                # ≈ 0.27 s/1e7; multi-core = 8×1e7 across processes):
+                # lets a reader tell a regression from a degraded shared
+                # host when comparing rounds
                 "calib_s": detail["calib_s"],
+                "calib_mt_s": detail["calib_mt_s"],
             }
         ),
         flush=True,

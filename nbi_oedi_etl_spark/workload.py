@@ -2304,6 +2304,14 @@ SPECS: list[QuerySpec] = [
         ext36.ivf_pq_portable,
         ext36.IVF_PQ_ORACLE,
     ),
+    # round-12 (VERDICT r11 task 9): tokenizer-true packing — the
+    # packing cumsum on BPE unit counts from the corpus's own mined
+    # merges (mine → apply → pack closes the tokenizer loop).
+    QuerySpec(
+        "corpus_pack_sequences_bpe",
+        ext34.corpus_pack_sequences_bpe,
+        ext34.PACK_SEQUENCES_BPE_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2532,6 +2540,65 @@ _POST_R11_ADDITIONS: list[str] = [
     "ivf_pq_portable",
 ]
 
+# ---- round-12 correctness-window rotation -----------------------------
+# Window = the 11 never-verified r11 wave-2 specs (the full
+# _POST_R11_ADDITIONS overflow — the largest-ever post-freeze batch per
+# VERDICT r11 task 1) + the r12-registered corpus_pack_sequences_bpe,
+# then the TWO rows-only CDC streams that have never had a driver row
+# check (the driver records the weaker no-oracle check for prefix specs
+# without an oracle_sql entry, as CORRECTNESS_r01 did for the
+# rows-only family — VERDICT task 1 asks for exactly this), then the
+# stalest banked tranche: the 9 r6-greens the _R11_WINDOW comment
+# promised back at the r12 head (the 8 alphabetically-first displaced by
+# the wave-2 similarity swap + customer_order_counts displaced by
+# source_quantile_normalize), then the next 27 alphabetical r6-greens.
+# 12 + 2 + 9 + 27 = 50. The 8 remaining r6-greens
+# (scd2_user_state_history .. weighted_median_price) queue for r13.
+#
+# FORCAST adjudication (VERDICT r11 task 7, recorded here and in
+# VERIFICATION_r12.md so it stops carrying over): doc_readability_forcast
+# KEEPS its name — FORCAST is the formula's PUBLISHED name (an acronym of
+# FORd, CAylor, STicht 1973; see workload_ext26.py:90), not a typo, so
+# there is nothing to rename.
+_ROWS_ONLY_WINDOW_OK: list[str] = [
+    "streaming_banded_cdc_dedup_production",
+    "streaming_ivf_cdc_ann",
+]
+_R12_WINDOW: list[str] = [
+    # -- 12 never-verified (11 post-r11-freeze + the r12 registration) --
+    "doc_cut_duplicate_spans", "pack_boundary_stats",
+    "source_temperature_mixture", "streaming_pack_sequences",
+    "benchmark_contamination_spans", "embedding_pq_codes",
+    "embedding_pq_adc_topk", "corpus_epoch_shuffle",
+    "ccnet_perplexity_buckets", "pq_recall_audit", "ivf_pq_portable",
+    "corpus_pack_sequences_bpe",
+    # -- 2 rows-only CDC streams (first-ever driver row checks) --
+    "streaming_banded_cdc_dedup_production", "streaming_ivf_cdc_ann",
+    # -- 9 promised r6 refreshers (the r11 displacement debt) --
+    "anti_join_reconciliation", "brand_price_quantity_ols",
+    "classifier_pr_curve", "cohort_ltv_curve",
+    "conversion_latency_histogram", "copurchase_bfs_hops",
+    "cumulative_unique_users", "customer_k_anonymity_audit",
+    "customer_order_counts",
+    # -- next 27 alphabetical r6-green refreshers --
+    "customer_rfm_segmentation", "distinct_user_event_pairs",
+    "doc_fingerprints", "doc_lang_guess", "doc_quality",
+    "doc_token_stats", "event_value_imputation", "event_value_twap_daily",
+    "flagship_hourly_resample", "greedy_coverage_selection",
+    "hash_uniformity_ks", "hll_sliding_weekly_users",
+    "journey_similarity_matrix", "json_props_stats",
+    "max_concurrent_sessions_daily", "median_ci_order_stats",
+    "order_ols_price_vs_items", "order_price_equidepth_histogram",
+    "order_rate_interpolation", "part_price_size_skyline",
+    "phrase_search_positions", "pricing_summary",
+    "purchase_attribution_first_last", "ref_q1_count_distinct",
+    "ref_q2_grouped_count_distinct", "ref_q3_topk_per_group",
+    "rollup_revenue",
+]
+
+# Specs registered AFTER the r12 window froze (none yet).
+_POST_R12_ADDITIONS: list[str] = []
+
 # Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [
     # -- 27 audit-flagged stale specs (tools/rotation_audit.py) --
@@ -2639,13 +2706,16 @@ _R5_QUEUE: list[str] = [
 
 def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in specs}
-    front = [by_name[n] for n in _R11_WINDOW if n in by_name]
+    front = [by_name[n] for n in _R12_WINDOW if n in by_name]
     front_set = {s.name for s in front}
     rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
     rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]
     assert len(front) + len(rest_oracled) + len(rest_rows_only) == len(specs)
-    # the verified window must be entirely oracle-backed
-    assert all(s.oracle is not None for s in front)
+    # the verified window is oracle-backed except the documented
+    # rows-only entries (the driver records their weaker row check)
+    assert all(
+        s.oracle is not None or s.name in _ROWS_ONLY_WINDOW_OK for s in front
+    )
     return front + rest_oracled + rest_rows_only
 
 

@@ -552,3 +552,137 @@ SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
             - floor(cum_before / {PACK_TOKENS}) + 1 AS BIGINT) AS seq_span
 FROM c
 """
+
+
+# ------------------------------------------- tokenizer-true packing
+
+
+def corpus_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_pack_sequences`` on TOKENIZER-TRUE counts (VERDICT r11
+    task 9): real training pipelines pack BPE tokens, not whitespace
+    words, so ``n_tokens`` here is the per-doc BPE UNIT count after
+    applying the corpus's own top-2 mined merges — the same
+    deterministic merges table ``bpe_apply_merges`` pins (mine →
+    apply → pack closes the tokenizer loop end-to-end). The packing
+    tail (keyed skew-dispatched cumsum, seq_id / offset / span algebra)
+    is IDENTICAL to the whitespace spec; only the token-counting
+    projection changes.
+
+    Plan/scale: the 2 merge pairs are bounded model state (collected
+    once, inlined as literals — the k-means-centroid pattern); per-doc
+    BPE counting is then a PURE PROJECTION (``F.aggregate`` over the
+    whitespace split, each word encoded with the double-delimiter
+    spacing and merge-rewritten via ``replace`` — greedy-leftmost BPE
+    exactly as ``bpe_apply_merges`` proves), so the only shuffles are
+    the merge-mining aggregate and the packing cumsum itself. No
+    per-word explode+regroup: the count never leaves the doc row.
+
+    Exactness: unit counts are exact integers on both engines (the
+    double-delimiter ``replace`` semantics are pinned by
+    ``bpe_apply_merges``'s oracle); the packing algebra is integer.
+    """
+    from nbi_oedi_etl_spark.workload_ext9 import bpe_merge_candidates
+
+    merges = [
+        r["pair"]
+        for r in bpe_merge_candidates(spark, sf_dir)
+        .where(F.col("rank") <= 2)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    def bpe_units(w: Column) -> Column:
+        spaced = F.concat(
+            F.lit(" "), F.array_join(F.split(w, "(?!^)"), "  "), F.lit(" ")
+        )
+        applied = spaced
+        for pair in merges:
+            x, y = pair[0], pair[1]
+            applied = F.replace(
+                applied, F.lit(f" {x}  {y} "), F.lit(f" {x}{y} ")
+            )
+        return F.size(F.split(F.trim(applied), "  "))
+
+    d = read_table(spark, sf_dir, "documents")
+    d = d.where(F.col("text").isNotNull() & (F.trim(F.col("text")) != "")).select(
+        "doc_id",
+        "source",
+        F.aggregate(
+            F.split(F.trim(F.lower("text")), r"\s+"),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + bpe_units(w).cast("long"),
+        ).alias("n_tokens"),
+    )
+    d = keyed_cumsum(
+        d, "source", ["doc_id"], _doc_id_bucket(), "n_tokens",
+        out_col="cum_before", include_current=False,
+    )
+    cum_before = F.col("cum_before")
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(cum_before / PACK_TOKENS).alias("seq_id"),
+        (cum_before % PACK_TOKENS).alias("offset_in_seq"),
+        (
+            F.floor((cum_before + F.col("n_tokens") - 1) / PACK_TOKENS)
+            - F.floor(cum_before / PACK_TOKENS)
+            + 1
+        ).alias("seq_span"),
+    )
+
+
+PACK_SEQUENCES_BPE_ORACLE = rf"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), words AS (
+  SELECT word, count(*) AS freq FROM t WHERE word <> '' GROUP BY word
+), prs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+        FROM words WHERE length(word) >= 2)
+), counts AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM prs GROUP BY pair
+), ranked_pairs AS (
+  SELECT pair, row_number() OVER (ORDER BY pair_count DESC, pair) AS prank
+  FROM counts
+), m1 AS (SELECT pair FROM ranked_pairs WHERE prank = 1),
+m2 AS (SELECT pair FROM ranked_pairs WHERE prank = 2),
+d AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         (SELECT pair FROM m1) AS p1, (SELECT pair FROM m2) AS p2
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), cnt AS (
+  SELECT doc_id, source,
+         CAST(list_sum(list_transform(toks, w ->
+           len(regexp_split_to_array(trim(
+             replace(
+               replace(
+                 ' ' || array_to_string(
+                     list_transform(range(1, length(w) + 1),
+                                    i -> substr(w, CAST(i AS INTEGER), 1)),
+                     '  ') || ' ',
+                 ' ' || substr(p1, 1, 1) || '  ' || substr(p1, 2, 1) || ' ',
+                 ' ' || p1 || ' '),
+               ' ' || substr(p2, 1, 1) || '  ' || substr(p2, 2, 1) || ' ',
+               ' ' || p2 || ' ')
+           ), '  '))
+         )) AS BIGINT) AS n_tokens
+  FROM d
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM cnt
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(cum_before / {PACK_TOKENS}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_TOKENS} AS BIGINT) AS offset_in_seq,
+       CAST(floor((cum_before + n_tokens - 1) / {PACK_TOKENS})
+            - floor(cum_before / {PACK_TOKENS}) + 1 AS BIGINT) AS seq_span
+FROM c
+"""

@@ -90,18 +90,37 @@ def test_no_per_query_regression_vs_reference():
     with open(_os.path.join(_HERE, "bench_reference_r11.json")) as f:
         ref_doc = _json.load(f)
     ref = ref_doc["queries"]
-    # Host calibration (wave 2): co-tenant CPU steal slows this VM up to
-    # ~5× without showing in loadavg, and a bench run on a degraded host
-    # would trip dozens of queries that regressed nowhere (observed: 18
-    # false trips at calib 0.85-1.3 s vs the quiet 0.27). Scale the
-    # budget by measured-host vs reference-host speed, clamped to
-    # [1, 8]: a SLOW host loosens its own check proportionally; a fast
-    # host never tightens below the nominal 3×/5 s budget. The
-    # reference's calib falls back to the documented quiet-state 0.27
-    # for references recorded before the field existed.
+    # Host calibration (wave 2; r12 revision): co-tenant CPU steal slows
+    # this VM up to ~5× without showing in loadavg, and a bench run on a
+    # degraded host would trip dozens of queries that regressed nowhere
+    # (observed: 18 false trips at calib 0.85-1.3 s vs the quiet 0.27).
+    # Scale the budget by measured-host vs reference-host speed, taking
+    # the WORSE of the single-core and multi-core tokens — r11 measured
+    # a ~1.9× degraded window whose single-core calib read only 1.3×
+    # (multi-core steal under-captured), which is exactly what the
+    # calib_mt_s probe sees. The reference's calibs fall back to the
+    # documented quiet-state values for references recorded before the
+    # fields existed (single-core 0.27; multi-core 0.40 measured quiet
+    # r12).
     ref_calib = float(ref_doc.get("calib_s", 0.27))
     cur_calib = float(detail.get("calib_s", ref_calib))
-    host_ratio = min(8.0, max(1.0, cur_calib / ref_calib))
+    ratio_1c = cur_calib / ref_calib
+    ref_mt = float(ref_doc.get("calib_mt_s", 0.40))
+    cur_mt = float(detail.get("calib_mt_s", -1.0))
+    ratio_mt = (cur_mt / ref_mt) if cur_mt > 0 else ratio_1c
+    raw_ratio = max(ratio_1c, ratio_mt)
+    # ADVICE r11: scaling budgets all the way to 8× let a badly degraded
+    # run certify anything (24× the reference median at the clamp). Past
+    # 3× the host is too degraded to certify EITHER way — fail-as-skip
+    # so the round's evidence honestly says "not measured quiet", rather
+    # than green-lighting a real regression.
+    if raw_ratio > 3.0:
+        pytest.skip(
+            f"host too degraded to certify bench numbers: calib ratio "
+            f"{raw_ratio:.2f} (1-core {ratio_1c:.2f}, mt {ratio_mt:.2f}) "
+            f"exceeds 3× the reference host — re-run bench.py quiet"
+        )
+    host_ratio = max(1.0, raw_ratio)
     regressions = []
     for name, ref_sec in ref.items():
         cur = detail["queries"].get(name)
