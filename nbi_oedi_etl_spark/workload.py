@@ -2551,9 +2551,12 @@ _POST_R11_ADDITIONS: list[str] = [
 # stalest banked tranche: the 9 r6-greens the _R11_WINDOW comment
 # promised back at the r12 head (the 8 alphabetically-first displaced by
 # the wave-2 similarity swap + customer_order_counts displaced by
-# source_quantile_normalize), then the next 27 alphabetical r6-greens.
-# 12 + 2 + 9 + 27 = 50. The 8 remaining r6-greens
-# (scd2_user_state_history .. weighted_median_price) queue for r13.
+# source_quantile_normalize), then the next 26 alphabetical r6-greens.
+# One changed-since-green joins mid-round: streaming_banded_cdc_dedup's
+# result sink moved to per-batch deltas (the r12 write-amplification
+# fix applied to all three CDC streams), displacing rollup_revenue.
+# 12 + 1 + 2 + 9 + 26 = 50. The 9 remaining r6-greens (rollup_revenue,
+# scd2_user_state_history .. weighted_median_price) queue for r13.
 #
 # FORCAST adjudication (VERDICT r11 task 7, recorded here and in
 # VERIFICATION_r12.md so it stops carrying over): doc_readability_forcast
@@ -2572,6 +2575,8 @@ _R12_WINDOW: list[str] = [
     "embedding_pq_adc_topk", "corpus_epoch_shuffle",
     "ccnet_perplexity_buckets", "pq_recall_audit", "ivf_pq_portable",
     "corpus_pack_sequences_bpe",
+    # -- 1 changed-since-green (per-batch result deltas, r12) --
+    "streaming_banded_cdc_dedup",
     # -- 2 rows-only CDC streams (first-ever driver row checks) --
     "streaming_banded_cdc_dedup_production", "streaming_ivf_cdc_ann",
     # -- 9 promised r6 refreshers (the r11 displacement debt) --
@@ -2593,7 +2598,6 @@ _R12_WINDOW: list[str] = [
     "phrase_search_positions", "pricing_summary",
     "purchase_attribution_first_last", "ref_q1_count_distinct",
     "ref_q2_grouped_count_distinct", "ref_q3_topk_per_group",
-    "rollup_revenue",
 ]
 
 # Specs registered AFTER the r12 window froze (none yet).

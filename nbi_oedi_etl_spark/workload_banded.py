@@ -139,11 +139,13 @@ def streaming_banded_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 deterministic micro-batches (batch k = doc_id % 3 == k, one file
     per trigger); each batch is probed against the at-rest layout for
     near-dup candidates among all PRIOR docs, then its band rows are
-    appended so the next batch sees it. Pairs accumulate under versioned
-    exactly-once commits (the foreachbatch_upsert discipline). The
-    drained union must equal the one-shot cross-batch pairs — later
-    batch as the "new" side — which the oracle computes directly from
-    the %3 split.
+    appended so the next batch sees it. Each batch writes ONLY its own
+    pairs to a ``batch=<id>`` delta (r12 — the per-batch-delta
+    discipline applied to the RESULT side as well as the layout;
+    union-on-read reassembles, a replayed batch overwrites only its own
+    partition). The drained union must equal the one-shot cross-batch
+    pairs — later batch as the "new" side — which the oracle computes
+    directly from the %3 split.
 
     Scale: per batch the probe reads only the batch's probed pcell
     partitions (the plan-pinned prune) and the append writes one file
@@ -173,25 +175,34 @@ def streaming_banded_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if state["version"] < 0:
             # first batch: nothing before it — just materialize the layout
             write_banded_layout(None, layout, n_buckets=16, banded_rows=rows)
+            # repartition(1) forces a schema-bearing (empty) part file,
+            # so union-on-read never sees a footer-less delta dir
             pairs = bs.createDataFrame(
                 [], "doc_id_new long, doc_id_corpus long"
-            )
+            ).repartition(1)
         else:
-            pairs = probe_banded_layout(bs, layout, banded_rows=rows)
-            prev = bs.read.parquet(
-                os.path.join(pairs_root, f"v{state['version']}")
-            )
-            pairs = prev.unionByName(pairs).distinct()
+            # within-batch distinct only: LSH emits a pair once per
+            # matching band; ACROSS batches pair sets are disjoint by
+            # construction (doc_id_new ∈ this batch, each doc arrives
+            # exactly once), so per-batch deltas need no global distinct
+            pairs = probe_banded_layout(bs, layout, banded_rows=rows).distinct()
             append_to_banded_layout(bs, layout, banded_rows=rows)
+        # r12 (the streaming_pack_sequences discipline, applied to the
+        # RESULT side too): write only this batch's pairs to a
+        # batch=<id> delta — the old prev-union-overwrite rewrote the
+        # accumulated pair history every trigger, O(B²) write volume
+        # over the stream's life. The layout was always append-only;
+        # now the results are as well. A replayed batch overwrites only
+        # its own partition (exactly-once preserved).
         pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_root, f"v{batch_id}")
+            os.path.join(pairs_root, f"batch={batch_id}")
         )
         state["version"] = batch_id
 
     s = drain_mod3_batches(
         spark, sf_dir, "documents", "doc_id", apply_batch, "banded_cdc_src_"
     )
-    return s.read.parquet(os.path.join(pairs_root, f"v{state['version']}"))
+    return s.read.parquet(pairs_root).select("doc_id_new", "doc_id_corpus")
 
 
 def streaming_banded_cdc_dedup_production(
@@ -199,7 +210,7 @@ def streaming_banded_cdc_dedup_production(
 ) -> DataFrame:
     """PRODUCTION-family twin of ``streaming_banded_cdc_dedup``: the
     identical 3-micro-batch CDC loop (probe the batch against the at-rest
-    layout, append, accumulate pairs under versioned commits) run with
+    layout, append, per-batch pair deltas) run with
     the default xxhash64 banding (``operators.dedup.band_rows`` via the
     layout's own sidecar parameters) instead of the md5-portable bridge.
 
@@ -234,16 +245,14 @@ def streaming_banded_cdc_dedup_production(
             )
             pairs = bs.createDataFrame(
                 [], "doc_id_new long, doc_id_corpus long"
-            )
+            ).repartition(1)
         else:
-            pairs = probe_banded_layout(bs, layout, new_docs=docs)
-            prev = bs.read.parquet(
-                os.path.join(pairs_root, f"v{state['version']}")
-            )
-            pairs = prev.unionByName(pairs).distinct()
+            # per-batch delta + within-batch distinct (see the portable
+            # twin — cross-batch pair sets are disjoint by construction)
+            pairs = probe_banded_layout(bs, layout, new_docs=docs).distinct()
             append_to_banded_layout(bs, layout, new_docs=docs)
         pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_root, f"v{batch_id}")
+            os.path.join(pairs_root, f"batch={batch_id}")
         )
         state["version"] = batch_id
 
@@ -251,7 +260,7 @@ def streaming_banded_cdc_dedup_production(
         spark, sf_dir, "documents", "doc_id", apply_batch,
         "banded_cdc_prod_src_",
     )
-    return s.read.parquet(os.path.join(pairs_root, f"v{state['version']}"))
+    return s.read.parquet(pairs_root).select("doc_id_new", "doc_id_corpus")
 
 
 # Cross-batch pairs directly from the %3 split: a doc's batch is
@@ -320,8 +329,8 @@ def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     first batch materializes the layout (codebook fitted once, seeded —
     then FIXED for the stream's life, the standard IVF practice); each
     later batch is probed for its top-k nearest among all PRIOR vectors,
-    then appended so the next batch sees it. Results accumulate under
-    versioned exactly-once commits.
+    then appended so the next batch sees it. Each batch writes only its
+    own probe results to a ``batch=<id>`` delta (r12), union-on-read.
 
     Rows-only: the seeded k-means codebook is not reproducible in SQL —
     the same adjudication as ``embedding_ivf_topk``; the VALUE evidence
@@ -340,42 +349,42 @@ def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     layout = tempfile.mkdtemp(prefix="ivf_cdc_layout_") + "/layout"
     out_root = tempfile.mkdtemp(prefix="ivf_cdc_out_")
-    # `version` tracks the latest committed result file; `fitted` tracks
-    # whether the layout exists. They are SEPARATE: an empty batch
-    # commits a result version without fitting a layout (the r11 wave-2
-    # self-review caught the single-flag version taking the probe branch
-    # against a never-written layout when only the FIRST batch is empty).
-    state = {"version": -1, "fitted": False}
-
-    def _prev(bs) -> DataFrame:
-        if state["version"] < 0:
-            # probe_ivf_layout's exact output contract (_rank_topk)
-            return bs.createDataFrame(
-                [], "query_id long, vec_id long, cos_sim double, rank int"
-            )
-        return bs.read.parquet(os.path.join(out_root, f"v{state['version']}"))
+    # `fitted` tracks whether the layout exists — SEPARATE from batch
+    # progress: an empty batch writes an (empty) result delta without
+    # fitting a layout (the r11 wave-2 self-review caught the
+    # single-flag version taking the probe branch against a
+    # never-written layout when only the FIRST batch is empty).
+    state = {"fitted": False}
+    empty_schema = "query_id long, vec_id long, cos_sim double, rank int"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         bs = batch_df.sparkSession
         vecs = batch_df.select("vec_id", "embedding")
         if vecs.isEmpty():
             # nothing to index or probe (e.g. an empty corpus stream) —
-            # carry the accumulated results forward; the layout fits on
-            # the first NONEMPTY batch
-            res = _prev(bs)
+            # the layout fits on the first NONEMPTY batch. repartition(1)
+            # forces a schema-bearing empty part file for union-on-read.
+            res = bs.createDataFrame([], empty_schema).repartition(1)
         elif not state["fitted"]:
             write_ivf_layout(vecs, layout, n_cells=8)
             state["fitted"] = True
-            res = _prev(bs)  # nothing prior to probe against
+            res = bs.createDataFrame([], empty_schema).repartition(1)
         else:
-            res = _prev(bs).unionByName(
-                probe_ivf_layout(bs, layout, vecs, k=3, query_id_col="vec_id")
-            )
+            res = probe_ivf_layout(bs, layout, vecs, k=3, query_id_col="vec_id")
             append_to_ivf_layout(bs, layout, vecs)
-        res.write.mode("overwrite").parquet(os.path.join(out_root, f"v{batch_id}"))
-        state["version"] = batch_id
+        # r12: per-batch result DELTA (batch=<id>), union-on-read — the
+        # old prev-union-overwrite rewrote the accumulated results every
+        # trigger (O(B²) write volume; the same anti-pattern the r11
+        # verdict flagged on streaming_pack_sequences, fixed across all
+        # three CDC streams this round). Query ids are this batch's
+        # vec_ids, so deltas are disjoint across batches by construction.
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"batch={batch_id}")
+        )
 
     s = drain_mod3_batches(
         spark, sf_dir, "embeddings", "vec_id", apply_batch, "ivf_cdc_src_"
     )
-    return s.read.parquet(os.path.join(out_root, f"v{state['version']}"))
+    return s.read.parquet(out_root).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
