@@ -283,6 +283,8 @@ HEADLINE = [
     # round-12 (VERDICT r11 task 9), benched same-round per the freeze
     # policy: tokenizer-true packing on BPE unit counts
     "corpus_pack_sequences_bpe",
+    # round-12: the compressed-tier CDC stream (banded/IVF/IVF-PQ triple)
+    "streaming_ivf_pq_cdc_ann",
 ]
 
 

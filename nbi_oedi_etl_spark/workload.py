@@ -2312,6 +2312,18 @@ SPECS: list[QuerySpec] = [
         ext34.corpus_pack_sequences_bpe,
         ext34.PACK_SEQUENCES_BPE_ORACLE,
     ),
+    # round-12: the compressed-tier CDC stream (completes the triple:
+    # banded, IVF, IVF-PQ) — first nonempty batch trains the IVF-PQ
+    # layout, later batches ADC-probe then append through the PQ-aware
+    # encoder. Rows-only (seeded k-means + Lloyd PQ training are not
+    # SQL-reproducible — the streaming_ivf_cdc_ann adjudication); value
+    # evidence = branch parity + post-append numpy reconstruction pins
+    # + the oracled PQ spec family.
+    QuerySpec(
+        "streaming_ivf_pq_cdc_ann",
+        wbanded.streaming_ivf_pq_cdc_ann,
+        None,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2600,8 +2612,11 @@ _R12_WINDOW: list[str] = [
     "ref_q2_grouped_count_distinct", "ref_q3_topk_per_group",
 ]
 
-# Specs registered AFTER the r12 window froze (none yet).
-_POST_R12_ADDITIONS: list[str] = []
+# Specs registered AFTER the r12 window filled — benched same-round per
+# the freeze policy; they head the r13 window. (Rows-only, so it enters
+# the r13 window's rows-only allowance like its two siblings did in
+# r12.)
+_POST_R12_ADDITIONS: list[str] = ["streaming_ivf_pq_cdc_ann"]
 
 # Retained for the rotation audit trail (round-7 window).
 _R7_WINDOW: list[str] = [

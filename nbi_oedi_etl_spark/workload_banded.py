@@ -388,3 +388,65 @@ def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.read.parquet(out_root).select(
         "query_id", "vec_id", "cos_sim", "rank"
     )
+
+
+def streaming_ivf_pq_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-tier sibling of ``streaming_ivf_cdc_ann`` (r12 —
+    completes the CDC triple: banded, IVF, IVF-PQ): the first nonempty
+    batch trains the at-rest IVF-PQ layout (coarse codebook + per-sub
+    residual PQ codebooks, both FIXED for the stream's life — the
+    sidecar contract); each later batch is ADC-probed for its top-k
+    among all PRIOR vectors (``probe_ivf_pq_layout`` — the scan reads
+    vec_id + M code ints, never the embedding column) and then appended
+    through ``append_to_ivf_pq_layout``, which PQ-encodes the new rows
+    with the STORED codebooks (the r12 append leg; a plain append would
+    leave code_* null and the vectors would silently vanish from later
+    ADC results — the guard refuses it). Per-batch result deltas,
+    union-on-read, like its two siblings.
+
+    Rows-only: the seeded k-means coarse codebook and the Lloyd-trained
+    PQ codebooks are not reproducible in SQL — the
+    ``streaming_ivf_cdc_ann`` adjudication; the VALUE evidence is the
+    driver-vs-distributed branch parity, the post-append numpy
+    reconstruction pin (tests/test_new_op_properties.py), and the
+    oracled PQ specs (``embedding_pq_codes`` / ``embedding_pq_adc_topk``
+    / ``ivf_pq_portable``). Deterministic end-to-end given the fixed
+    seed, so the driver's rows-only check is stable.
+    """
+    import os
+
+    from nbi_oedi_etl_spark.operators.ivf_layout import (
+        append_to_ivf_pq_layout,
+        probe_ivf_pq_layout,
+        write_ivf_pq_layout,
+    )
+
+    layout = tempfile.mkdtemp(prefix="ivfpq_cdc_layout_") + "/layout"
+    out_root = tempfile.mkdtemp(prefix="ivfpq_cdc_out_")
+    state = {"fitted": False}
+    empty_schema = "query_id long, vec_id long, cos_sim double, rank int"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bs = batch_df.sparkSession
+        vecs = batch_df.select("vec_id", "embedding")
+        if vecs.isEmpty():
+            res = bs.createDataFrame([], empty_schema).repartition(1)
+        elif not state["fitted"]:
+            write_ivf_pq_layout(vecs, layout, n_cells=8, pq_m=4, pq_k=16)
+            state["fitted"] = True
+            res = bs.createDataFrame([], empty_schema).repartition(1)
+        else:
+            res = probe_ivf_pq_layout(
+                bs, layout, vecs, k=3, query_id_col="vec_id"
+            )
+            append_to_ivf_pq_layout(bs, layout, vecs)
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"batch={batch_id}")
+        )
+
+    s = drain_mod3_batches(
+        spark, sf_dir, "embeddings", "vec_id", apply_batch, "ivfpq_cdc_src_"
+    )
+    return s.read.parquet(out_root).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )

@@ -986,6 +986,37 @@ def test_streaming_ivf_cdc_ann_survives_empty_first_batch(spark, tmp_path):
     assert {r["vec_id"] for r in rows} <= b1
 
 
+def test_streaming_ivf_pq_cdc_ann_survives_empty_first_batch(spark, tmp_path):
+    """r12: the PQ sibling inherits the split fitted-flag discipline —
+    an empty FIRST batch must not probe a never-written layout, the
+    IVF-PQ layout fits on the first NONEMPTY batch (PQ codebooks train
+    on that batch even when it is smaller than pq_k), and the final
+    drained union is exactly batch-2 queries ADC-probing batch-1
+    vectors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.workload_banded import streaming_ivf_pq_cdc_ann
+
+    rng = np.random.default_rng(5)
+    ids = [i for i in range(30) if i % 3 != 0]  # batch 0 (i%3==0) empty
+    vecs = rng.normal(size=(len(ids), 64)).astype(np.float64)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = streaming_ivf_pq_cdc_ann(spark, str(tmp_path)).collect()
+    b1 = {i for i in ids if i % 3 == 1}
+    b2 = {i for i in ids if i % 3 == 2}
+    assert rows, "batch-2 ADC probes against batch-1 must produce results"
+    assert {r["query_id"] for r in rows} <= b2
+    assert {r["vec_id"] for r in rows} <= b1
+
+
 def test_epoch_shuffle_matches_python_md5_reference(spark):
     """Black-box pin of the seeded-shuffle semantics: for every epoch,
     the engine's order must equal Python's hashlib ranking of
