@@ -436,7 +436,11 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(times),
                 "estimator": "median3",
-                "spread": detail["spread"],
+                # spread rounded to 1 decimal HERE ONLY (full precision
+                # in BENCH_DETAIL.json): the summary must stay <200
+                # chars for the driver's bounded stdout tail, and the
+                # r12 calib_mt_s addition pushed the worst case to ~196
+                "spread": [round(v, 1) for v in detail["spread"]],
                 # median per-pass host-speed tokens (single-core quiet VM
                 # ≈ 0.27 s/1e7; multi-core = 8×1e7 across processes):
                 # lets a reader tell a regression from a degraded shared
