@@ -164,13 +164,15 @@ def append_to_ivf_layout(
 
 
 def _is_pq_layout(spark: SparkSession, path: str) -> bool:
-    from nbi_oedi_etl_spark.operators.banded_layout import _read_meta
-
-    try:
-        _read_meta(spark, path, fname=_IVF_PQ_META_FILE)
-        return True
-    except Exception:
-        return False
+    # EXISTENCE check through the Hadoop FS API, not a read-and-catch:
+    # swallowing a transient read error on a real PQ layout as "not PQ"
+    # would let the plain append through — the exact silent-null-codes
+    # bug this guard exists to stop. fs.exists only errors when the
+    # filesystem itself is unreachable, and then the append fails loudly.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_IVF_PQ_META_FILE}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def append_to_ivf_pq_layout(
