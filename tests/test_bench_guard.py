@@ -127,9 +127,17 @@ def test_no_per_query_regression_vs_reference():
         if cur is None:  # renamed/retired since r11 — rotation handles it
             continue
         budget = max(3.0 * ref_sec, 5.0) * host_ratio
-        if cur > budget:
+        # min-sample fallback (r12): a co-tenant steal burst can land on
+        # 2 of a query's 3 interleaved samples and inflate the MEDIAN
+        # 10-30x (observed: minhash_lsh_portable samples [0.30, 4.46,
+        # 7.21] in one degraded run); a genuine code regression lifts
+        # ALL samples including the min. Fail only when the min sample
+        # is over budget too.
+        cur_min = detail.get("queries_min", {}).get(name, cur)
+        if cur > budget and cur_min > budget:
             regressions.append(
-                f"{name}: {cur:.2f}s vs r11 {ref_sec:.2f}s "
-                f"(>{budget:.1f}s at host_ratio {host_ratio:.2f})"
+                f"{name}: {cur:.2f}s (min {cur_min:.2f}s) vs r11 "
+                f"{ref_sec:.2f}s (>{budget:.1f}s at host_ratio "
+                f"{host_ratio:.2f})"
             )
     assert not regressions, "per-query bench regressions vs round-11:\n" + "\n".join(regressions)
