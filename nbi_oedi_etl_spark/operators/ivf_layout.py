@@ -198,12 +198,22 @@ def append_to_ivf_pq_layout(
         raise ValueError(
             f"inconsistent sidecars at {path}: pq_m*dsub = {pq_m * dsub} != dim {dim}"
         )
-    first = new_vectors.select(
-        F.size(F.col(vec_col)).alias("d")
-    ).limit(1).collect()
-    if first and first[0]["d"] != dim:
+    # Validate EVERY row, not just the first (ADVICE r12): a mixed-dim
+    # batch whose head row happens to match would otherwise pass the
+    # guard, and the remaining rows encode silently-garbage codes
+    # (zip_with null-pads the residual and array_min skips nulls, so a
+    # wrong-but-non-null code is still written). limit(1) short-circuits
+    # the scan on the first offender; the clean-batch cost is one
+    # column-pruned pass over CDC-batch-sized input.
+    bad = (
+        new_vectors.select(F.size(F.col(vec_col)).alias("d"))
+        .where(F.col("d") != dim)
+        .limit(1)
+        .collect()
+    )
+    if bad:
         raise ValueError(
-            f"vector dim {first[0]['d']} does not match layout dim {dim}"
+            f"vector dim {bad[0]['d']} does not match layout dim {dim}"
         )
     assigned = _assign_cells(new_vectors, cent, id_col, vec_col)
     n_cells_eff = cent.shape[1]

@@ -2597,7 +2597,7 @@ _R12_WINDOW: list[str] = [
     "conversion_latency_histogram", "copurchase_bfs_hops",
     "cumulative_unique_users", "customer_k_anonymity_audit",
     "customer_order_counts",
-    # -- next 27 alphabetical r6-green refreshers --
+    # -- next 26 alphabetical r6-green refreshers --
     "customer_rfm_segmentation", "distinct_user_event_pairs",
     "doc_fingerprints", "doc_lang_guess", "doc_quality",
     "doc_token_stats", "event_value_imputation", "event_value_twap_daily",

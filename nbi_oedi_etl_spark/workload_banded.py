@@ -34,34 +34,59 @@ from nbi_oedi_etl_spark.operators.banded_layout import (
 _BANDS = 4
 
 
-def drain_mod3_batches(spark, sf_dir: str, table: str, id_col: str, apply_batch, prefix: str):
-    """Shared 3-micro-batch CDC drain harness (r11 self-review: four
-    specs had copy-pasted this scaffold). Stages ``table`` into 3
-    deterministic parts (``id_col % 3``, mtimes ordered so file-age
-    ordering is stable), drains them one file per trigger through
-    ``foreachBatch(apply_batch)`` under availableNow, and returns the
-    scoped streaming session so the caller can read its own output
-    roots. State/versioning stays in the caller's closure — only the
-    staging + drain mechanics live here."""
+#: staged mod-3 splits, keyed by (sf_dir, table, id_col). The split is a
+#: pure driver-side pyarrow derivation of an IMMUTABLE testdata file —
+#: no Spark session in the key (unlike ``ext._memo_get``'s DataFrame
+#: memos, there is no context-bound state to go stale) — so one bench /
+#: driver process stages each source once instead of per stream spec
+#: (r12 bench: ``documents`` was re-staged by 3 streams and
+#: ``embeddings`` by 2 on every pass; VERDICT r12 task 2 lever).
+#: Consumers only ever READ the staged files; checkpoint dirs stay
+#: per-call, so each drain still replays all 3 files.
+_STAGED_MOD3_CACHE: dict = {}
+
+
+def _stage_mod3_split(sf_dir: str, table: str, id_col: str, prefix: str) -> str:
     import os
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from nbi_oedi_etl_spark.streaming import ingest
+    key = (sf_dir, table, id_col)
+    src = _STAGED_MOD3_CACHE.get(key)
+    # Re-stage if a cached tempdir was swept by the OS mid-process.
+    if src is not None and os.path.isfile(os.path.join(src, "part2.parquet")):
+        return src
 
     def _mod3(col):
         # pyarrow has no mod kernel in this build; ids are non-negative
         # int64, so truncating integer division suffices
         return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
 
-    s = ingest.scoped_streaming_session(spark)
     src = tempfile.mkdtemp(prefix=prefix)
     t = pq.read_table(f"{sf_dir}/{table}.parquet")
     for k in range(3):
         path = os.path.join(src, f"part{k}.parquet")
         pq.write_table(t.filter(pc.equal(_mod3(t.column(id_col)), k)), path)
         os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
+    _STAGED_MOD3_CACHE[key] = src
+    return src
+
+
+def drain_mod3_batches(spark, sf_dir: str, table: str, id_col: str, apply_batch, prefix: str):
+    """Shared 3-micro-batch CDC drain harness (r11 self-review: four
+    specs had copy-pasted this scaffold). Stages ``table`` into 3
+    deterministic parts (``id_col % 3``, mtimes ordered so file-age
+    ordering is stable — memoized per (sf_dir, table, id_col) since the
+    split is immutable), drains them one file per trigger through
+    ``foreachBatch(apply_batch)`` under availableNow, and returns the
+    scoped streaming session so the caller can read its own output
+    roots. State/versioning stays in the caller's closure — only the
+    staging + drain mechanics live here."""
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    s = ingest.scoped_streaming_session(spark)
+    src = _stage_mod3_split(sf_dir, table, id_col, prefix)
 
     raw_schema = s.read.parquet(f"{sf_dir}/{table}.parquet").schema
     stream = (

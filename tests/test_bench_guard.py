@@ -102,11 +102,14 @@ def test_no_per_query_regression_vs_reference():
     # documented quiet-state values for references recorded before the
     # fields existed (single-core 0.27; multi-core 0.40 measured quiet
     # r12).
-    ref_calib = float(ref_doc.get("calib_s", 0.27))
-    cur_calib = float(detail.get("calib_s", ref_calib))
+    # `or`-defaults treat a JSON null (or 0) token the same as an absent
+    # one — a pre-r12 detail/reference file can carry calib_mt_s: null,
+    # and float(None) would TypeError (ADVICE r12).
+    ref_calib = float(ref_doc.get("calib_s") or 0.27)
+    cur_calib = float(detail.get("calib_s") or ref_calib)
     ratio_1c = cur_calib / ref_calib
-    ref_mt = float(ref_doc.get("calib_mt_s", 0.40))
-    cur_mt = float(detail.get("calib_mt_s", -1.0))
+    ref_mt = float(ref_doc.get("calib_mt_s") or 0.40)
+    cur_mt = float(detail.get("calib_mt_s") or -1.0)
     ratio_mt = (cur_mt / ref_mt) if cur_mt > 0 else ratio_1c
     raw_ratio = max(ratio_1c, ratio_mt)
     # ADVICE r11: scaling budgets all the way to 8× let a badly degraded

@@ -936,6 +936,18 @@ def test_append_guards_on_pq_layout(spark, tmp_path):
     with pytest.raises(ValueError, match="dim"):
         append_to_ivf_pq_layout(spark, dest, bad)
 
+    # ADVICE r12: a MIXED batch whose head row matches the layout dim
+    # must also be rejected — the former limit(1) guard waved it through
+    # and the mismatched tail rows encoded silently-garbage codes.
+    mixed = new_df.select(
+        "vec_id",
+        F.when(F.col("vec_id") == n, F.col("embedding"))
+        .otherwise(F.slice("embedding", 1, 8))
+        .alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_to_ivf_pq_layout(spark, dest, mixed)
+
     append_to_ivf_pq_layout(spark, dest, new_df)
     # probe FROM the appended vectors: with n_probe = n_cells every
     # stored row is a candidate, so each appended id must appear
