@@ -2324,6 +2324,15 @@ SPECS: list[QuerySpec] = [
         wbanded.streaming_ivf_pq_cdc_ann,
         None,
     ),
+    # round-13 (VERDICT r12 optional 7): recall@k vs probe width for the
+    # IVFADC composition — the compressed tier's quality/cost trade as
+    # an oracled, per-round-measurable spec (one row per n_probe level,
+    # mean recall against exact brute-force + mean ADC candidates).
+    QuerySpec(
+        "ivf_pq_recall_curve",
+        ext36.ivf_pq_recall_curve,
+        ext36.IVF_PQ_RECALL_CURVE_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2575,7 +2584,67 @@ _POST_R11_ADDITIONS: list[str] = [
 # KEEPS its name — FORCAST is the formula's PUBLISHED name (an acronym of
 # FORd, CAylor, STicht 1973; see workload_ext26.py:90), not a typo, so
 # there is nothing to rename.
+# ---- round-13 window ---------------------------------------------------
+# Debt first (tools/rotation_audit.py v4 — the upgraded digest walk that
+# closes the function-local workload-import gap, see _ALGO_VERSION):
+# the r13-registered ivf_pq_recall_curve (never-verified),
+# streaming_banded_cdc_dedup + streaming_pack_sequences (drain-harness
+# staging memo, r13), and near_dup_keep_best (changed-since-r7 — only
+# v4 sees its edge). Then the THREE rows-only CDC streams: the r12
+# verdict requires streaming_ivf_pq_cdc_ann's first-ever driver row at
+# the head of the rows-only allowance, and its two siblings ride the
+# same memoized drain harness so their row checks re-prove it. Then the
+# 9 remaining r6-greens the _R12_WINDOW comment promised (incl.
+# weighted_median_price — the r12 bench's one `weak`, so its
+# CORRECTNESS row is free while the quiet re-measure adjudicates the
+# min-ratio). Then the stalest banked tranche: all 27 remaining
+# r7-greens and the first 7 alphabetical r8-greens.
+# 4 + 3 + 9 + 27 + 7 = 50.
 _ROWS_ONLY_WINDOW_OK: list[str] = [
+    "streaming_ivf_pq_cdc_ann",
+    "streaming_banded_cdc_dedup_production",
+    "streaming_ivf_cdc_ann",
+]
+_R13_WINDOW: list[str] = [
+    # -- 4 oracled debt (1 never-verified + 3 changed-since-green) --
+    "ivf_pq_recall_curve", "streaming_banded_cdc_dedup",
+    "streaming_pack_sequences", "near_dup_keep_best",
+    # -- 3 rows-only CDC streams (ivf_pq: FIRST driver row) --
+    "streaming_ivf_pq_cdc_ann", "streaming_banded_cdc_dedup_production",
+    "streaming_ivf_cdc_ann",
+    # -- 9 remaining r6-green refreshers (the r12 displacement debt) --
+    "rollup_revenue", "scd2_user_state_history", "segment_bitmap_overlap",
+    "semi_join_customers", "shard_slot_apportionment", "topk_orders",
+    "upgrade_code_format", "user_state_snapshot_diff",
+    "weighted_median_price",
+    # -- all 27 remaining r7-green refreshers --
+    "asof_last_purchase", "brand_revenue", "copurchase_kcore",
+    "cube_order_stats", "customers_without_orders",
+    "disjunctive_filter_revenue", "doc_base64_codec",
+    "doc_containment_pairs", "doc_lexical_diversity",
+    "doc_unicode_normalize", "embedding_covariance",
+    "event_value_anomalies", "grouping_sets_revenue", "kmv_source_overlap",
+    "large_order_customers", "late_shipment_priority_counts",
+    "lineitem_dispersion_stats", "minhash_lsh_portable",
+    "nation_pair_volume", "near_dup_clusters_recursive_sql",
+    "order_date_format", "orders_above_customer_avg",
+    "orders_column_profile", "pandas_demean_values",
+    "pandas_normalize_text", "resample_incremental_merge",
+    "supplier_busy_intervals",
+    # -- first 7 alphabetical r8-green refreshers --
+    "cascade_daily_rollup", "char_stats_udtf", "cross_join_region_matrix",
+    "doc_chunking", "doc_gopher_filter", "doc_pii_scrub",
+    "doc_regex_token_estimate",
+]
+
+# Specs registered after the r13 window fills must land here and be
+# benched in the same round (the freeze policy).
+_POST_R13_ADDITIONS: list[str] = []
+
+# Retained for the rotation audit trail (round-12 window). The two
+# rows-only names that sat in the r12 window under the then-current
+# allowance:
+_R12_ROWS_ONLY_WINDOW_OK: list[str] = [
     "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
 ]
@@ -2725,7 +2794,7 @@ _R5_QUEUE: list[str] = [
 
 def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in specs}
-    front = [by_name[n] for n in _R12_WINDOW if n in by_name]
+    front = [by_name[n] for n in _R13_WINDOW if n in by_name]
     front_set = {s.name for s in front}
     rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
     rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]

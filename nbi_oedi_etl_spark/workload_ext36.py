@@ -829,3 +829,325 @@ SELECT query_id, vec_id AS cand_id, CAST(rank AS BIGINT) AS rank,
        round(adc, 6) AS adc_distance
 FROM ranked WHERE rank <= {IVFPQ_TOPK}
 """
+
+
+# ------------------------------------------ IVF-PQ recall/cost curve
+
+#: n_probe sweep points for the recall curve. The top level equals
+#: ``IVFPQ_COARSE_K`` (= probe every cell), so the curve's last point is
+#: the flat-PQ ceiling — recall below 1.0 there is pure quantization
+#: loss, and the gap between levels is the coarse quantizer's miss rate.
+IVFPQ_NPROBE_LEVELS = [1, 2, 4, 8]
+
+
+def ivf_pq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@``IVFPQ_TOPK`` versus probe width for the full IVFADC
+    composition — the quality/cost trade a 100 TB ANN operator tunes
+    FIRST (VERDICT r12 optional 7): one row per ``n_probe`` ∈
+    ``IVFPQ_NPROBE_LEVELS`` with the mean recall against the exact
+    brute-force L2 top-k and the mean number of ADC candidates scored
+    (the probe's cost axis: candidates ≈ rows read from the probed-cell
+    union of the at-rest layout).
+
+    The index side is ``ivf_pq_portable``'s exact lineage (deterministic
+    portable coarse quantizer, residual-PQ codebook, dense codes); the
+    probe side generalizes it from nprobe=1 own-cell to the ranked
+    multi-cell probe: per query, cells ranked by centroid distance, and
+    for every probed cell the query residual is taken against THAT
+    cell's centroid (the Jégou IVFADC probe — residuals are
+    per-probed-cell, not per-query).
+
+    Plan/scale: codebooks + the (query × probed-cell) residual
+    subvector table are broadcast (bounded: queries × n_probe_max × M
+    rows); the candidate join shuffles on the cell id exactly like the
+    layout probe; the level explode multiplies candidates by
+    |levels| ≤ 4 BEFORE the partial-aggregating groupBy, never the
+    corpus; ground truth is the bounded broadcast-queries brute-force
+    shape shared with ``pq_recall_audit``. Recall/cost aggregate to
+    |levels| rows via integer counts, so the floats hash cross-engine.
+    """
+    from nbi_oedi_etl_spark.operators import similarity
+    from nbi_oedi_etl_spark.operators.similarity import (
+        l2_distance,
+        pq_train_codebook,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < IVFPQ_COARSE_K).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    assign = similarity.kmeans_assignment_step(emb, cents).select(
+        "vec_id", F.col("centroid_id").alias("cell")
+    )
+    cent_arr = cents.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("embedding").cast("array<double>").alias("cent_emb"),
+    )
+    e = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .join(assign, "vec_id")
+        .join(F.broadcast(cent_arr), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("emb", "cent_emb", lambda x, y: x - y).alias("res"),
+        )
+    )
+    rsubs = e.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" s -> slice(res, s * {PQ_DSUB} + 1, {PQ_DSUB}))"
+            )
+        ).alias("sub", "semb"),
+    )
+    cb1 = pq_train_codebook(
+        rsubs.select("vec_id", "sub", "semb"),
+        PQ_K,
+        init_predicate=F.col("vec_id") < PQ_K,
+    )
+    codes = (
+        _pq_assign(rsubs.select("vec_id", "sub", "semb"), cb1)
+        .select("vec_id", "sub", "code")
+        .join(assign, "vec_id")
+    )
+
+    # ranked multi-cell probe: per query, cells by centroid distance;
+    # query residual per PROBED cell
+    qv = emb.where(F.col("vec_id") < IVFPQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.asc("pd"), F.asc("cell"))
+    probes = (
+        qv.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "query_id",
+            "q_emb",
+            "cell",
+            "cent_emb",
+            l2_distance(F.col("q_emb"), F.col("cent_emb")).alias("pd"),
+        )
+        .withColumn("probe_rank", F.row_number().over(pw))
+        .where(F.col("probe_rank") <= max(IVFPQ_NPROBE_LEVELS))
+        .select(
+            "query_id",
+            "cell",
+            "probe_rank",
+            F.zip_with("q_emb", "cent_emb", lambda x, y: x - y).alias("qres"),
+        )
+    )
+    qsubs = probes.select(
+        "query_id",
+        "cell",
+        "probe_rank",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" s -> slice(qres, s * {PQ_DSUB} + 1, {PQ_DSUB}))"
+            )
+        ).alias("sub", "q_semb"),
+    )
+    d = (
+        codes.join(F.broadcast(cb1), ["sub", "code"])
+        .join(F.broadcast(qsubs), ["cell", "sub"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "sub",
+            "probe_rank",
+            (
+                l2_distance(F.col("q_semb"), F.col("c_emb"))
+                * l2_distance(F.col("q_semb"), F.col("c_emb"))
+            ).alias("d2"),
+        )
+    )
+    dl = d.withColumn(
+        "n_probe",
+        F.explode(F.array(*[F.lit(v) for v in IVFPQ_NPROBE_LEVELS])),
+    ).where(F.col("probe_rank") <= F.col("n_probe"))
+    sub_d2 = [
+        F.sum(F.when(F.col("sub") == s, F.col("d2"))).alias(f"d2_{s}")
+        for s in range(PQ_M)
+    ]
+    adc = dl.groupBy("n_probe", "query_id", "vec_id").agg(*sub_d2)
+    total = F.col("d2_0")
+    for s in range(1, PQ_M):
+        total = total + F.col(f"d2_{s}")
+    adc = adc.select("n_probe", "query_id", "vec_id", F.sqrt(total).alias("adc"))
+    aw = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.asc("adc"), F.asc("vec_id")
+    )
+    approx = (
+        adc.withColumn("rank", F.row_number().over(aw))
+        .where(F.col("rank") <= IVFPQ_TOPK)
+        .select("n_probe", "query_id", F.col("vec_id").alias("cand_id"))
+    )
+
+    # exact ground truth (rounded-then-ranked, the pq_recall_audit rule)
+    bf = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(l2_distance(F.col("q_emb"), F.col("emb")), 6).alias("d"),
+        )
+    )
+    bw = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    exact = (
+        bf.withColumn("rank", F.row_number().over(bw))
+        .where(F.col("rank") <= IVFPQ_TOPK)
+        .select("query_id", "cand_id", F.lit(1).alias("_hit"))
+    )
+
+    hits = (
+        approx.join(exact, ["query_id", "cand_id"], "left")
+        .groupBy("n_probe")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("hits"))
+    )
+    cands = adc.groupBy("n_probe").agg(F.count(F.lit(1)).alias("n_cand"))
+    qn = qv.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        hits.join(cands, "n_probe")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            "n_queries",
+            F.round(
+                F.col("hits") * F.lit(1.0)
+                / (F.col("n_queries") * F.lit(IVFPQ_TOPK)),
+                6,
+            ).alias(f"recall_at_{IVFPQ_TOPK}"),
+            F.round(
+                F.col("n_cand") * F.lit(1.0) / F.col("n_queries"), 6
+            ).alias("avg_candidates"),
+        )
+    )
+
+
+IVF_PQ_RECALL_CURVE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < {IVFPQ_COARSE_K}
+), dc AS (
+  SELECT e.vec_id, c.centroid_id, list_distance(e.emb, c.c_emb) AS dist
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+    FROM dc
+  ) WHERE rn = 1
+), rsubs AS (
+  SELECT b.vec_id, b.cell, s AS sub,
+         list_transform(range(1, {PQ_DSUB} + 1),
+                        i -> b.emb[s * {PQ_DSUB} + i] - b.c_emb[s * {PQ_DSUB} + i])
+           AS semb
+  FROM (SELECT e.vec_id, a.cell, e.emb, c.c_emb
+        FROM e JOIN assign a USING (vec_id)
+        JOIN c ON c.centroid_id = a.cell) b,
+       unnest(range({PQ_M})) t(s)
+), cb0 AS (
+  SELECT sub, vec_id AS code, semb AS c_emb FROM rsubs WHERE vec_id < {PQ_K}
+), a0 AS (
+  SELECT vec_id, sub, semb, code FROM (
+    SELECT r.vec_id, r.sub, r.semb, cb.code,
+           row_number() OVER (PARTITION BY r.vec_id, r.sub
+                              ORDER BY list_distance(r.semb, cb.c_emb),
+                                       cb.code) AS rn
+    FROM rsubs r JOIN cb0 cb ON cb.sub = r.sub
+  ) WHERE rn = 1
+), cb1 AS (
+  SELECT sub, code, list(m ORDER BY d) AS c_emb FROM (
+    SELECT sub, code, d,
+           CAST(sum(CAST(semb[d] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM (SELECT sub, code, semb,
+                 unnest(range(1, len(semb) + 1)) AS d FROM a0)
+    GROUP BY sub, code, d
+  ) GROUP BY sub, code
+), codes AS (
+  SELECT vec_id, sub, code, cell FROM (
+    SELECT r.vec_id, r.sub, r.cell, cb.code,
+           row_number() OVER (PARTITION BY r.vec_id, r.sub
+                              ORDER BY list_distance(r.semb, cb.c_emb),
+                                       cb.code) AS rn
+    FROM rsubs r JOIN cb1 cb ON cb.sub = r.sub
+  ) WHERE rn = 1
+), qv AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {IVFPQ_N_QUERIES}
+), probes AS (
+  SELECT query_id, cell, probe_rank, q_emb, c_emb FROM (
+    SELECT qv.query_id, c.centroid_id AS cell, c.c_emb, qv.q_emb,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY list_distance(qv.q_emb, c.c_emb),
+                                       c.centroid_id) AS probe_rank
+    FROM qv CROSS JOIN c
+  ) WHERE probe_rank <= {max(IVFPQ_NPROBE_LEVELS)}
+), qsubs AS (
+  SELECT p.query_id, p.cell, p.probe_rank, s AS sub,
+         list_transform(range(1, {PQ_DSUB} + 1),
+                        i -> p.q_emb[s * {PQ_DSUB} + i] - p.c_emb[s * {PQ_DSUB} + i])
+           AS q_semb
+  FROM probes p, unnest(range({PQ_M})) t(s)
+), dd AS (
+  SELECT q.query_id, a.vec_id, a.sub, q.probe_rank,
+         list_distance(q.q_semb, cb.c_emb)
+           * list_distance(q.q_semb, cb.c_emb) AS d2
+  FROM codes a
+  JOIN cb1 cb ON cb.sub = a.sub AND cb.code = a.code
+  JOIN qsubs q ON q.sub = a.sub AND q.cell = a.cell
+  WHERE a.vec_id <> q.query_id
+), lv AS (
+  SELECT unnest([{", ".join(str(v) for v in IVFPQ_NPROBE_LEVELS)}]) AS n_probe
+), dl AS (
+  SELECT lv.n_probe, dd.* FROM dd JOIN lv ON dd.probe_rank <= lv.n_probe
+), adc AS (
+  SELECT n_probe, query_id, vec_id,
+         sqrt(sum(CASE WHEN sub = 0 THEN d2 END)
+              + sum(CASE WHEN sub = 1 THEN d2 END)
+              + sum(CASE WHEN sub = 2 THEN d2 END)
+              + sum(CASE WHEN sub = 3 THEN d2 END)) AS adc
+  FROM dl GROUP BY n_probe, query_id, vec_id
+), approx AS (
+  SELECT n_probe, query_id, vec_id AS cand_id FROM (
+    SELECT n_probe, query_id, vec_id,
+           row_number() OVER (PARTITION BY n_probe, query_id
+                              ORDER BY adc, vec_id) AS rank
+    FROM adc
+  ) WHERE rank <= {IVFPQ_TOPK}
+), bf AS (
+  SELECT qv.query_id, e.vec_id AS cand_id,
+         round(list_distance(qv.q_emb, e.emb), 6) AS d
+  FROM e CROSS JOIN qv WHERE e.vec_id <> qv.query_id
+), exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, cand_id) AS rank
+    FROM bf
+  ) WHERE rank <= {IVFPQ_TOPK}
+), hits AS (
+  SELECT a.n_probe, count(x.cand_id) AS hits
+  FROM approx a
+  LEFT JOIN exact x ON x.query_id = a.query_id AND x.cand_id = a.cand_id
+  GROUP BY a.n_probe
+), cands AS (
+  SELECT n_probe, count(*) AS n_cand FROM adc GROUP BY n_probe
+), qn AS (
+  SELECT count(*) AS n_queries FROM qv
+)
+SELECT CAST(h.n_probe AS INT) AS n_probe,
+       qn.n_queries,
+       round(h.hits / (qn.n_queries * {IVFPQ_TOPK}), 6) AS recall_at_{IVFPQ_TOPK},
+       round(cd.n_cand / qn.n_queries, 6) AS avg_candidates
+FROM hits h JOIN cands cd USING (n_probe) CROSS JOIN qn
+"""

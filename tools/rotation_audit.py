@@ -64,7 +64,13 @@ _DIGEST_DIR = _REPO / "tools" / "spec_digests"
 # (the full pytest suite warmed the minhash signature memo and three
 # dedup specs spuriously flagged). Mutable lookup tables keep coverage
 # through their assignment SOURCE in the dep-file index.
-_ALGO_VERSION = 3
+_ALGO_VERSION = 4
+# v4: function-local `from workload_x import fn` edges now expand the
+# NAMED member function-granularly instead of being skipped by the
+# blanket "workload" module guard (which silently dropped the
+# ext34→workload_banded.drain_mod3_batches edge: streaming_pack_sequences
+# stayed unflagged when the shared drain harness changed, round 13). A
+# named member that is itself a workload MODULE is still skipped.
 
 
 # ---------------------------------------------------------------- git side
@@ -232,9 +238,12 @@ def _expand(
                 mod = __import__(modname, fromlist=["_"])
             except ImportError:
                 continue
-            if "workload" in modname:
-                continue  # same guard as the module walk above
             if member is None:
+                # bare `import pkg.workload_x`: module-granular expansion
+                # would flag every spec in it on any edit (same guard as
+                # the module walk above)
+                if "workload" in modname:
+                    continue
                 _expand(mod, files, fns, classes, seen)
                 continue
             f = getattr(mod, "__file__", None)
@@ -252,7 +261,19 @@ def _expand(
                     target = __import__(f"{modname}.{member}", fromlist=["_"])
                 except ImportError:
                     target = None
+            if isinstance(target, types.ModuleType) and "workload" in getattr(
+                target, "__name__", ""
+            ):
+                # `from pkg import workload_x`: the named member IS a
+                # workload module — same module-granularity guard
+                continue
             if isinstance(target, (types.ModuleType, types.FunctionType, type)):
+                # named FUNCTIONS/classes from workload modules expand
+                # function-granularly (v4: the old blanket `"workload" in
+                # modname` skip silently dropped real edges — e.g.
+                # ext34's `from workload_banded import drain_mod3_batches`
+                # left streaming_pack_sequences unflagged when the shared
+                # drain harness changed)
                 _expand(target, files, fns, classes, seen)
     elif isinstance(obj, type):
         if not getattr(obj, "__module__", "").startswith(_PKG):
