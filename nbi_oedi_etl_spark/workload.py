@@ -2598,17 +2598,21 @@ _POST_R11_ADDITIONS: list[str] = [
 # weighted_median_price — the r12 bench's one `weak`, so its
 # CORRECTNESS row is free while the quiet re-measure adjudicates the
 # min-ratio). Then the stalest banked tranche: all 27 remaining
-# r7-greens and the first 7 alphabetical r8-greens.
-# 4 + 3 + 9 + 27 + 7 = 50.
+# r7-greens and the first 6 alphabetical r8-greens. One
+# changed-since-green joins mid-round: ivf_pq_portable's index side
+# moved into the shared _ivfpq_index_cached memo (one codebook
+# training per session, shared with the new recall curve), displacing
+# doc_regex_token_estimate (queues for r14).
+# 5 + 3 + 9 + 27 + 6 = 50.
 _ROWS_ONLY_WINDOW_OK: list[str] = [
     "streaming_ivf_pq_cdc_ann",
     "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
 ]
 _R13_WINDOW: list[str] = [
-    # -- 4 oracled debt (1 never-verified + 3 changed-since-green) --
+    # -- 5 oracled debt (1 never-verified + 4 changed-since-green) --
     "ivf_pq_recall_curve", "streaming_banded_cdc_dedup",
-    "streaming_pack_sequences", "near_dup_keep_best",
+    "streaming_pack_sequences", "near_dup_keep_best", "ivf_pq_portable",
     # -- 3 rows-only CDC streams (ivf_pq: FIRST driver row) --
     "streaming_ivf_pq_cdc_ann", "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
@@ -2631,10 +2635,9 @@ _R13_WINDOW: list[str] = [
     "orders_column_profile", "pandas_demean_values",
     "pandas_normalize_text", "resample_incremental_merge",
     "supplier_busy_intervals",
-    # -- first 7 alphabetical r8-green refreshers --
+    # -- first 6 alphabetical r8-green refreshers --
     "cascade_daily_rollup", "char_stats_udtf", "cross_join_region_matrix",
     "doc_chunking", "doc_gopher_filter", "doc_pii_scrub",
-    "doc_regex_token_estimate",
 ]
 
 # Specs registered after the r13 window fills must land here and be
