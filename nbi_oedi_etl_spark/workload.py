@@ -2333,6 +2333,17 @@ SPECS: list[QuerySpec] = [
         ext36.ivf_pq_recall_curve,
         ext36.IVF_PQ_RECALL_CURVE_ORACLE,
     ),
+    # round-13: the dedup family's quality/cost curve — candidate
+    # recall/precision/cost vs banding configuration (rows-per-band
+    # r ∈ {1,2,4,8} over the shared 8-slot portable signature) against
+    # the EXACT Jaccard ≥ τ truth from the prefix-filter join. Completes
+    # the per-tier measurement trio: IVF (ann_recall_portable), PQ
+    # (pq_recall_audit + ivf_pq_recall_curve), LSH (this).
+    QuerySpec(
+        "lsh_banding_recall_curve",
+        ext36.lsh_banding_recall_curve,
+        ext36.LSH_BANDING_CURVE_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2598,20 +2609,23 @@ _POST_R11_ADDITIONS: list[str] = [
 # weighted_median_price — the r12 bench's one `weak`, so its
 # CORRECTNESS row is free while the quiet re-measure adjudicates the
 # min-ratio). Then the stalest banked tranche: all 27 remaining
-# r7-greens and the first 6 alphabetical r8-greens. One
-# changed-since-green joins mid-round: ivf_pq_portable's index side
-# moved into the shared _ivfpq_index_cached memo (one codebook
-# training per session, shared with the new recall curve), displacing
-# doc_regex_token_estimate (queues for r14).
-# 5 + 3 + 9 + 27 + 6 = 50.
+# r7-greens and the first 5 alphabetical r8-greens. Two displacements
+# mid-round: ivf_pq_portable's index side moved into the shared
+# _ivfpq_index_cached memo (one codebook training per session, shared
+# with the new recall curve), displacing doc_regex_token_estimate; and
+# the r13-registered lsh_banding_recall_curve (the dedup family's
+# quality/cost curve) displaces doc_pii_scrub. Both displaced
+# refreshers queue for r14.
+# 6 + 3 + 9 + 27 + 5 = 50.
 _ROWS_ONLY_WINDOW_OK: list[str] = [
     "streaming_ivf_pq_cdc_ann",
     "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
 ]
 _R13_WINDOW: list[str] = [
-    # -- 5 oracled debt (1 never-verified + 4 changed-since-green) --
-    "ivf_pq_recall_curve", "streaming_banded_cdc_dedup",
+    # -- 6 oracled debt (2 never-verified + 4 changed-since-green) --
+    "ivf_pq_recall_curve", "lsh_banding_recall_curve",
+    "streaming_banded_cdc_dedup",
     "streaming_pack_sequences", "near_dup_keep_best", "ivf_pq_portable",
     # -- 3 rows-only CDC streams (ivf_pq: FIRST driver row) --
     "streaming_ivf_pq_cdc_ann", "streaming_banded_cdc_dedup_production",
@@ -2635,9 +2649,9 @@ _R13_WINDOW: list[str] = [
     "orders_column_profile", "pandas_demean_values",
     "pandas_normalize_text", "resample_incremental_merge",
     "supplier_busy_intervals",
-    # -- first 6 alphabetical r8-green refreshers --
+    # -- first 5 alphabetical r8-green refreshers --
     "cascade_daily_rollup", "char_stats_udtf", "cross_join_region_matrix",
-    "doc_chunking", "doc_gopher_filter", "doc_pii_scrub",
+    "doc_chunking", "doc_gopher_filter",
 ]
 
 # Specs registered after the r13 window fills must land here and be

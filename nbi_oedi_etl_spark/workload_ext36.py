@@ -1130,3 +1130,160 @@ SELECT CAST(h.n_probe AS INT) AS n_probe,
        round(cd.n_cand / qn.n_queries, 6) AS avg_candidates
 FROM hits h JOIN cands cd USING (n_probe) CROSS JOIN qn
 """
+
+
+# --------------------------------------- LSH banding recall/cost curve
+
+#: rows-per-band sweep for the banding curve over the 8-slot portable
+#: signature: r ∈ {1,2,4,8} ⇒ b = 8/r bands. The S-curve
+#: P(candidate | J=s) = 1 − (1 − s^r)^b is THE dedup tuning knob at
+#: 100 TB; this spec is its measured counterpart on the corpus itself.
+LSH_CURVE_ROWS_PER_BAND = [1, 2, 4, 8]
+
+#: ground-truth similarity threshold — matches workload_ext22._TAU so
+#: the truth side IS the oracled exact prefix-filter join.
+LSH_CURVE_TAU = 0.5
+
+
+def lsh_banding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall / precision / cost versus banding configuration
+    for MinHash-LSH — the dedup family's quality/cost curve, completing
+    the per-tier measurement trio (`ann_recall_portable` for IVF,
+    `pq_recall_audit` + `ivf_pq_recall_curve` for PQ, this for LSH).
+
+    For each rows-per-band r ∈ ``LSH_CURVE_ROWS_PER_BAND`` (b = 8/r
+    bands over the shared 8-slot portable signature), candidates are
+    pairs agreeing on ALL r slots of at least one band; ground truth is
+    the EXACT 3-gram-shingle Jaccard ≥ τ pair set from the prefix-filter
+    join (`doc_jaccard_prefix_join` — guaranteed-complete, never
+    all-pairs). One row per config: candidate count (the verification
+    cost a banding choice buys), recall and precision against truth.
+    The theory curve P = 1 − (1−s^r)^b says small r over-generates and
+    large r misses; this measures where THIS corpus sits.
+
+    Plan/scale: signatures are the memoized
+    `portable_signatures_cached` table; band keys are slot-tuple
+    strings sliced from one array column (15 band rows per doc across
+    all 4 configs); the candidate join is the standard banded
+    self-equi-join on (r, band_id, band_key) — never all-pairs; truth
+    reuses the prefix-filter plan; recall/precision aggregate through
+    integer hit/candidate counts, so the floats hash cross-engine.
+
+    Exactness: band-key equality ⟺ slot-tuple equality (plain decimal
+    string concat, no hashing on the compare path); counts are BIGINT;
+    the two final divisions are identical single double-divisions
+    rounded to 6 (denominators guarded with greatest(·,1) identically
+    in both engines)."""
+    from nbi_oedi_etl_spark.workload_ext import portable_signatures_cached
+    from nbi_oedi_etl_spark.workload_ext22 import doc_jaccard_prefix_join
+
+    sig = portable_signatures_cached(spark, sf_dir)
+    arr = F.array(*[F.col(f"m{i}").cast("string") for i in range(8)])
+    band_rows = []
+    for r in LSH_CURVE_ROWS_PER_BAND:
+        for j in range(8 // r):
+            band_rows.append(
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.lit(j).alias("band_id"),
+                    F.concat_ws("|", F.slice(arr, j * r + 1, r)).alias("bk"),
+                )
+            )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("b")
+    ).select("doc_id", "b.r", "b.band_id", "b.bk")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.r").alias("r"), F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .distinct()
+    )
+    truth = doc_jaccard_prefix_join(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v"), F.lit(1).alias("_hit")
+    )
+    per_r = (
+        cand.join(truth, ["u", "v"], "left")
+        .groupBy("r")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("hits"),
+        )
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        per_r.crossJoin(F.broadcast(nt))
+        .select(
+            F.col("r").cast("int").alias("rows_per_band"),
+            (F.lit(8) / F.col("r")).cast("int").alias("n_bands"),
+            "n_candidates",
+            "n_truth",
+            F.round(
+                F.col("hits") * F.lit(1.0) / F.greatest(F.col("n_truth"), F.lit(1)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("hits") * F.lit(1.0)
+                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+    )
+
+
+LSH_BANDING_CURVE_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+  FROM d
+), hs AS (
+  SELECT doc_id, seed,
+         min(('0x' || substring(md5(seed::VARCHAR || '|' || s), 1, 15))::BIGINT) AS m
+  FROM sh, range(8) t(seed) GROUP BY doc_id, seed
+), sigarr AS (
+  SELECT doc_id, list(m::VARCHAR ORDER BY seed) AS arr FROM hs GROUP BY doc_id
+), cfg AS (
+  SELECT unnest([{", ".join(str(r) for r in LSH_CURVE_ROWS_PER_BAND)}]) AS r
+), bands AS (
+  SELECT g.doc_id, c.r, j.j AS band_id,
+         array_to_string(list_slice(g.arr, j.j * c.r + 1, j.j * c.r + c.r), '|') AS bk
+  FROM sigarr g, cfg c, range(8) j(j) WHERE j.j < 8 // c.r
+), cand AS (
+  SELECT DISTINCT a.r, a.doc_id AS u, b.doc_id AS v
+  FROM bands a
+  JOIN bands b ON a.r = b.r AND a.band_id = b.band_id AND a.bk = b.bk
+              AND a.doc_id < b.doc_id
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT u, v FROM inter
+  JOIN sz sa ON sa.doc_id = u
+  JOIN sz sb ON sb.doc_id = v
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= {LSH_CURVE_TAU}
+), agg AS (
+  SELECT cd.r, count(*) AS n_candidates, count(t.u) AS hits
+  FROM cand cd LEFT JOIN truth t ON t.u = cd.u AND t.v = cd.v
+  GROUP BY cd.r
+), nt AS (
+  SELECT count(*) AS n_truth FROM truth
+)
+SELECT CAST(a.r AS INT) AS rows_per_band,
+       CAST(8 // a.r AS INT) AS n_bands,
+       a.n_candidates,
+       nt.n_truth,
+       round(a.hits / greatest(nt.n_truth, 1), 6) AS recall,
+       round(a.hits / greatest(a.n_candidates, 1), 6) AS precision
+FROM agg a CROSS JOIN nt
+"""
