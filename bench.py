@@ -285,6 +285,11 @@ HEADLINE = [
     "corpus_pack_sequences_bpe",
     # round-12: the compressed-tier CDC stream (banded/IVF/IVF-PQ triple)
     "streaming_ivf_pq_cdc_ann",
+    # round-13, benched same-round per the freeze policy: the two
+    # quality/cost curves (IVFADC recall-vs-n_probe; LSH bands×rows
+    # S-curve vs exact prefix-filter Jaccard truth)
+    "ivf_pq_recall_curve",
+    "lsh_banding_recall_curve",
 ]
 
 

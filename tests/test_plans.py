@@ -1369,3 +1369,31 @@ def test_ivf_layout_self_exclusion_native_vs_string(spark, tmp_path):
     )
     mixed = probe_ivf_layout(spark, dest, dbl_q, cent, k=5, n_probe=8)
     assert any(r["vec_id"] == qid for r in mixed.collect())
+
+
+def test_ivf_pq_recall_curve_plan_no_corpus_cartesian(spark):
+    """The recall curve's candidate path must stay the cell-keyed
+    equi-join shape: the only nested-loop joins allowed are the bounded
+    broadcast-scalar crossJoins (queries × 8 centroids; the n_queries /
+    n_truth scalar attach), never a corpus×corpus product. The level
+    explode multiplies candidates by |levels| BEFORE the aggregating
+    groupBy — visible as a Generate under the partial aggregate, not a
+    join."""
+    df = _plan(spark, "ivf_pq_recall_curve")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_banding_curve_plan_banded_equi_join(spark):
+    """The banding curve's candidate generation must be the banded
+    self-EQUI-join on (r, band_id, band_key) — a SortMergeJoin/
+    ShuffledHashJoin keyed by the band tuple, never an all-pairs
+    product. The scalar n_truth attach is the only nested-loop
+    (broadcast, 1 row)."""
+    df = _plan(spark, "lsh_banding_recall_curve")
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    # the band-key equi-join condition must reach a hash/merge join
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
