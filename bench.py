@@ -290,6 +290,7 @@ HEADLINE = [
     # S-curve vs exact prefix-filter Jaccard truth)
     "ivf_pq_recall_curve",
     "lsh_banding_recall_curve",
+    "ivf_recall_curve",
 ]
 
 

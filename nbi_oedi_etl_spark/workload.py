@@ -2344,6 +2344,16 @@ SPECS: list[QuerySpec] = [
         ext36.lsh_banding_recall_curve,
         ext36.LSH_BANDING_CURVE_ORACLE,
     ),
+    # round-13: the EXACT IVF tier's recall-vs-n_probe curve — paired
+    # with ivf_pq_recall_curve it decomposes the compressed tier's
+    # recall loss (exact − ADC = PQ distortion; 1 − exact = coarse
+    # miss); reaches 1.0 at full probe by construction, pinning both
+    # endpoints. Index side shared via _ivfpq_index_cached.
+    QuerySpec(
+        "ivf_recall_curve",
+        ext36.ivf_recall_curve,
+        ext36.IVF_RECALL_CURVE_ORACLE,
+    ),
 ]
 
 # ---- round-8 correctness-window rotation ------------------------------
@@ -2609,22 +2619,24 @@ _POST_R11_ADDITIONS: list[str] = [
 # weighted_median_price — the r12 bench's one `weak`, so its
 # CORRECTNESS row is free while the quiet re-measure adjudicates the
 # min-ratio). Then the stalest banked tranche: all 27 remaining
-# r7-greens and the first 5 alphabetical r8-greens. Two displacements
+# r7-greens and the first 4 alphabetical r8-greens. Three displacements
 # mid-round: ivf_pq_portable's index side moved into the shared
 # _ivfpq_index_cached memo (one codebook training per session, shared
-# with the new recall curve), displacing doc_regex_token_estimate; and
+# with the new recall curves), displacing doc_regex_token_estimate;
 # the r13-registered lsh_banding_recall_curve (the dedup family's
-# quality/cost curve) displaces doc_pii_scrub. Both displaced
-# refreshers queue for r14.
-# 6 + 3 + 9 + 27 + 5 = 50.
+# quality/cost curve) displaces doc_pii_scrub; and the r13-registered
+# ivf_recall_curve (the exact tier's curve — with the ADC curve it
+# decomposes recall loss into coarse miss vs PQ distortion) displaces
+# doc_gopher_filter. Displaced refreshers queue for r14.
+# 7 + 3 + 9 + 27 + 4 = 50.
 _ROWS_ONLY_WINDOW_OK: list[str] = [
     "streaming_ivf_pq_cdc_ann",
     "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
 ]
 _R13_WINDOW: list[str] = [
-    # -- 6 oracled debt (2 never-verified + 4 changed-since-green) --
-    "ivf_pq_recall_curve", "lsh_banding_recall_curve",
+    # -- 7 oracled debt (3 never-verified + 4 changed-since-green) --
+    "ivf_pq_recall_curve", "lsh_banding_recall_curve", "ivf_recall_curve",
     "streaming_banded_cdc_dedup",
     "streaming_pack_sequences", "near_dup_keep_best", "ivf_pq_portable",
     # -- 3 rows-only CDC streams (ivf_pq: FIRST driver row) --
@@ -2649,9 +2661,9 @@ _R13_WINDOW: list[str] = [
     "orders_column_profile", "pandas_demean_values",
     "pandas_normalize_text", "resample_incremental_merge",
     "supplier_busy_intervals",
-    # -- first 5 alphabetical r8-green refreshers --
+    # -- first 4 alphabetical r8-green refreshers --
     "cascade_daily_rollup", "char_stats_udtf", "cross_join_region_matrix",
-    "doc_chunking", "doc_gopher_filter",
+    "doc_chunking",
 ]
 
 # Specs registered after the r13 window fills must land here and be

@@ -662,7 +662,7 @@ def _ivfpq_index_cached(spark: SparkSession, sf_dir: str):
     ``portable_signatures_cached`` discipline: the index is a pure
     function of an immutable testdata directory, and one bench/driver
     session otherwise re-trains the same codebook 6× (2 specs ×
-    median-of-3). Returns ``(cent_arr, rsubs, cb1, codes)``."""
+    median-of-3). Returns ``(assign, cent_arr, rsubs, cb1, codes)``."""
     from nbi_oedi_etl_spark.operators import similarity
     from nbi_oedi_etl_spark.operators.similarity import pq_train_codebook
     from nbi_oedi_etl_spark.workload_ext import _memo_get
@@ -674,7 +674,7 @@ def _ivfpq_index_cached(spark: SparkSession, sf_dir: str):
         )
         assign = similarity.kmeans_assignment_step(emb, cents).select(
             "vec_id", F.col("centroid_id").alias("cell")
-        )
+        ).localCheckpoint(eager=True)
         cent_arr = cents.select(
             F.col("centroid_id").alias("cell"),
             F.col("embedding").cast("array<double>").alias("cent_emb"),
@@ -716,7 +716,7 @@ def _ivfpq_index_cached(spark: SparkSession, sf_dir: str):
             .join(assign, "vec_id")
             .localCheckpoint(eager=True)
         )
-        return (cent_arr, rsubs, cb1, codes)
+        return (assign, cent_arr, rsubs, cb1, codes)
 
     return _memo_get(_IVFPQ_INDEX_CACHE, spark, sf_dir, build)
 
@@ -749,7 +749,7 @@ def ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, never all-pairs. Index side via ``_ivfpq_index_cached``."""
     from nbi_oedi_etl_spark.operators.similarity import l2_distance
 
-    _cent_arr, rsubs, cb1, codes = _ivfpq_index_cached(spark, sf_dir)
+    _assign, _cent_arr, rsubs, cb1, codes = _ivfpq_index_cached(spark, sf_dir)
 
     q = rsubs.where(F.col("vec_id") < IVFPQ_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -893,7 +893,7 @@ def ivf_pq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nbi_oedi_etl_spark.operators.similarity import l2_distance
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cent_arr, _rsubs, cb1, codes = _ivfpq_index_cached(spark, sf_dir)
+    _assign, cent_arr, _rsubs, cb1, codes = _ivfpq_index_cached(spark, sf_dir)
 
     # ranked multi-cell probe: per query, cells by centroid distance;
     # query residual per PROBED cell
@@ -1286,4 +1286,184 @@ SELECT CAST(a.r AS INT) AS rows_per_band,
        round(a.hits / greatest(nt.n_truth, 1), 6) AS recall,
        round(a.hits / greatest(a.n_candidates, 1), 6) AS precision
 FROM agg a CROSS JOIN nt
+"""
+
+
+# ------------------------------------------- IVF exact recall curve
+
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@``IVFPQ_TOPK`` versus probe width for the EXACT IVF tier
+    (raw vectors in the probed cells, no quantization) — the companion
+    to ``ivf_pq_recall_curve`` that DECOMPOSES the compressed tier's
+    recall loss: at each ``n_probe``, (this curve) − (the ADC curve) is
+    pure PQ distortion, while 1 − (this curve) is pure coarse-quantizer
+    miss. By construction this curve reaches 1.0 at
+    n_probe = IVFPQ_COARSE_K (probing every cell IS brute force), so
+    the two endpoints pin both loss terms.
+
+    Plan/scale: same cell-keyed candidate shape as the ADC curve —
+    probed-cell equi-join against the corpus, never all-pairs; the
+    coarse assignment comes from the shared memoized
+    ``_ivfpq_index_cached`` (zero extra training); exact distances are
+    the proven index-order fold; recall/cost aggregate through integer
+    counts."""
+    from nbi_oedi_etl_spark.operators.similarity import l2_distance
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assign, cent_arr, _rsubs, _cb1, _codes = _ivfpq_index_cached(spark, sf_dir)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).join(assign, "vec_id")
+
+    qv = emb.where(F.col("vec_id") < IVFPQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.asc("pd"), F.asc("cell"))
+    probes = (
+        qv.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "query_id",
+            "q_emb",
+            "cell",
+            l2_distance(F.col("q_emb"), F.col("cent_emb")).alias("pd"),
+        )
+        .withColumn("probe_rank", F.row_number().over(pw))
+        .where(F.col("probe_rank") <= max(IVFPQ_NPROBE_LEVELS))
+        .select("query_id", "cell", "probe_rank", "q_emb")
+    )
+    d = (
+        e.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "probe_rank",
+            F.round(l2_distance(F.col("q_emb"), F.col("emb")), 6).alias("d"),
+        )
+    )
+    dl = d.withColumn(
+        "n_probe",
+        F.explode(F.array(*[F.lit(v) for v in IVFPQ_NPROBE_LEVELS])),
+    ).where(F.col("probe_rank") <= F.col("n_probe"))
+    aw = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.asc("d"), F.asc("vec_id")
+    )
+    approx = (
+        dl.withColumn("rank", F.row_number().over(aw))
+        .where(F.col("rank") <= IVFPQ_TOPK)
+        .select("n_probe", "query_id", F.col("vec_id").alias("cand_id"))
+    )
+
+    bf = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(l2_distance(F.col("q_emb"), F.col("emb")), 6).alias("d"),
+        )
+    )
+    bw = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    exact = (
+        bf.withColumn("rank", F.row_number().over(bw))
+        .where(F.col("rank") <= IVFPQ_TOPK)
+        .select("query_id", "cand_id", F.lit(1).alias("_hit"))
+    )
+
+    hits = (
+        approx.join(exact, ["query_id", "cand_id"], "left")
+        .groupBy("n_probe")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("hits"))
+    )
+    cands = dl.groupBy("n_probe").agg(F.count(F.lit(1)).alias("n_cand"))
+    qn = qv.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        hits.join(cands, "n_probe")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            "n_queries",
+            F.round(
+                F.col("hits") * F.lit(1.0)
+                / (F.col("n_queries") * F.lit(IVFPQ_TOPK)),
+                6,
+            ).alias(f"recall_at_{IVFPQ_TOPK}"),
+            F.round(
+                F.col("n_cand") * F.lit(1.0) / F.col("n_queries"), 6
+            ).alias("avg_candidates"),
+        )
+    )
+
+
+IVF_RECALL_CURVE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < {IVFPQ_COARSE_K}
+), dc AS (
+  SELECT e.vec_id, c.centroid_id, list_distance(e.emb, c.c_emb) AS dist
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+    FROM dc
+  ) WHERE rn = 1
+), qv AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {IVFPQ_N_QUERIES}
+), probes AS (
+  SELECT query_id, cell, probe_rank, q_emb FROM (
+    SELECT qv.query_id, c.centroid_id AS cell, qv.q_emb,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY list_distance(qv.q_emb, c.c_emb),
+                                       c.centroid_id) AS probe_rank
+    FROM qv CROSS JOIN c
+  ) WHERE probe_rank <= {max(IVFPQ_NPROBE_LEVELS)}
+), dd AS (
+  SELECT p.query_id, a.vec_id, p.probe_rank,
+         round(list_distance(p.q_emb, e2.emb), 6) AS d
+  FROM assign a
+  JOIN e e2 ON e2.vec_id = a.vec_id
+  JOIN probes p ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+), lv AS (
+  SELECT unnest([{", ".join(str(v) for v in IVFPQ_NPROBE_LEVELS)}]) AS n_probe
+), dl AS (
+  SELECT lv.n_probe, dd.* FROM dd JOIN lv ON dd.probe_rank <= lv.n_probe
+), approx AS (
+  SELECT n_probe, query_id, vec_id AS cand_id FROM (
+    SELECT n_probe, query_id, vec_id,
+           row_number() OVER (PARTITION BY n_probe, query_id
+                              ORDER BY d, vec_id) AS rank
+    FROM dl
+  ) WHERE rank <= {IVFPQ_TOPK}
+), bf AS (
+  SELECT qv.query_id, e.vec_id AS cand_id,
+         round(list_distance(qv.q_emb, e.emb), 6) AS d
+  FROM e CROSS JOIN qv WHERE e.vec_id <> qv.query_id
+), exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, cand_id) AS rank
+    FROM bf
+  ) WHERE rank <= {IVFPQ_TOPK}
+), hits AS (
+  SELECT a.n_probe, count(x.cand_id) AS hits
+  FROM approx a
+  LEFT JOIN exact x ON x.query_id = a.query_id AND x.cand_id = a.cand_id
+  GROUP BY a.n_probe
+), cands AS (
+  SELECT n_probe, count(*) AS n_cand FROM dl GROUP BY n_probe
+), qn AS (
+  SELECT count(*) AS n_queries FROM qv
+)
+SELECT CAST(h.n_probe AS INT) AS n_probe,
+       qn.n_queries,
+       round(h.hits / (qn.n_queries * {IVFPQ_TOPK}), 6) AS recall_at_{IVFPQ_TOPK},
+       round(cd.n_cand / qn.n_queries, 6) AS avg_candidates
+FROM hits h JOIN cands cd USING (n_probe) CROSS JOIN qn
 """
