@@ -2619,26 +2619,30 @@ _POST_R11_ADDITIONS: list[str] = [
 # weighted_median_price — the r12 bench's one `weak`, so its
 # CORRECTNESS row is free while the quiet re-measure adjudicates the
 # min-ratio). Then the stalest banked tranche: all 27 remaining
-# r7-greens and the first 4 alphabetical r8-greens. Three displacements
-# mid-round: ivf_pq_portable's index side moved into the shared
-# _ivfpq_index_cached memo (one codebook training per session, shared
-# with the new recall curves), displacing doc_regex_token_estimate;
-# the r13-registered lsh_banding_recall_curve (the dedup family's
-# quality/cost curve) displaces doc_pii_scrub; and the r13-registered
-# ivf_recall_curve (the exact tier's curve — with the ADC curve it
-# decomposes recall loss into coarse miss vs PQ distortion) displaces
-# doc_gopher_filter. Displaced refreshers queue for r14.
-# 7 + 3 + 9 + 27 + 4 = 50.
+# r7-greens and the first r8-green. Mid-round displacements (debt
+# always outranks banked-green refreshers): ivf_pq_portable's index
+# side moved into the shared _ivfpq_index_cached memo (one codebook
+# training per session, shared with the new recall curves); the
+# r13-registered lsh_banding_recall_curve and ivf_recall_curve (the
+# exact-tier curve — with the ADC curve it decomposes recall loss into
+# coarse miss vs PQ distortion); and the flat-PQ family
+# (embedding_pq_codes / embedding_pq_adc_topk / pq_recall_audit) moved
+# onto _pq_flat_index_cached (one Lloyd training per session instead
+# of up to ten). Displaced to the r14 queue: doc_regex_token_estimate,
+# doc_pii_scrub, doc_gopher_filter, doc_chunking,
+# cross_join_region_matrix, char_stats_udtf.
+# 10 + 3 + 9 + 27 + 1 = 50.
 _ROWS_ONLY_WINDOW_OK: list[str] = [
     "streaming_ivf_pq_cdc_ann",
     "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
 ]
 _R13_WINDOW: list[str] = [
-    # -- 7 oracled debt (3 never-verified + 4 changed-since-green) --
+    # -- 10 oracled debt (3 never-verified + 7 changed-since-green) --
     "ivf_pq_recall_curve", "lsh_banding_recall_curve", "ivf_recall_curve",
     "streaming_banded_cdc_dedup",
     "streaming_pack_sequences", "near_dup_keep_best", "ivf_pq_portable",
+    "embedding_pq_codes", "embedding_pq_adc_topk", "pq_recall_audit",
     # -- 3 rows-only CDC streams (ivf_pq: FIRST driver row) --
     "streaming_ivf_pq_cdc_ann", "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
@@ -2661,9 +2665,8 @@ _R13_WINDOW: list[str] = [
     "orders_column_profile", "pandas_demean_values",
     "pandas_normalize_text", "resample_incremental_merge",
     "supplier_busy_intervals",
-    # -- first 4 alphabetical r8-green refreshers --
-    "cascade_daily_rollup", "char_stats_udtf", "cross_join_region_matrix",
-    "doc_chunking",
+    # -- first alphabetical r8-green refresher --
+    "cascade_daily_rollup",
 ]
 
 # Specs registered after the r13 window fills must land here and be
