@@ -1057,3 +1057,51 @@ def test_epoch_shuffle_matches_python_md5_reference(spark):
             )
         ]
         assert got == want, f"epoch {e} order diverges from hashlib"
+
+
+def test_recall_curves_structural_invariants(spark):
+    """The r13 curve trio's provable endpoints and monotonicity, pinned
+    at sf0.001 (cheap; the driver hash-checks values at sf0.01):
+
+    - ivf_recall_curve: recall is non-decreasing in n_probe and EXACTLY
+      1.0 at n_probe = IVFPQ_COARSE_K (probing every cell IS brute
+      force) — the coarse-miss endpoint of the decomposition;
+    - ivf_pq_recall_curve: recall ≤ the exact curve at every n_probe
+      (ADC can only lose vs exact on the same candidates), and
+      avg_candidates matches the exact curve bit-for-bit (same probed
+      cells — a divergence means the two curves' probe sides drifted);
+    - lsh_banding_recall_curve: bands are NESTED in rows-per-band
+      (agreement on an r-slot band implies agreement on its sub-bands),
+      so candidates are non-increasing and recall non-increasing in r.
+    """
+    from nbi_oedi_etl_spark import workload
+
+    sf = "/root/testdata/sf0.001"
+    qs = workload.queries()
+
+    exact = {
+        r["n_probe"]: r for r in qs["ivf_recall_curve"](spark, sf).collect()
+    }
+    adc = {
+        r["n_probe"]: r for r in qs["ivf_pq_recall_curve"](spark, sf).collect()
+    }
+    probes = sorted(exact)
+    rec = [exact[p]["recall_at_3"] for p in probes]
+    assert rec == sorted(rec), "exact-tier recall must be non-decreasing"
+    assert exact[max(probes)]["recall_at_3"] == 1.0, (
+        "full probe IS brute force"
+    )
+    for p in probes:
+        assert adc[p]["recall_at_3"] <= exact[p]["recall_at_3"] + 1e-9
+        assert adc[p]["avg_candidates"] == exact[p]["avg_candidates"], (
+            "the two curves probe the same cells by construction"
+        )
+
+    lsh = {
+        r["rows_per_band"]: r
+        for r in qs["lsh_banding_recall_curve"](spark, sf).collect()
+    }
+    rs = sorted(lsh)
+    for a, b in zip(rs, rs[1:]):
+        assert lsh[a]["n_candidates"] >= lsh[b]["n_candidates"], "nested bands"
+        assert lsh[a]["recall"] >= lsh[b]["recall"] - 1e-9
