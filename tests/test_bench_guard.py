@@ -87,7 +87,17 @@ def test_no_per_query_regression_vs_reference():
         detail = _json.load(f)
     if detail.get("sf") != 0.1:
         pytest.skip("BENCH_DETAIL.json is not an sf0.1 run")
-    with open(_os.path.join(_HERE, "bench_reference_r11.json")) as f:
+    # Use the HIGHEST-numbered committed reference (r13: the quiet-window
+    # refresh loop writes bench_reference_r13.json the moment a quiet
+    # host appears — the guard must pick it up without a code change).
+    import glob as _glob
+    import re as _re
+
+    refs = sorted(
+        _glob.glob(_os.path.join(_HERE, "bench_reference_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    with open(refs[-1]) as f:
         ref_doc = _json.load(f)
     ref = ref_doc["queries"]
     # Host calibration (wave 2; r12 revision): co-tenant CPU steal slows
