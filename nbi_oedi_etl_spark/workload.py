@@ -2628,21 +2628,28 @@ _POST_R11_ADDITIONS: list[str] = [
 # coarse miss vs PQ distortion); and the flat-PQ family
 # (embedding_pq_codes / embedding_pq_adc_topk / pq_recall_audit) moved
 # onto _pq_flat_index_cached (one Lloyd training per session instead
-# of up to ten). Displaced to the r14 queue: doc_regex_token_estimate,
-# doc_pii_scrub, doc_gopher_filter, doc_chunking,
-# cross_join_region_matrix, char_stats_udtf.
-# 10 + 3 + 9 + 27 + 1 = 50.
+# of up to ten); and the three events-staging foreachBatch streams
+# (streaming_foreachbatch_upsert / streaming_cumulative_unique_users /
+# streaming_ewma_daily) moved onto the memoized
+# ingest.stage_sliced_thirds (events was re-staged 3x per bench pass).
+# Displaced to the r14 queue: doc_regex_token_estimate, doc_pii_scrub,
+# doc_gopher_filter, doc_chunking, cross_join_region_matrix,
+# char_stats_udtf, cascade_daily_rollup, supplier_busy_intervals,
+# resample_incremental_merge.
+# 13 + 3 + 9 + 25 = 50.
 _ROWS_ONLY_WINDOW_OK: list[str] = [
     "streaming_ivf_pq_cdc_ann",
     "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
 ]
 _R13_WINDOW: list[str] = [
-    # -- 10 oracled debt (3 never-verified + 7 changed-since-green) --
+    # -- 13 oracled debt (3 never-verified + 10 changed-since-green) --
     "ivf_pq_recall_curve", "lsh_banding_recall_curve", "ivf_recall_curve",
     "streaming_banded_cdc_dedup",
     "streaming_pack_sequences", "near_dup_keep_best", "ivf_pq_portable",
     "embedding_pq_codes", "embedding_pq_adc_topk", "pq_recall_audit",
+    "streaming_foreachbatch_upsert", "streaming_cumulative_unique_users",
+    "streaming_ewma_daily",
     # -- 3 rows-only CDC streams (ivf_pq: FIRST driver row) --
     "streaming_ivf_pq_cdc_ann", "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
@@ -2651,7 +2658,7 @@ _R13_WINDOW: list[str] = [
     "semi_join_customers", "shard_slot_apportionment", "topk_orders",
     "upgrade_code_format", "user_state_snapshot_diff",
     "weighted_median_price",
-    # -- all 27 remaining r7-green refreshers --
+    # -- the 25 stalest remaining r7-green refreshers --
     "asof_last_purchase", "brand_revenue", "copurchase_kcore",
     "cube_order_stats", "customers_without_orders",
     "disjunctive_filter_revenue", "doc_base64_codec",
@@ -2663,10 +2670,7 @@ _R13_WINDOW: list[str] = [
     "nation_pair_volume", "near_dup_clusters_recursive_sql",
     "order_date_format", "orders_above_customer_avg",
     "orders_column_profile", "pandas_demean_values",
-    "pandas_normalize_text", "resample_incremental_merge",
-    "supplier_busy_intervals",
-    # -- first alphabetical r8-green refresher --
-    "cascade_daily_rollup",
+    "pandas_normalize_text",
 ]
 
 # Specs registered after the r13 window fills must land here and be

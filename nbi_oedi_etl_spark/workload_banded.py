@@ -73,6 +73,40 @@ def _stage_mod3_split(sf_dir: str, table: str, id_col: str, prefix: str) -> str:
     return src
 
 
+#: staged row-range-thirds splits, keyed by (sf_dir, table) — the
+#: row-slice twin of _STAGED_MOD3_CACHE for the three foreachBatch
+#: stream specs that batch by arrival order rather than id residue
+#: (upsert, cumulative-uniques, EWMA — `events` was re-staged by all
+#: three on every bench pass). Same staleness argument: a pure
+#: driver-side derivation of an immutable testdata file; consumers only
+#: READ the staged files and keep per-call checkpoints.
+_STAGED_THIRDS_CACHE: dict = {}
+
+
+def stage_sliced_thirds(sf_dir: str, table: str, prefix: str) -> str:
+    """Stage ``{sf_dir}/{table}.parquet`` as 3 row-range slices with
+    mtimes ordered for stable file-age micro-batch ordering; memoized
+    per (sf_dir, table)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (sf_dir, table)
+    src = _STAGED_THIRDS_CACHE.get(key)
+    if src is not None and os.path.isfile(os.path.join(src, "part2.parquet")):
+        return src
+    src = tempfile.mkdtemp(prefix=prefix)
+    t = pq.read_table(f"{sf_dir}/{table}.parquet")
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(src, f"part{i}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (1700000000 + 10 * i, 1700000000 + 10 * i))
+    _STAGED_THIRDS_CACHE[key] = src
+    return src
+
+
 def drain_mod3_batches(spark, sf_dir: str, table: str, id_col: str, apply_batch, prefix: str):
     """Shared 3-micro-batch CDC drain harness (r11 self-review: four
     specs had copy-pasted this scaffold). Stages ``table`` into 3

@@ -52,21 +52,15 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
     import tempfile
 
-    import pyarrow.parquet as pq
-
     from nbi_oedi_etl_spark.operators import dedup
     from nbi_oedi_etl_spark.streaming import ingest
 
     s = ingest.scoped_streaming_session(spark)
-    # split the events table into 3 files -> 3 deterministic micro-batches
-    src = tempfile.mkdtemp(prefix="fb_upsert_src_")
-    t = pq.read_table(f"{sf_dir}/events.parquet")
-    n = t.num_rows
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        path = os.path.join(src, f"part{i}.parquet")
-        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
-        os.utime(path, (1700000000 + 10 * i, 1700000000 + 10 * i))
+    # 3 row-range slices -> 3 deterministic micro-batches (staged once
+    # per process via the memoized stage_sliced_thirds)
+    from nbi_oedi_etl_spark.workload_banded import stage_sliced_thirds
+
+    src = stage_sliced_thirds(sf_dir, "events", "fb_upsert_src_")
 
     target_root = tempfile.mkdtemp(prefix="fb_upsert_tgt_")
     state = {"version": -1}

@@ -42,19 +42,12 @@ def streaming_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataF
     Scale: per batch the state is |users| + |days| rows — the bounded
     first-seen reduction, not raw events; the merge is one keyed min.
     """
-    import pyarrow.parquet as pq
-
     from nbi_oedi_etl_spark.streaming import ingest
 
     s = ingest.scoped_streaming_session(spark)
-    src = tempfile.mkdtemp(prefix="fb_uniq_src_")
-    t = pq.read_table(f"{sf_dir}/events.parquet")
-    n = t.num_rows
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        path = os.path.join(src, f"part{i}.parquet")
-        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
-        os.utime(path, (1700000000 + 10 * i, 1700000000 + 10 * i))
+    from nbi_oedi_etl_spark.workload_banded import stage_sliced_thirds
+
+    src = stage_sliced_thirds(sf_dir, "events", "fb_uniq_src_")
 
     target_root = tempfile.mkdtemp(prefix="fb_uniq_tgt_")
     state = {"version": -1}
@@ -220,20 +213,13 @@ def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is the daily rollup (types × days rows), each batch
     pays |batch| + |state| with a keyed sum merge.
     """
-    import pyarrow.parquet as pq
-
     from nbi_oedi_etl_spark.streaming import ingest
     from nbi_oedi_etl_spark.workload_ext22 import _EWMA_W
 
     s = ingest.scoped_streaming_session(spark)
-    src = tempfile.mkdtemp(prefix="fb_ewma_src_")
-    t = pq.read_table(f"{sf_dir}/events.parquet")
-    n = t.num_rows
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        path = os.path.join(src, f"part{i}.parquet")
-        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
-        os.utime(path, (1700000000 + 10 * i, 1700000000 + 10 * i))
+    from nbi_oedi_etl_spark.workload_banded import stage_sliced_thirds
+
+    src = stage_sliced_thirds(sf_dir, "events", "fb_ewma_src_")
 
     target_root = tempfile.mkdtemp(prefix="fb_ewma_tgt_")
     state = {"version": -1}
