@@ -102,6 +102,22 @@ def test_idle_timeout_watchdog_stops_drained_stream(spark, tmp_path):
         .trigger(processingTime="200 milliseconds")
         .start()
     )
+    # Wait for the FIRST completed batch before arming the watchdog: the
+    # idle clock starts at call time, so on a steal-degraded host a slow
+    # first micro-batch (>idle_timeout) would be killed before any rows
+    # land and the sink asserts below would read empty (observed twice
+    # at mt-calib ~0.6-0.9, r13). Arming after first progress tests the
+    # watchdog's actual contract — stop once DRAINED — not host speed.
+    # (r14: move this semantics into await_with_idle_timeout itself —
+    # "no batch completed yet" is pending input, not idleness; deferred
+    # because any ingest.py edit digest-flags all 16 streaming specs.)
+    import time as _t
+
+    deadline = _t.monotonic() + 120
+    while _t.monotonic() < deadline and not any(
+        p is not None for p in q.recentProgress
+    ):
+        _t.sleep(0.2)
     stopped = ingest.await_with_idle_timeout(q, idle_timeout_seconds=3.0)
     assert stopped, "watchdog did not stop the idle query"
     assert not q.isActive
