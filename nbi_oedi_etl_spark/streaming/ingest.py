@@ -202,10 +202,20 @@ def await_with_idle_timeout(
     Returns True if the watchdog stopped the query, False if the query
     terminated on its own first. Progress is read from the query's own
     ``recentProgress`` (numInputRows per micro-batch) — the declarative
-    equivalent of the reference's four queue-empty checks."""
+    equivalent of the reference's four queue-empty checks.
+
+    The idle clock ARMS on the first COMPLETED micro-batch, not at call
+    time. The reference's check is queues-empty (monitor.py:221-274): a
+    first batch still in flight means the pipeline is processing, not
+    idle — only once a batch has completed is there evidence the queues
+    have drained. Arming at call time (the pre-r14 behavior) killed
+    streams whose first micro-batch outlived the timeout on a
+    steal-degraded host, before any rows landed."""
     import time as _time
 
-    last_data = _time.monotonic()
+    # None until the first completed batch is observed: "no batch
+    # completed yet" is pending input, never idleness.
+    last_data: float | None = None
     seen: set[str] = set()
     while query.isActive:
         for p in query.recentProgress:
@@ -214,9 +224,12 @@ def await_with_idle_timeout(
             bid = f"{p['id']}/{p['batchId']}"
             if bid not in seen:
                 seen.add(bid)
-                if p.get("numInputRows", 0) > 0:
+                if last_data is None or p.get("numInputRows", 0) > 0:
                     last_data = _time.monotonic()
-        if _time.monotonic() - last_data >= idle_timeout_seconds:
+        if (
+            last_data is not None
+            and _time.monotonic() - last_data >= idle_timeout_seconds
+        ):
             query.stop()
             query.awaitTermination()
             return True

@@ -20,6 +20,7 @@ Reference parity: no reference analogue (§2.12 extension, scale path).
 from __future__ import annotations
 
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +46,22 @@ _BANDS = 4
 #: per-call, so each drain still replays all 3 files.
 _STAGED_MOD3_CACHE: dict = {}
 
+#: Serializes cache population across threads (concurrent probe runs
+#: double-staged and leaked tempdirs — benign but noisy; ADVICE r13).
+_STAGE_LOCK = threading.Lock()
+
+
+def _staged_dir_intact(src: str) -> bool:
+    """ALL three part files must survive for a cached staging dir to be
+    reused: a partially-swept tempdir (part0/part1 gone, part2 alive)
+    would silently drop ~2/3 of every consumer stream's batches
+    (ADVICE r13 / VERDICT r13 minor finding)."""
+    import os
+
+    return all(
+        os.path.isfile(os.path.join(src, f"part{k}.parquet")) for k in range(3)
+    )
+
 
 def _stage_mod3_split(sf_dir: str, table: str, id_col: str, prefix: str) -> str:
     import os
@@ -53,24 +70,27 @@ def _stage_mod3_split(sf_dir: str, table: str, id_col: str, prefix: str) -> str:
     import pyarrow.parquet as pq
 
     key = (sf_dir, table, id_col)
-    src = _STAGED_MOD3_CACHE.get(key)
-    # Re-stage if a cached tempdir was swept by the OS mid-process.
-    if src is not None and os.path.isfile(os.path.join(src, "part2.parquet")):
+    # Lock spans check+populate so concurrent probe runs can't
+    # double-stage; the build itself is a fast single-file pyarrow pass.
+    with _STAGE_LOCK:
+        src = _STAGED_MOD3_CACHE.get(key)
+        # Re-stage unless every part survived an OS tempdir sweep.
+        if src is not None and _staged_dir_intact(src):
+            return src
+
+        def _mod3(col):
+            # pyarrow has no mod kernel in this build; ids are
+            # non-negative int64, so truncating integer division suffices
+            return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
+
+        src = tempfile.mkdtemp(prefix=prefix)
+        t = pq.read_table(f"{sf_dir}/{table}.parquet")
+        for k in range(3):
+            path = os.path.join(src, f"part{k}.parquet")
+            pq.write_table(t.filter(pc.equal(_mod3(t.column(id_col)), k)), path)
+            os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
+        _STAGED_MOD3_CACHE[key] = src
         return src
-
-    def _mod3(col):
-        # pyarrow has no mod kernel in this build; ids are non-negative
-        # int64, so truncating integer division suffices
-        return pc.subtract(col, pc.multiply(pc.divide(col, 3), 3))
-
-    src = tempfile.mkdtemp(prefix=prefix)
-    t = pq.read_table(f"{sf_dir}/{table}.parquet")
-    for k in range(3):
-        path = os.path.join(src, f"part{k}.parquet")
-        pq.write_table(t.filter(pc.equal(_mod3(t.column(id_col)), k)), path)
-        os.utime(path, (1700000000 + 10 * k, 1700000000 + 10 * k))
-    _STAGED_MOD3_CACHE[key] = src
-    return src
 
 
 #: staged row-range-thirds splits, keyed by (sf_dir, table) — the
@@ -86,25 +106,32 @@ _STAGED_THIRDS_CACHE: dict = {}
 def stage_sliced_thirds(sf_dir: str, table: str, prefix: str) -> str:
     """Stage ``{sf_dir}/{table}.parquet`` as 3 row-range slices with
     mtimes ordered for stable file-age micro-batch ordering; memoized
-    per (sf_dir, table)."""
+    per (sf_dir, table).
+
+    NOTE the cache key deliberately omits ``prefix``: all three
+    foreachBatch specs share ONE staged split of the same table, so
+    only the FIRST caller's prefix ever names the tempdir (fb_uniq /
+    fb_ewma paths will show fb_upsert_src_* dirs — cosmetic, ADVICE
+    r13 #4; keying on prefix would defeat the sharing)."""
     import os
 
     import pyarrow.parquet as pq
 
     key = (sf_dir, table)
-    src = _STAGED_THIRDS_CACHE.get(key)
-    if src is not None and os.path.isfile(os.path.join(src, "part2.parquet")):
+    with _STAGE_LOCK:
+        src = _STAGED_THIRDS_CACHE.get(key)
+        if src is not None and _staged_dir_intact(src):
+            return src
+        src = tempfile.mkdtemp(prefix=prefix)
+        t = pq.read_table(f"{sf_dir}/{table}.parquet")
+        n = t.num_rows
+        cuts = [0, n // 3, 2 * n // 3, n]
+        for i in range(3):
+            path = os.path.join(src, f"part{i}.parquet")
+            pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+            os.utime(path, (1700000000 + 10 * i, 1700000000 + 10 * i))
+        _STAGED_THIRDS_CACHE[key] = src
         return src
-    src = tempfile.mkdtemp(prefix=prefix)
-    t = pq.read_table(f"{sf_dir}/{table}.parquet")
-    n = t.num_rows
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        path = os.path.join(src, f"part{i}.parquet")
-        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
-        os.utime(path, (1700000000 + 10 * i, 1700000000 + 10 * i))
-    _STAGED_THIRDS_CACHE[key] = src
-    return src
 
 
 def drain_mod3_batches(spark, sf_dir: str, table: str, id_col: str, apply_batch, prefix: str):

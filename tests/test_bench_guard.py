@@ -93,12 +93,23 @@ def test_no_per_query_regression_vs_reference():
     import glob as _glob
     import re as _re
 
-    refs = sorted(
-        _glob.glob(_os.path.join(_HERE, "bench_reference_r*.json")),
-        key=lambda p: int(_re.search(r"_r(\d+)\.json$", p).group(1)),
-    )
+    # ADVICE r13 #1: (a) skip glob hits the round regex doesn't match
+    # (a stray bench_reference_r13_old.json backup would AttributeError
+    # the int(...) key); (b) refuse a reference that was force-written
+    # past the quiet bars — --force stamps its note field, and silently
+    # adopting it would re-baseline the guard on a degraded host.
+    candidates = []
+    for p in _glob.glob(_os.path.join(_HERE, "bench_reference_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", p)
+        if m is not None:
+            candidates.append((int(m.group(1)), p))
+    refs = [p for _, p in sorted(candidates)]
     with open(refs[-1]) as f:
         ref_doc = _json.load(f)
+    assert "FORCED past the quiet bars" not in str(ref_doc.get("note", "")), (
+        f"{refs[-1]} was force-written on a non-quiet host — re-record it "
+        "with tools/refresh_bench_reference.py on a quiet window"
+    )
     ref = ref_doc["queries"]
     # Host calibration (wave 2; r12 revision): co-tenant CPU steal slows
     # this VM up to ~5× without showing in loadavg, and a bench run on a

@@ -69,3 +69,72 @@ def test_fifo_eviction_bounds_the_cache():
     assert ext._memo_get(cache, s, "/sf/0", lambda: "rebuilt") == "rebuilt"
     # newest survive
     assert ext._memo_get(cache, s, f"/sf/{n-1}", lambda: "X") == f"df-{n-1}"
+
+
+# ---------------------------------------------------------------------------
+# Staged-split cache revalidation (workload_banded): a cached staging dir
+# must be reused ONLY when all three part files survived; a partial OS
+# tempdir sweep (part0/part1 gone, part2 alive — the pre-r14 check only
+# looked at part2) must trigger a full re-stage, not a silent ~1/3 drain
+# (ADVICE r13 #2 / VERDICT r13 minor finding).
+# ---------------------------------------------------------------------------
+
+
+def _write_tiny_table(path, n=9):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": [f"t{i}" for i in range(n)]}),
+        path,
+    )
+
+
+def test_stage_mod3_split_restages_after_partial_sweep(tmp_path):
+    import os
+
+    from nbi_oedi_etl_spark import workload_banded as wb
+
+    _write_tiny_table(str(tmp_path / "documents.parquet"))
+    src = wb._stage_mod3_split(str(tmp_path), "documents", "doc_id", "t_")
+    assert wb._staged_dir_intact(src)
+    # plant the partial sweep: part2 survives, part0/part1 swept
+    os.remove(os.path.join(src, "part0.parquet"))
+    os.remove(os.path.join(src, "part1.parquet"))
+    src2 = wb._stage_mod3_split(str(tmp_path), "documents", "doc_id", "t_")
+    assert src2 != src and wb._staged_dir_intact(src2)
+    # fully-intact dir is reused (memo hit, no re-stage)
+    assert wb._stage_mod3_split(str(tmp_path), "documents", "doc_id", "t_") == src2
+
+
+def test_stage_sliced_thirds_restages_after_partial_sweep(tmp_path):
+    import os
+
+    from nbi_oedi_etl_spark import workload_banded as wb
+
+    _write_tiny_table(str(tmp_path / "events.parquet"))
+    src = wb.stage_sliced_thirds(str(tmp_path), "events", "t_")
+    assert wb._staged_dir_intact(src)
+    os.remove(os.path.join(src, "part1.parquet"))
+    src2 = wb.stage_sliced_thirds(str(tmp_path), "events", "t_")
+    assert src2 != src and wb._staged_dir_intact(src2)
+    assert wb.stage_sliced_thirds(str(tmp_path), "events", "t_") == src2
+
+
+def test_stage_population_is_lock_guarded(tmp_path):
+    """Concurrent first-callers must stage exactly once (ADVICE r13 #2:
+    unsynchronized dict caches double-staged under concurrent probes)."""
+    import concurrent.futures as cf
+
+    from nbi_oedi_etl_spark import workload_banded as wb
+
+    _write_tiny_table(str(tmp_path / "embeddings.parquet"))
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        dirs = list(
+            ex.map(
+                lambda _: wb.stage_sliced_thirds(str(tmp_path), "embeddings", "t_"),
+                range(8),
+            )
+        )
+    assert len(set(dirs)) == 1

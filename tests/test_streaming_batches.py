@@ -102,27 +102,112 @@ def test_idle_timeout_watchdog_stops_drained_stream(spark, tmp_path):
         .trigger(processingTime="200 milliseconds")
         .start()
     )
-    # Wait for the FIRST completed batch before arming the watchdog: the
-    # idle clock starts at call time, so on a steal-degraded host a slow
-    # first micro-batch (>idle_timeout) would be killed before any rows
-    # land and the sink asserts below would read empty (observed twice
-    # at mt-calib ~0.6-0.9, r13). Arming after first progress tests the
-    # watchdog's actual contract — stop once DRAINED — not host speed.
-    # (r14: move this semantics into await_with_idle_timeout itself —
-    # "no batch completed yet" is pending input, not idleness; deferred
-    # because any ingest.py edit digest-flags all 16 streaming specs.)
-    import time as _t
-
-    deadline = _t.monotonic() + 120
-    while _t.monotonic() < deadline and not any(
-        p is not None for p in q.recentProgress
-    ):
-        _t.sleep(0.2)
+    # No pre-arming dance (the r13 test workaround): since r14 the
+    # watchdog itself arms its idle clock on the first COMPLETED batch,
+    # so a slow first micro-batch on a steal-degraded host is pending
+    # input, not idleness — the original un-hardened call shape is the
+    # contract under test.
     stopped = ingest.await_with_idle_timeout(q, idle_timeout_seconds=3.0)
     assert stopped, "watchdog did not stop the idle query"
     assert not q.isActive
     rows = spark.table("idle_watchdog_sink").collect()
     assert {(r["user_id"], r["count"]) for r in rows} == {(1, 2)}
+
+
+class _FakeQuery:
+    """Pure-Python stand-in exercising exactly the StreamingQuery surface
+    ``await_with_idle_timeout`` touches (isActive / recentProgress /
+    stop / awaitTermination), so the slow-first-batch contract is tested
+    deterministically instead of depending on host scheduling."""
+
+    def __init__(self, schedule):
+        # schedule: list of (delay_from_start_s, progress_dict) to publish
+        import time
+
+        self._t0 = time.monotonic()
+        self._schedule = list(schedule)
+        self._published = []
+        self.isActive = True
+        self.stopped_by_watchdog = False
+
+    @property
+    def recentProgress(self):
+        import time
+
+        now = time.monotonic() - self._t0
+        while self._schedule and self._schedule[0][0] <= now:
+            self._published.append(self._schedule.pop(0)[1])
+        return list(self._published)
+
+    def stop(self):
+        self.stopped_by_watchdog = True
+        self.isActive = False
+
+    def awaitTermination(self, timeout=None):
+        return True
+
+
+def test_idle_watchdog_survives_first_batch_slower_than_timeout():
+    """The r13 divergence, pinned: a first micro-batch that takes LONGER
+    than idle_timeout must NOT be killed — no completed batch means
+    pending input (reference monitor.py:221-274 queues-empty semantics).
+    The clock arms on that first completion, then fires after a further
+    idle period."""
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    # First batch completes at t=0.9s — 3x the 0.3s idle timeout. Under
+    # the pre-r14 call-time arming the watchdog would fire at ~0.3s with
+    # zero batches landed.
+    q = _FakeQuery([(0.9, {"id": "q", "batchId": 0, "numInputRows": 5})])
+    stopped = ingest.await_with_idle_timeout(
+        q, idle_timeout_seconds=0.3, poll_seconds=0.05
+    )
+    assert stopped and q.stopped_by_watchdog
+    # the batch must have been observed before the stop (clock armed on it)
+    assert len(q._published) == 1
+
+
+def test_idle_watchdog_arms_on_empty_first_batch():
+    """A COMPLETED zero-row first batch is the Spark-side witness that
+    the queues have drained — the clock arms there, and the watchdog
+    fires one idle period later (never before the batch completes)."""
+    import time
+
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    q = _FakeQuery([(0.4, {"id": "q", "batchId": 0, "numInputRows": 0})])
+    t0 = time.monotonic()
+    stopped = ingest.await_with_idle_timeout(
+        q, idle_timeout_seconds=0.3, poll_seconds=0.05
+    )
+    elapsed = time.monotonic() - t0
+    assert stopped and q.stopped_by_watchdog
+    # fired after batch-completion (0.4s) + idle (0.3s), not call + 0.3s
+    assert elapsed >= 0.65, elapsed
+
+
+def test_idle_watchdog_returns_false_when_query_ends_on_its_own():
+    """A query that terminates before any batch completes (availableNow
+    over an empty source) must return False without a watchdog stop —
+    never a spurious kill of a stream that was still starting up."""
+    import threading
+    import time
+
+    from nbi_oedi_etl_spark.streaming import ingest
+
+    q = _FakeQuery([])
+
+    def _finish():
+        time.sleep(0.25)
+        q.isActive = False
+
+    t = threading.Thread(target=_finish)
+    t.start()
+    stopped = ingest.await_with_idle_timeout(
+        q, idle_timeout_seconds=5.0, poll_seconds=0.05
+    )
+    t.join()
+    assert stopped is False and not q.stopped_by_watchdog
 
 
 def _write_typed_events(path, rows):
