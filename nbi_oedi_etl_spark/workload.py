@@ -2637,7 +2637,67 @@ _POST_R11_ADDITIONS: list[str] = [
 # char_stats_udtf, cascade_daily_rollup, supplier_busy_intervals,
 # resample_incremental_merge.
 # 13 + 3 + 9 + 25 = 50.
+# ---- round-14 window ---------------------------------------------------
+# This is the dedicated streaming verification window the r13 verdict
+# planned: fixing await_with_idle_timeout (arm the idle clock on the
+# first COMPLETED batch — reference monitor.py:221-274 queues-empty
+# semantics) edits streaming/ingest.py, and the staged-split hardening
+# (all-three-part-files stale check + lock, ADVICE r13 #2) edits
+# workload_banded.py, so the digest walk flags every spec that imports
+# either: the 16 oracled streaming specs + banded_layout_portable = 17
+# debt entries, verified against tools/rotation_audit.py this round.
+# Then the THREE rows-only CDC streams (same harness, same files —
+# their row checks re-prove the edited drain path). Then the 9
+# refreshers the r13 mid-round displacements pushed to this round
+# (doc_regex_token_estimate .. resample_incremental_merge, named in the
+# _R13_WINDOW comment). Then the 21 alphabetically-first r8-green
+# banked refreshers (doc_tfidf_top_terms .. unpivot_lineitem_measures;
+# user_sessions + window_functions_demo queue for r15).
+# 17 + 3 + 9 + 21 = 50.
 _ROWS_ONLY_WINDOW_OK: list[str] = [
+    "streaming_ivf_pq_cdc_ann",
+    "streaming_banded_cdc_dedup_production",
+    "streaming_ivf_cdc_ann",
+]
+_R14_WINDOW: list[str] = [
+    # -- 17 changed-since-green debt (ingest.py + workload_banded.py) --
+    "banded_layout_portable", "stateful_session_stats",
+    "streaming_banded_cdc_dedup", "streaming_click_purchase_join",
+    "streaming_click_purchase_left_join", "streaming_cms_token_topk",
+    "streaming_cumulative_unique_users", "streaming_ewma_daily",
+    "streaming_exact_dedup", "streaming_foreachbatch_upsert",
+    "streaming_hll_distinct_tokens", "streaming_hourly_resample",
+    "streaming_pack_sequences", "streaming_session_window_stats",
+    "streaming_sliding_window_counts", "streaming_static_enrichment",
+    "streaming_watermark_dedup",
+    # -- 3 rows-only CDC streams (same edited drain harness) --
+    "streaming_ivf_pq_cdc_ann", "streaming_banded_cdc_dedup_production",
+    "streaming_ivf_cdc_ann",
+    # -- 9 refreshers displaced by the r13 mid-round debt --
+    "cascade_daily_rollup", "char_stats_udtf", "cross_join_region_matrix",
+    "doc_chunking", "doc_gopher_filter", "doc_pii_scrub",
+    "doc_regex_token_estimate", "resample_incremental_merge",
+    "supplier_busy_intervals",
+    # -- 21 stalest banked refreshers (alphabetically-first r8-greens) --
+    "doc_tfidf_top_terms", "multimodal_bmp_resize",
+    "multimodal_bmp_roundtrip", "multimodal_frame_sample",
+    "multimodal_image_features", "multimodal_jpeg_features",
+    "multimodal_resize", "multimodal_wav_features",
+    "multimodal_webp_features", "pivot_qty_by_linestatus",
+    "price_percentiles", "priority_shipping_counts",
+    "promo_revenue_by_month", "range_join_order_revenue",
+    "regional_supplier_volume", "set_ops_customer_years",
+    "shipping_priority", "sliding_window_counts",
+    "supplier_part_brand_counts", "top_tokens",
+    "unpivot_lineitem_measures",
+]
+
+# Specs registered after the r14 window fills must land here and be
+# benched in the same round (the freeze policy).
+_POST_R14_ADDITIONS: list[str] = []
+
+# Retained for the rotation audit trail (round-13 window allowance).
+_R13_ROWS_ONLY_WINDOW_OK: list[str] = [
     "streaming_ivf_pq_cdc_ann",
     "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
@@ -2830,7 +2890,7 @@ _R5_QUEUE: list[str] = [
 
 def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in specs}
-    front = [by_name[n] for n in _R13_WINDOW if n in by_name]
+    front = [by_name[n] for n in _R14_WINDOW if n in by_name]
     front_set = {s.name for s in front}
     rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
     rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]
