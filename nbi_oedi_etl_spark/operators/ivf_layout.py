@@ -47,6 +47,23 @@ from nbi_oedi_etl_spark.operators.similarity import (
 _IVF_META_FILE = "_ivf_meta.json"
 
 
+def _lit_matrix(rows) -> "F.Column":
+    """ONE nested-list literal for a small codebook matrix (list/ndarray
+    of rows → array<array<double>> Literal).
+
+    The per-element form — ``F.array(*[F.array(*[F.lit(v) ...]) ...])``
+    — costs one py4j round trip per scalar (a 16×16×16 PQ codebook ≈
+    1k+ driver calls) and hands Catalyst a CreateArray tree it has to
+    re-constant-fold on every optimization pass; profiled r14 at sf0.1,
+    expression CONSTRUCTION alone was ~40 s of the IVF-PQ CDC stream's
+    53 s in-batch time. A single nested-list ``F.lit`` is one driver
+    call and one already-folded Literal node — value-identical (pinned
+    by the existing probe/encode parity tests)."""
+    if isinstance(rows, np.ndarray):
+        rows = rows.tolist()
+    return F.lit([[float(v) for v in r] for r in rows])
+
+
 def _write_ivf_meta(spark: SparkSession, dest: str, cent_unit: np.ndarray) -> None:
     from nbi_oedi_etl_spark.operators.banded_layout import _write_meta
 
@@ -216,13 +233,7 @@ def append_to_ivf_pq_layout(
             f"vector dim {bad[0]['d']} does not match layout dim {dim}"
         )
     assigned = _assign_cells(new_vectors, cent, id_col, vec_col)
-    n_cells_eff = cent.shape[1]
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(float(cent[d, j])) for d in range(dim)])
-            for j in range(n_cells_eff)
-        ]
-    )
+    cent_lit = _lit_matrix(cent.T)  # cells×dim: element j = centroid j
     res = assigned.withColumn(
         "res",
         F.zip_with("emb", F.element_at(cent_lit, F.col("cell") + 1), lambda x, y: x - y),
@@ -429,13 +440,11 @@ def _pq_encode_codes(
     encoded = res
     for s in range(pq_m):
         sub_slice = F.slice("res", s * dsub + 1, dsub)
-        dists = F.array(
-            *[
-                l2_distance(
-                    sub_slice, F.array(*[F.lit(float(v)) for v in books[s][c]])
-                )
-                for c in range(len(books[s]))
-            ]
+        # transform over the ONE-literal codebook evaluates the same
+        # l2_distance per code in dense-code order, so first-min =
+        # lowest dense code exactly as the per-code F.array form did
+        dists = F.transform(
+            _lit_matrix(books[s]), lambda c: l2_distance(sub_slice, c)
         )
         encoded = encoded.withColumn(
             f"code_{s}",
@@ -484,23 +493,29 @@ def write_ivf_pq_layout(
         cent_unit = ivf_codebook(corpus, n_cells, id_col, vec_col, seed)
     if cent_unit is None:
         raise ValueError("empty corpus: no codebook")
-    dim, n_cells_eff = cent_unit.shape
+    dim = cent_unit.shape[0]
     if dim % pq_m:
         raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
     dsub = dim // pq_m
     assigned = _assign_cells(corpus, cent_unit, id_col, vec_col)
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(float(cent_unit[d, j])) for d in range(dim)])
-            for j in range(n_cells_eff)
-        ]
-    )
+    cent_lit = _lit_matrix(cent_unit.T)  # cells×dim: element j = centroid j
     res = assigned.withColumn(
         "res",
         F.zip_with("emb", F.element_at(cent_lit, F.col("cell") + 1), lambda x, y: x - y),
     )
     subs = pq_subvectors(res, pq_m, dsub, vec_col="res")
-    cb = pq_train_codebook(subs, pq_k)
+    # Same init set as pq_train_codebook's default (the k smallest
+    # vec_ids — ids are unique per the corpus contract, so distinct
+    # over the exploded subs ≡ distinct over the corpus), but derived
+    # as a column-pruned TakeOrdered on the RAW scan instead of a
+    # distinct+sort over the assign-UDF+explode chain (profiled r14:
+    # that default init job alone cost 9 s of the 21 s first-batch
+    # layout build at sf0.1 — the chain re-executes per job).
+    init_ids = [
+        r[0]
+        for r in corpus.select(F.col(id_col)).orderBy(id_col).limit(pq_k).collect()
+    ]
+    cb = pq_train_codebook(subs, pq_k, init_ids=init_ids)
     cb_rows = sorted(
         ((r["sub"], r["code"], list(r["c_emb"])) for r in cb.collect()),
     )
@@ -609,21 +624,8 @@ def probe_ivf_pq_layout(
         )
         broadcast_q = True
     books = meta["codebooks"]
-    cb_lits = [
-        F.array(
-            *[
-                F.array(*[F.lit(float(v)) for v in books[s][c]])
-                for c in range(len(books[s]))
-            ]
-        )
-        for s in range(pq_m)
-    ]
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(float(cent_unit[d, j])) for d in range(dim)])
-            for j in range(cent_unit.shape[1])
-        ]
-    )
+    cb_lits = [_lit_matrix(books[s]) for s in range(pq_m)]
+    cent_lit = _lit_matrix(cent_unit.T)
     recon = F.concat(
         *[F.element_at(cb_lits[s], F.col(f"code_{s}") + 1) for s in range(pq_m)]
     )
