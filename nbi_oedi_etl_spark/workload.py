@@ -2638,37 +2638,66 @@ _POST_R11_ADDITIONS: list[str] = [
 # resample_incremental_merge.
 # 13 + 3 + 9 + 25 = 50.
 # ---- round-14 window ---------------------------------------------------
-# This is the dedicated streaming verification window the r13 verdict
-# planned: fixing await_with_idle_timeout (arm the idle clock on the
-# first COMPLETED batch — reference monitor.py:221-274 queues-empty
-# semantics) edits streaming/ingest.py, and the staged-split hardening
-# (all-three-part-files stale check + lock, ADVICE r13 #2) edits
-# workload_banded.py, so the digest walk flags every spec that imports
-# either: the 16 oracled streaming specs + banded_layout_portable = 17
-# debt entries, verified against tools/rotation_audit.py this round.
-# Then the THREE rows-only CDC streams (same harness, same files —
-# their row checks re-prove the edited drain path). Then the 9
-# refreshers the r13 mid-round displacements pushed to this round
-# (doc_regex_token_estimate .. resample_incremental_merge, named in the
-# _R13_WINDOW comment). Then the 21 alphabetically-first r8-green
-# banked refreshers (doc_tfidf_top_terms .. unpivot_lineitem_measures;
-# user_sessions + window_functions_demo queue for r15).
-# 17 + 3 + 9 + 21 = 50.
+# The dedicated streaming + ANN verification window the r13 verdict
+# planned, two edit waves:
+# (1) fixing await_with_idle_timeout (arm the idle clock on the first
+#     COMPLETED batch — reference monitor.py:221-274 queues-empty
+#     semantics) edits streaming/ingest.py, and the staged-split
+#     hardening (all-three-part-files stale check + lock, ADVICE r13
+#     #2) edits workload_banded.py → the 16 oracled streaming specs +
+#     banded_layout_portable;
+# (2) the IVF/PQ plan-construction optimization (_lit_matrix single-
+#     Literal codebooks, _pq_assign_fast literal-projection argmin,
+#     TakeOrdered init ids — profiled ~40 s of driver-side expression
+#     churn in the sf0.1 IVF-PQ stream) edits operators/similarity.py +
+#     operators/ivf_layout.py → the ANN/kmeans/PQ family (14 more).
+# 31 oracled debt entries total, verified against tools/
+# rotation_audit.py this round. Then the THREE rows-only CDC streams
+# (same edited harness — their row checks re-prove the drain path).
+# Then the 9 refreshers the r13 mid-round displacements pushed here
+# (doc_regex_token_estimate .. resample_incremental_merge, named in
+# the _R13_WINDOW comment — they keep their two-round-old promise).
+# Then 7 of the alphabetically-first r8-green banked refreshers; the
+# 14 remaining r8-greens (multimodal_resize .. window_functions_demo)
+# queue for r15.
+# 31 + 3 + 9 + 7 = 50.
 _ROWS_ONLY_WINDOW_OK: list[str] = [
     "streaming_ivf_pq_cdc_ann",
     "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
 ]
 _R14_WINDOW: list[str] = [
-    # -- 17 changed-since-green debt (ingest.py + workload_banded.py) --
-    "banded_layout_portable", "stateful_session_stats",
-    "streaming_banded_cdc_dedup", "streaming_click_purchase_join",
-    "streaming_click_purchase_left_join", "streaming_cms_token_topk",
-    "streaming_cumulative_unique_users", "streaming_ewma_daily",
-    "streaming_exact_dedup", "streaming_foreachbatch_upsert",
-    "streaming_hll_distinct_tokens", "streaming_hourly_resample",
-    "streaming_pack_sequences", "streaming_session_window_stats",
-    "streaming_sliding_window_counts", "streaming_static_enrichment",
+    # -- 31 changed-since-green debt (the two edit waves above) --
+    "ann_recall_portable",
+    "banded_layout_portable",
+    "embedding_ann_portable",
+    "embedding_ivf_portable",
+    "embedding_near_dup_exact_small",
+    "embedding_pq_adc_topk",
+    "embedding_pq_codes",
+    "embedding_topk_cosine",
+    "ivf_pq_portable",
+    "ivf_pq_recall_curve",
+    "ivf_recall_curve",
+    "kmeans_assign_embeddings",
+    "kmeans_lloyd_3iter",
+    "pq_recall_audit",
+    "semantic_dedup_cells",
+    "stateful_session_stats",
+    "streaming_banded_cdc_dedup",
+    "streaming_click_purchase_join",
+    "streaming_click_purchase_left_join",
+    "streaming_cms_token_topk",
+    "streaming_cumulative_unique_users",
+    "streaming_ewma_daily",
+    "streaming_exact_dedup",
+    "streaming_foreachbatch_upsert",
+    "streaming_hll_distinct_tokens",
+    "streaming_hourly_resample",
+    "streaming_pack_sequences",
+    "streaming_session_window_stats",
+    "streaming_sliding_window_counts",
+    "streaming_static_enrichment",
     "streaming_watermark_dedup",
     # -- 3 rows-only CDC streams (same edited drain harness) --
     "streaming_ivf_pq_cdc_ann", "streaming_banded_cdc_dedup_production",
@@ -2678,18 +2707,11 @@ _R14_WINDOW: list[str] = [
     "doc_chunking", "doc_gopher_filter", "doc_pii_scrub",
     "doc_regex_token_estimate", "resample_incremental_merge",
     "supplier_busy_intervals",
-    # -- 21 stalest banked refreshers (alphabetically-first r8-greens) --
+    # -- 7 stalest banked refreshers (alphabetically-first r8-greens) --
     "doc_tfidf_top_terms", "multimodal_bmp_resize",
     "multimodal_bmp_roundtrip", "multimodal_frame_sample",
     "multimodal_image_features", "multimodal_jpeg_features",
-    "multimodal_resize", "multimodal_wav_features",
-    "multimodal_webp_features", "pivot_qty_by_linestatus",
-    "price_percentiles", "priority_shipping_counts",
-    "promo_revenue_by_month", "range_join_order_revenue",
-    "regional_supplier_volume", "set_ops_customer_years",
-    "shipping_priority", "sliding_window_counts",
-    "supplier_part_brand_counts", "top_tokens",
-    "unpivot_lineitem_measures",
+    "multimodal_resize",
 ]
 
 # Specs registered after the r14 window fills must land here and be
