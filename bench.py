@@ -409,14 +409,18 @@ def main() -> None:
         hi[name] = round(samples[2], 3)
 
     total = round(sum(times.values()), 3)
+    # Key ORDER is deliberate (r13 verdict process nit): the driver
+    # records a bounded TAIL of stdout, so whatever dict prints last is
+    # what a reader of BENCH_r{N}.json sees as "the per-query numbers".
+    # With min/max first and the MEDIANS last, the tail shows the same
+    # estimator as the parsed total — r13's tail ended in queries_max
+    # (the worst pass's samples), which read as 4× regressions the
+    # medians refuted.
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "estimator": "median3",
-        "queries": times,
-        "queries_min": lo,
-        "queries_max": hi,
         "spread": [round(sum(lo.values()), 3), round(sum(hi.values()), 3)],
         "sf": sf,
         "calib_s": calibs[1],
@@ -426,6 +430,10 @@ def main() -> None:
         # guard calibrates on the WORSE of the two ratios
         "calib_mt_s": calibs_mt[1],
         "calib_mt_samples": calibs_mt,
+        "queries_min": lo,
+        "queries_max": hi,
+        # medians LAST so the driver's stdout tail shows them
+        "queries": times,
     }
     # Per-query detail goes to a file + an early stdout line; the FINAL stdout
     # line is a short (<200 char) summary. Round 3's single ~2.5 KB JSON line
