@@ -391,20 +391,38 @@ def _driver_probe_relation(
     STATIC partition predicate Catalyst prunes the file listing with,
     before any IO."""
     rows = q_src.collect()  # broadcast-sized by the caller's contract
+    return _probe_relation_from_rows(
+        spark, rows, list(q_src.schema.fields), cent_unit, n_probe
+    )
+
+
+def _probe_relation_from_rows(
+    spark: SparkSession,
+    rows: list,
+    q_fields: list,
+    cent_unit: np.ndarray,
+    n_probe: int,
+) -> tuple[DataFrame, list[int]]:
+    """Core of ``_driver_probe_relation`` over an ALREADY-collected
+    (query_id, q_emb) row list — the fused CDC step collects its batch
+    once and shares the rows between the probe and append legs (guide
+    §2.4: remove redundant passes), so the scaffold must not re-collect.
+    ``q_fields`` are the two StructFields of the (query_id, q_emb)
+    projection; rows are read positionally (index 0 = id, 1 = vector)."""
     if rows:
-        mat = np.asarray([r["q_emb"] for r in rows], dtype=np.float64)
+        mat = np.asarray([r[1] for r in rows], dtype=np.float64)
         cells = probe_cells(mat, cent_unit, n_probe)
     else:
         cells = np.empty((0, n_probe), dtype="int32")
     exploded = [
-        (r["query_id"], r["q_emb"], int(cell))
+        (r[0], r[1], int(cell))
         for r, row_cells in zip(rows, cells)
         for cell in row_cells
     ]
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     q_schema = StructType(
-        list(q_src.schema.fields) + [StructField("cell", IntegerType(), False)]
+        list(q_fields) + [StructField("cell", IntegerType(), False)]
     )
     q = spark.createDataFrame(exploded, q_schema)
     return q, sorted({int(c) for c in cells.ravel()})
@@ -623,6 +641,23 @@ def probe_ivf_pq_layout(
             .select("vec_id", "cell", *code_cols)
         )
         broadcast_q = True
+    return _adc_rerank(scan, q, meta, cent_unit, k, broadcast_q)
+
+
+def _adc_rerank(
+    scan: DataFrame,
+    q: DataFrame,
+    meta: dict,
+    cent_unit: np.ndarray,
+    k: int,
+    broadcast_q: bool,
+) -> DataFrame:
+    """Shared ADC tail (probe + fused CDC step): reconstruct every scanned
+    row from its dense codes via literal ``element_at`` (cell centroid +
+    per-sub codebook rows) and cosine-rerank against the query relation.
+    ``scan`` must carry (vec_id, cell, code_0..code_{m-1})."""
+    pq_m = meta["pq_m"]
+    code_cols = [f"code_{s}" for s in range(pq_m)]
     books = meta["codebooks"]
     cb_lits = [_lit_matrix(books[s]) for s in range(pq_m)]
     cent_lit = _lit_matrix(cent_unit.T)
