@@ -177,6 +177,34 @@ def write_banded_layout(
     _write_meta(banded.sparkSession, dest, meta)
 
 
+def banded_rows_for_layout(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band ``docs`` with the layout's OWN sidecar parameters — the
+    (doc_id, band_id, band_hash) frame ``probe_banded_layout`` /
+    ``append_to_banded_layout`` would derive internally. A CDC loop that
+    probes a batch and then appends it bands the SAME batch twice (the
+    banding pipeline — shingle explode + k min-aggregates — is the
+    expensive half of each leg); banding once through this helper,
+    ``localCheckpoint``-ing, and passing the result to both legs via
+    ``banded_rows`` halves the per-batch signature work (guide §2.4:
+    remove redundant passes). Only meaningful for INTERNAL-family
+    layouts (external ones already require caller-supplied rows)."""
+    m = _read_meta(spark, path)
+    if m["external_banding"]:
+        raise ValueError(
+            "layout was written from external banded_rows; band with the "
+            "external family directly instead of this helper"
+        )
+    return band_rows(
+        docs, text_col, id_col, m["num_hashes"], m["bands"], m["shingle_n"]
+    )
+
+
 def append_to_banded_layout(
     spark: SparkSession,
     path: str,
@@ -193,14 +221,22 @@ def append_to_banded_layout(
     ``compact_banded_layout`` on a cadence if batch cadence is high
     (file-count trajectory measured over a 20-batch drill in
     ``tools/banded_cdc_drill.py``). The sidecar is already correct
-    (same parameters), so only data files are written."""
+    (same parameters), so only data files are written.
+
+    ``banded_rows`` on an INTERNAL layout (r14): pre-banded rows for the
+    batch, trusted to come from ``banded_rows_for_layout`` (i.e. banded
+    with the layout's own sidecar parameters) — the probe+append CDC
+    loop bands each batch ONCE and shares the checkpointed rows between
+    both legs instead of running the banding pipeline twice. Before r14
+    a caller-supplied ``banded_rows`` was silently IGNORED here unless
+    the layout was external — strictly more dangerous than honoring it."""
     m = _read_meta(spark, path)
-    if m["external_banding"]:
-        if banded_rows is None:
-            raise ValueError(
-                "layout was written from external banded_rows; appends "
-                "must supply banded_rows from the same banding family"
-            )
+    if m["external_banding"] and banded_rows is None:
+        raise ValueError(
+            "layout was written from external banded_rows; appends "
+            "must supply banded_rows from the same banding family"
+        )
+    if banded_rows is not None:
         banded = banded_rows
     else:
         banded = band_rows(
@@ -235,15 +271,18 @@ def probe_banded_layout(
     An ``external_banding`` layout (see ``write_banded_layout``) carries
     no banding parameters, so the probe must be given the batch's
     ``banded_rows`` under the SAME external family — mixing families
-    would silently find nothing, hence the hard error.
+    would silently find nothing, hence the hard error. On an INTERNAL
+    layout, ``banded_rows`` (r14) is the pre-banded batch from
+    ``banded_rows_for_layout`` — see ``append_to_banded_layout`` for the
+    shared-banding CDC contract.
     """
     m = _read_meta(spark, path)
-    if m["external_banding"]:
-        if banded_rows is None:
-            raise ValueError(
-                "layout was written from external banded_rows; the probe "
-                "must supply banded_rows from the same banding family"
-            )
+    if m["external_banding"] and banded_rows is None:
+        raise ValueError(
+            "layout was written from external banded_rows; the probe "
+            "must supply banded_rows from the same banding family"
+        )
+    if banded_rows is not None:
         q = banded_rows.withColumn("pcell", _pcell(m["n_buckets"]))
     else:
         q = band_rows(

@@ -428,6 +428,188 @@ def _probe_relation_from_rows(
     return q, sorted({int(c) for c in cells.ravel()})
 
 
+def _cdc_collect_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, list, bool]:
+    """Shared head of the fused CDC steps: project the batch to
+    (query_id, q_emb) and collect it ONCE, bounded by the same
+    ``limit(cap+1)`` the probe dispatch uses. Returns (projection, rows,
+    oversized) — an oversized batch means the caller falls back to the
+    unfused operator pair. The float64 matrix is built by each caller
+    AFTER its own guards (the PQ dim guard must fire its refusal before
+    numpy sees a ragged batch)."""
+    q_src = batch.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_emb"),
+    )
+    cap = _MAX_PROBE_BATCH_ROWS
+    rows = q_src.limit(cap + 1).collect()
+    return q_src, rows, len(rows) > cap
+
+
+def _local_assigned_relation(
+    spark: SparkSession,
+    rows: list,
+    q_fields: list,
+    cells: "np.ndarray",
+) -> DataFrame:
+    """(vec_id, emb, cell) LOCAL relation from the shared collected batch
+    + driver-computed cell assignment — the append leg's input, replacing
+    a second scan through the ``ivf_cell_udf`` pandas boundary (guide §4:
+    the batch is already on the driver; re-entering Python per row buys
+    nothing). Schema keeps the batch's native id type."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", q_fields[0].dataType, q_fields[0].nullable),
+            StructField("emb", q_fields[1].dataType, q_fields[1].nullable),
+            StructField("cell", IntegerType(), False),
+        ]
+    )
+    data = [(r[0], r[1], int(c)) for r, c in zip(rows, cells)]
+    return spark.createDataFrame(data, schema)
+
+
+def cdc_probe_append_ivf_layout(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame | None:
+    """FUSED CDC step (r14, guide §2.4/§4): probe ``batch`` against all
+    PRIOR vectors in the layout, then fold the batch in — the
+    ``probe_ivf_layout`` + ``append_to_ivf_layout`` pair a CDC stream
+    runs per micro-batch, sharing ONE driver collect of the
+    (CDC-sized-by-contract) batch between both legs. The unfused pair
+    costs per batch: an isEmpty peek, the probe's dispatch peek + its
+    own collect, and an append that re-scans the batch through the
+    ``ivf_cell_udf`` pandas boundary plus a repartition shuffle. Fused:
+    one bounded collect, probe math AND cell assignment driver-side in
+    numpy (``probe_cells`` / the same ``argmax`` expression
+    ``ivf_cell_udf`` evaluates — parity pinned in tests), and the append
+    writes a local relation with ``coalesce(1)`` (no shuffle; same
+    one-file-per-touched-cell layout shape).
+
+    The probe leg resolves its file listing BEFORE the append writes, so
+    results exclude the batch itself — byte-identical to the unfused
+    sequence (also pinned). Returns the probe result, or ``None`` for an
+    empty batch (nothing probed, nothing appended). Batches past
+    ``_MAX_PROBE_BATCH_ROWS`` fall back to the unfused operator pair
+    (distributed probe branch; executor-side assign)."""
+    q_src, rows, oversized = _cdc_collect_batch(spark, batch, query_id_col, vec_col)
+    if oversized:
+        res = probe_ivf_layout(
+            spark, path, batch, k=k, n_probe=n_probe,
+            query_id_col=query_id_col, vec_col=vec_col,
+        )
+        append_to_ivf_layout(
+            spark, path, batch, id_col=query_id_col, vec_col=vec_col
+        )
+        return res
+    if not rows:
+        return None
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    cent_unit = read_ivf_codebook(spark, path)
+    q_fields = list(q_src.schema.fields)
+    q, probed = _probe_relation_from_rows(spark, rows, q_fields, cent_unit, n_probe)
+    # File listing resolves HERE — before the append below lands — so the
+    # probe never sees the batch's own rows (the unfused ordering).
+    c = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    res = _rerank_candidates(c, q, k, broadcast_q=True)
+    # Append leg: np.argmax over the shared matrix IS ivf_cell_udf's math
+    # (same matmul, same first-max tie rule).
+    cells = np.argmax(mat @ cent_unit, axis=1).astype("int32")
+    (
+        _local_assigned_relation(spark, rows, q_fields, cells)
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return res
+
+
+def cdc_probe_append_ivf_pq_layout(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame | None:
+    """Compressed-tier twin of ``cdc_probe_append_ivf_layout``: one
+    bounded collect shared by the ADC probe leg and the PQ-encoding
+    append leg. The encode itself stays the ``_pq_encode_codes``
+    projection (expression-for-expression the build path's encoder, so
+    codes cannot drift) — but evaluated over the LOCAL assigned relation
+    instead of a second scan through the assign UDF, and the unfused
+    pair's per-batch sidecar reads (codebook twice, PQ meta twice, the
+    ``_is_pq_layout`` existence check) collapse to one read each. The
+    every-row dim guard moves driver-side over the shared rows — same
+    refusal contract as ``append_to_ivf_pq_layout`` (ADVICE r12), zero
+    extra jobs. Returns the ADC probe result, or ``None`` for an empty
+    batch; oversized batches fall back to the unfused operator pair."""
+    q_src, rows, oversized = _cdc_collect_batch(spark, batch, query_id_col, vec_col)
+    if oversized:
+        res = probe_ivf_pq_layout(
+            spark, path, batch, k=k, n_probe=n_probe,
+            query_id_col=query_id_col, vec_col=vec_col,
+        )
+        append_to_ivf_pq_layout(
+            spark, path, batch, id_col=query_id_col, vec_col=vec_col
+        )
+        return res
+    if not rows:
+        return None
+    cent_unit = read_ivf_codebook(spark, path)
+    meta = read_ivf_pq_meta(spark, path)
+    pq_m, dsub = meta["pq_m"], meta["pq_dsub"]
+    dim = cent_unit.shape[0]
+    if pq_m * dsub != dim:
+        raise ValueError(
+            f"inconsistent sidecars at {path}: pq_m*dsub = {pq_m * dsub} != dim {dim}"
+        )
+    for r in rows:
+        if len(r[1]) != dim:
+            raise ValueError(
+                f"vector dim {len(r[1])} does not match layout dim {dim}"
+            )
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    q_fields = list(q_src.schema.fields)
+    q, probed = _probe_relation_from_rows(spark, rows, q_fields, cent_unit, n_probe)
+    code_cols = [f"code_{s}" for s in range(pq_m)]
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probed))
+        .select("vec_id", "cell", *code_cols)
+    )
+    res = _adc_rerank(scan, q, meta, cent_unit, k, broadcast_q=True)
+    cells = np.argmax(mat @ cent_unit, axis=1).astype("int32")
+    assigned = _local_assigned_relation(spark, rows, q_fields, cells)
+    cent_lit = _lit_matrix(cent_unit.T)
+    resid = assigned.withColumn(
+        "res",
+        F.zip_with("emb", F.element_at(cent_lit, F.col("cell") + 1), lambda x, y: x - y),
+    )
+    (
+        _pq_encode_codes(resid, meta["codebooks"], pq_m, dsub)
+        .drop("res")
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return res
+
+
 # ---------------------------------------------- at-rest IVF-PQ layout
 # The compressed tier of the layout: PQ codes stored as layout COLUMNS
 # beside the cell partitioning, so a probe composes BOTH prunings —

@@ -267,6 +267,12 @@ def streaming_banded_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [], "doc_id_new long, doc_id_corpus long"
             ).repartition(1)
         else:
+            # r14 (guide §2.4): the signature pipeline (shingle explode +
+            # 8 md5 min-aggregates) is the expensive half of BOTH legs —
+            # checkpoint the band rows once and share them, instead of
+            # probe and append each re-deriving them from the raw batch
+            # (two full signature passes per batch before this round).
+            rows = rows.localCheckpoint(eager=True)
             # within-batch distinct only: LSH emits a pair once per
             # matching band; ACROSS batches pair sets are disjoint by
             # construction (doc_id_new ∈ this batch, each doc arrives
@@ -311,6 +317,7 @@ def streaming_banded_cdc_dedup_production(
 
     from nbi_oedi_etl_spark.operators.banded_layout import (
         append_to_banded_layout,
+        banded_rows_for_layout,
         probe_banded_layout,
         write_banded_layout,
     )
@@ -333,10 +340,17 @@ def streaming_banded_cdc_dedup_production(
                 [], "doc_id_new long, doc_id_corpus long"
             ).repartition(1)
         else:
+            # r14 (guide §2.4, the portable twin's lever): band the batch
+            # ONCE with the layout's own sidecar parameters, checkpoint,
+            # and share the rows between probe and append — before this
+            # round each leg re-ran the xxhash64 banding pipeline itself.
+            rows = banded_rows_for_layout(bs, layout, docs).localCheckpoint(
+                eager=True
+            )
             # per-batch delta + within-batch distinct (see the portable
             # twin — cross-batch pair sets are disjoint by construction)
-            pairs = probe_banded_layout(bs, layout, new_docs=docs).distinct()
-            append_to_banded_layout(bs, layout, new_docs=docs)
+            pairs = probe_banded_layout(bs, layout, banded_rows=rows).distinct()
+            append_to_banded_layout(bs, layout, banded_rows=rows)
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_root, f"batch={batch_id}")
         )
@@ -428,8 +442,7 @@ def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from nbi_oedi_etl_spark.operators.ivf_layout import (
-        append_to_ivf_layout,
-        probe_ivf_layout,
+        cdc_probe_append_ivf_layout,
         write_ivf_layout,
     )
 
@@ -446,18 +459,28 @@ def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         bs = batch_df.sparkSession
         vecs = batch_df.select("vec_id", "embedding")
-        if vecs.isEmpty():
-            # nothing to index or probe (e.g. an empty corpus stream) —
-            # the layout fits on the first NONEMPTY batch. repartition(1)
-            # forces a schema-bearing empty part file for union-on-read.
-            res = bs.createDataFrame([], empty_schema).repartition(1)
-        elif not state["fitted"]:
-            write_ivf_layout(vecs, layout, n_cells=8)
-            state["fitted"] = True
-            res = bs.createDataFrame([], empty_schema).repartition(1)
+        if not state["fitted"]:
+            if vecs.isEmpty():
+                # nothing to index — the layout fits on the first
+                # NONEMPTY batch. repartition(1) forces a schema-bearing
+                # empty part file for union-on-read.
+                res = bs.createDataFrame([], empty_schema).repartition(1)
+            else:
+                write_ivf_layout(vecs, layout, n_cells=8)
+                state["fitted"] = True
+                res = bs.createDataFrame([], empty_schema).repartition(1)
         else:
-            res = probe_ivf_layout(bs, layout, vecs, k=3, query_id_col="vec_id")
-            append_to_ivf_layout(bs, layout, vecs)
+            # r14 fused CDC step (guide §2.4/§4): one driver collect
+            # shared by the probe and append legs, driver-side cell
+            # assignment instead of a second pandas-UDF scan, and the
+            # old per-batch isEmpty peek folded into the same collect
+            # (None = empty batch). Results pinned identical to the
+            # probe-then-append pair in tests/test_new_op_properties.py.
+            res = cdc_probe_append_ivf_layout(
+                bs, layout, vecs, k=3, query_id_col="vec_id"
+            )
+            if res is None:
+                res = bs.createDataFrame([], empty_schema).repartition(1)
         # r12: per-batch result DELTA (batch=<id>), union-on-read — the
         # old prev-union-overwrite rewrote the accumulated results every
         # trigger (O(B²) write volume; the same anti-pattern the r11
@@ -502,8 +525,7 @@ def streaming_ivf_pq_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from nbi_oedi_etl_spark.operators.ivf_layout import (
-        append_to_ivf_pq_layout,
-        probe_ivf_pq_layout,
+        cdc_probe_append_ivf_pq_layout,
         write_ivf_pq_layout,
     )
 
@@ -515,17 +537,22 @@ def streaming_ivf_pq_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         bs = batch_df.sparkSession
         vecs = batch_df.select("vec_id", "embedding")
-        if vecs.isEmpty():
-            res = bs.createDataFrame([], empty_schema).repartition(1)
-        elif not state["fitted"]:
-            write_ivf_pq_layout(vecs, layout, n_cells=8, pq_m=4, pq_k=16)
-            state["fitted"] = True
-            res = bs.createDataFrame([], empty_schema).repartition(1)
+        if not state["fitted"]:
+            if vecs.isEmpty():
+                res = bs.createDataFrame([], empty_schema).repartition(1)
+            else:
+                write_ivf_pq_layout(vecs, layout, n_cells=8, pq_m=4, pq_k=16)
+                state["fitted"] = True
+                res = bs.createDataFrame([], empty_schema).repartition(1)
         else:
-            res = probe_ivf_pq_layout(
+            # r14 fused CDC step — see streaming_ivf_cdc_ann: one shared
+            # collect, driver-side assign, encode projection over the
+            # local relation, one sidecar read each per batch.
+            res = cdc_probe_append_ivf_pq_layout(
                 bs, layout, vecs, k=3, query_id_col="vec_id"
             )
-            append_to_ivf_pq_layout(bs, layout, vecs)
+            if res is None:
+                res = bs.createDataFrame([], empty_schema).repartition(1)
         res.write.mode("overwrite").parquet(
             os.path.join(out_root, f"batch={batch_id}")
         )

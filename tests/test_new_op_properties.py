@@ -1105,3 +1105,166 @@ def test_recall_curves_structural_invariants(spark):
     for a, b in zip(rs, rs[1:]):
         assert lsh[a]["n_candidates"] >= lsh[b]["n_candidates"], "nested bands"
         assert lsh[a]["recall"] >= lsh[b]["recall"] - 1e-9
+
+
+def test_cdc_fused_ivf_probe_append_matches_unfused(spark, tmp_path):
+    """r14 fused CDC step: ``cdc_probe_append_ivf_layout`` must return
+    exactly what the unfused probe-then-append pair returns AND leave the
+    layout holding exactly the same (vec_id, cell, emb) rows — the fused
+    helper shares one collect and assigns cells driver-side, so this pins
+    that the driver argmax == ``ivf_cell_udf``'s assignment and that the
+    fused probe never sees the batch it appends."""
+    import numpy as np
+
+    from nbi_oedi_etl_spark.operators import ivf_layout as il
+
+    rng = np.random.default_rng(14)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(150)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = corpus.where(F.col("vec_id") % 3 != 0)
+    batch = corpus.where(F.col("vec_id") % 3 == 0)
+
+    cent = il.ivf_codebook(base, 8, "vec_id", "embedding", 42)
+    d_unfused = str(tmp_path / "unfused")
+    d_fused = str(tmp_path / "fused")
+    il.write_ivf_layout(base, d_unfused, cent_unit=cent)
+    il.write_ivf_layout(base, d_fused, cent_unit=cent)
+
+    want = sorted(map(tuple, il.probe_ivf_layout(
+        spark, d_unfused, batch, k=4, query_id_col="vec_id"
+    ).collect()))
+    il.append_to_ivf_layout(spark, d_unfused, batch)
+
+    fused = il.cdc_probe_append_ivf_layout(
+        spark, d_fused, batch, k=4, query_id_col="vec_id"
+    )
+    got = sorted(map(tuple, fused.collect()))
+    assert got == want and len(got) > 0
+
+    def layout_rows(dest):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["emb"]))
+            for r in spark.read.parquet(dest).collect()
+        )
+
+    assert layout_rows(d_fused) == layout_rows(d_unfused)
+
+    # empty batch: nothing probed, nothing appended, None returned
+    empty = batch.where(F.lit(False))
+    before = layout_rows(d_fused)
+    assert il.cdc_probe_append_ivf_layout(
+        spark, d_fused, empty, k=4, query_id_col="vec_id"
+    ) is None
+    assert layout_rows(d_fused) == before
+
+
+def test_cdc_fused_ivf_pq_probe_append_matches_unfused(spark, tmp_path):
+    """Compressed-tier twin: fused ADC probe + PQ-encoding append ≡ the
+    unfused pair, including the stored dense codes (the encode runs over
+    the local relation but through the same ``_pq_encode_codes``
+    projection), and the every-row dim guard still refuses a mixed-dim
+    batch."""
+    import numpy as np
+    import pytest
+
+    from nbi_oedi_etl_spark.operators import ivf_layout as il
+
+    rng = np.random.default_rng(15)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(150)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = corpus.where(F.col("vec_id") % 3 != 0)
+    batch = corpus.where(F.col("vec_id") % 3 == 0)
+
+    d_unfused = str(tmp_path / "unfused")
+    d_fused = str(tmp_path / "fused")
+    il.write_ivf_pq_layout(base, d_unfused, n_cells=6, pq_m=4, pq_k=8)
+    il.write_ivf_pq_layout(base, d_fused, n_cells=6, pq_m=4, pq_k=8)
+
+    want = sorted(map(tuple, il.probe_ivf_pq_layout(
+        spark, d_unfused, batch, k=4, query_id_col="vec_id"
+    ).collect()))
+    il.append_to_ivf_pq_layout(spark, d_unfused, batch)
+
+    fused = il.cdc_probe_append_ivf_pq_layout(
+        spark, d_fused, batch, k=4, query_id_col="vec_id"
+    )
+    got = sorted(map(tuple, fused.collect()))
+    assert got == want and len(got) > 0
+
+    def layout_rows(dest):
+        df = spark.read.parquet(dest)
+        code_cols = sorted(c for c in df.columns if c.startswith("code_"))
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["emb"]),
+             tuple(r[c] for c in code_cols))
+            for r in df.collect()
+        )
+
+    assert layout_rows(d_fused) == layout_rows(d_unfused)
+
+    # mixed-dim batch refused on ANY row (the ADVICE r12 guard, kept
+    # by the fused path's driver-side check)
+    mixed = spark.createDataFrame(
+        [(9001, rng.standard_normal(8).tolist()),
+         (9002, rng.standard_normal(6).tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    before = layout_rows(d_fused)
+    with pytest.raises(ValueError, match="does not match layout dim"):
+        il.cdc_probe_append_ivf_pq_layout(
+            spark, d_fused, mixed, k=4, query_id_col="vec_id"
+        )
+    assert layout_rows(d_fused) == before
+
+
+def test_banded_precomputed_rows_match_internal_banding(spark, tmp_path):
+    """r14 shared-banding CDC contract: probing/appending an INTERNAL
+    layout with ``banded_rows_for_layout``-precomputed rows must equal
+    the ``new_docs`` route (each leg banding internally) — pairs AND
+    layout contents."""
+    from nbi_oedi_etl_spark.operators import banded_layout as bl
+
+    docs = [
+        (i, f"tok{i % 7} alpha beta gamma delta tok{i % 5} epsilon zeta "
+            f"eta theta tok{i % 3}")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = df.where(F.col("doc_id") % 3 != 0)
+    batch = df.where(F.col("doc_id") % 3 == 0)
+
+    d_docs = str(tmp_path / "docs_route")
+    d_rows = str(tmp_path / "rows_route")
+    for d in (d_docs, d_rows):
+        bl.write_banded_layout(base, d, num_hashes=8, bands=4, n_buckets=16)
+
+    want = sorted(map(tuple, bl.probe_banded_layout(
+        spark, d_docs, new_docs=batch
+    ).collect()))
+    bl.append_to_banded_layout(spark, d_docs, new_docs=batch)
+
+    rows = bl.banded_rows_for_layout(spark, d_rows, batch).localCheckpoint(
+        eager=True
+    )
+    got = sorted(map(tuple, bl.probe_banded_layout(
+        spark, d_rows, banded_rows=rows
+    ).collect()))
+    bl.append_to_banded_layout(spark, d_rows, banded_rows=rows)
+    assert got == want and len(got) > 0
+
+    def layout_rows(dest):
+        return sorted(
+            map(tuple, spark.read.parquet(dest)
+                .select("doc_id", "band_id", "band_hash", "pcell").collect())
+        )
+
+    assert layout_rows(d_rows) == layout_rows(d_docs)
+
+    # the helper refuses an external-family layout (no parameters to band with)
+    import pytest
+
+    d_ext = str(tmp_path / "ext")
+    ext_rows = bl.band_rows(base, num_hashes=8, bands=4)
+    bl.write_banded_layout(None, d_ext, n_buckets=16, banded_rows=ext_rows)
+    with pytest.raises(ValueError, match="external"):
+        bl.banded_rows_for_layout(spark, d_ext, batch)
