@@ -524,11 +524,16 @@ def cdc_probe_append_ivf_layout(
     c = spark.read.parquet(path).where(F.col("cell").isin(probed))
     res = _rerank_candidates(c, q, k, broadcast_q=True)
     # Append leg: np.argmax over the shared matrix IS ivf_cell_udf's math
-    # (same matmul, same first-max tie rule).
+    # (same matmul, same first-max tie rule). repartition("cell"), NOT
+    # coalesce(1): the dynamic-partition write's cost is per
+    # (task × touched-cell-dir) writer+commit overhead, and one task
+    # fanning out to every cell dir measured 6–8 s for a 667-row batch
+    # vs 1.4 s for hash-by-cell (each task writes exactly one dir — the
+    # same one-file-per-touched-cell shape as ``append_to_ivf_layout``).
     cells = np.argmax(mat @ cent_unit, axis=1).astype("int32")
     (
         _local_assigned_relation(spark, rows, q_fields, cells)
-        .coalesce(1)
+        .repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
@@ -602,7 +607,8 @@ def cdc_probe_append_ivf_pq_layout(
     (
         _pq_encode_codes(resid, meta["codebooks"], pq_m, dsub)
         .drop("res")
-        .coalesce(1)
+        # hash-by-cell, not coalesce(1) — see cdc_probe_append_ivf_layout
+        .repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
