@@ -152,10 +152,16 @@ def doc_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement (one row per tokenizable doc).
 
     Plan/scale: the spine/HAVING/runs stages are the detection spec's;
-    the extra work is one bounded explode (cut ranges → covered
-    positions, disjoint by construction) and a per-doc
-    sort-collect of kept tokens (array_sort over struct(pos, tok) —
-    per-doc state, bounded by document length).
+    the cut APPLICATION is per-row array algebra (r14, guide §2.3/§2.4):
+    cut ranges aggregate to one bounded array per affected doc and join
+    doc-keyed (tiny side — AQE broadcasts it), and the kept text is a
+    filter/transform over the doc's own token array. The previous shape
+    posexploded EVERY token of the corpus and anti-joined on (doc_id,
+    pos) — a full-corpus token shuffle plus a per-doc sort-collect —
+    to compute something each row can answer locally; measured 4.5 s →
+    the shingle spine's cost alone at sf0.1, and at 100 TB it removes
+    the single widest exchange of the query (every token vs only the
+    duplicated-span ranges).
 
     Membership contract (r11 self-review fix): docs SHORTER than the
     shingle width cannot carry a detectable span but are still corpus
@@ -170,9 +176,6 @@ def doc_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
         )
-    )
-    toks = d.select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
     )
     sh = d.where(F.size("toks") >= k).select(
         "doc_id",
@@ -199,32 +202,33 @@ def doc_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("pos").alias("start_pos"), (F.max("pos") + k).alias("end_pos"))
         .where(F.col("end_pos") - F.col("start_pos") >= MIN_SPAN_TOKENS)
     )
-    cut_pos = spans.select(
-        "doc_id",
-        F.explode(F.sequence("start_pos", F.col("end_pos") - 1)).alias("pos"),
+    ranges = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_pos", "end_pos")).alias("cuts")
     )
-    kept = toks.join(cut_pos, ["doc_id", "pos"], "left_anti")
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("kept_text"),
-        )
-        .join(d.select("doc_id", F.size("toks").alias("n_tokens")), "doc_id", "right")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (F.col("n_tokens") - F.coalesce(F.col("kept"), F.lit(0)))
-            .cast("long")
-            .alias("cut_tokens"),
-            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
-        )
+    # kept tokens = the doc's own array filtered by its (disjoint,
+    # bounded) cut ranges — docs with no spans join null cuts and the
+    # coalesce keeps every token. Array order IS position order, so the
+    # joined text equals the old sort-collect of surviving (pos, tok).
+    idx = F.transform(
+        "toks", lambda tok, i: F.struct(i.alias("pos"), tok.alias("tok"))
+    )
+    kept_arr = F.filter(
+        idx,
+        lambda s: F.coalesce(
+            ~F.exists(
+                F.col("cuts"),
+                lambda c: (s["pos"] >= c["start_pos"]) & (s["pos"] < c["end_pos"]),
+            ),
+            F.lit(True),
+        ),
+    )
+    return d.join(ranges, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept_arr)).cast("long").alias("cut_tokens"),
+        F.array_join(F.transform(kept_arr, lambda s: s["tok"]), " ").alias(
+            "kept_text"
+        ),
     )
 
 

@@ -190,7 +190,15 @@ def char_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     they reuse its partitioning; the model aggregate shuffles only
     per-doc-distinct bigram counts (≤ alphabet² per doc) and broadcasts
     back (bounded ≤ 729 rows). Scoring multiplies the decimal lnp by the
-    per-doc count — exact — instead of re-joining raw occurrences."""
+    per-doc count — exact — instead of re-joining raw occurrences.
+
+    r14 note: the array-adjacency alternative (bigrams via per-row
+    transform over the char array / substring indices, no window) was
+    A/B-measured at sf0.1 and came out ~1.7× SLOWER than this shape
+    (3.0–3.7 s vs 1.7–2.2 s for the bg_counts stage) — the window's
+    doc-keyed exchange of 1-char rows is cheaper here than the per-row
+    construction of an L-element two-char-string array. Kept as-is;
+    the opposite trade held for ccnet's WORD bigrams at 10×."""
     docs = read_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
