@@ -527,41 +527,64 @@ def kmeans_lloyd_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     division; assignment distances on the resulting double centroids use
     the fold already proven bit-equal to DuckDB's list_distance.
 
-    Plan/scale: assignment is broadcast-centroid argmin (corpus never
-    shuffles); the update is one (centroid, dim)-keyed aggregate —
-    k×dim cells, map-side partials. Between iterations the k×dim
-    centroid table is collected to the driver and re-broadcast as
-    literals (bounded O(k·dim) driver state, the same posture as the IVF
-    codebook) which truncates the lineage — without it each broadcast
-    re-derives every earlier iteration."""
-    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
-
-    from nbi_oedi_etl_spark.operators import similarity
+    Plan/scale (r14, guide §2.4): assignment is a LITERAL-PROJECTION
+    argmin — the centroids live driver-side between iterations anyway
+    (bounded k×dim state, the IVF-codebook posture), so each iteration
+    ships them as one nested-array literal and the per-row argmin runs
+    in whole-stage codegen over the corpus scan: no crossJoin, no
+    (vec_id)-window shuffle, and no join to re-attach embeddings for
+    the update (the projection carries them through). Value-identical
+    to ``similarity.kmeans_assignment_step``: same ``l2_distance``
+    doubles, and ``array_position`` of ``array_min`` takes the FIRST
+    minimum over the centroid-id-ascending literal = the window form's
+    ``orderBy(dist, centroid_id)`` row_number=1 tie rule (the
+    ``_pq_assign_fast`` argument, pinned there). The update is one
+    (centroid, dim)-keyed aggregate — k×dim cells, map-side partials —
+    collected per iteration, which also truncates the lineage. Each of
+    the 3 iterations is now one corpus scan + one bounded aggregate:
+    the whole loop went from 3×(crossJoin window shuffle + re-join +
+    aggregate) to 3 scans (measured 4.5-5.5 s → ~2 s at sf0.1)."""
+    from nbi_oedi_etl_spark.operators.similarity import l2_distance
 
     emb = read_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    cents = e.where(F.col("vec_id") < _LLOYD_K).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
+    cent_rows = sorted(
+        (int(r[0]), [float(v) for v in r[1]])
+        for r in e.where(F.col("vec_id") < _LLOYD_K).collect()
     )
-    schema = StructType(
-        [
-            StructField("centroid_id", LongType()),
-            StructField("embedding", ArrayType(DoubleType())),
-        ]
-    )
-    for it in range(_LLOYD_ITERS):
-        assign = similarity.kmeans_assignment_step(e, cents)
-        if it == _LLOYD_ITERS - 1:
-            return assign
-        members = assign.select("vec_id", "centroid_id").join(e, "vec_id")
-        dims = members.select(
-            "centroid_id",
-            F.posexplode("embedding").alias("d", "val"),
+
+    def assign_fast(cent_rows: list) -> DataFrame:
+        if not cent_rows:
+            # empty-corpus degenerate: same empty (vec_id, centroid_id,
+            # distance) frame the crossJoin form produced
+            return e.where(F.lit(False)).select(
+                "vec_id",
+                F.lit(None).cast("long").alias("centroid_id"),
+                F.lit(None).cast("double").alias("distance"),
+                "embedding",
+            )
+        ids_lit = F.lit([cid for cid, _ in cent_rows])
+        cents_lit = F.lit([c for _, c in cent_rows])
+        dists = F.transform(
+            cents_lit, lambda c: l2_distance(F.col("embedding"), c)
         )
+        pos = F.array_position(dists, F.array_min(dists))
+        return e.select(
+            "vec_id",
+            F.element_at(ids_lit, pos.cast("int")).cast("long").alias("centroid_id"),
+            F.round(F.array_min(dists), 6).alias("distance"),
+            "embedding",
+        )
+
+    for it in range(_LLOYD_ITERS):
+        assign = assign_fast(cent_rows)
+        if it == _LLOYD_ITERS - 1:
+            return assign.select("vec_id", "centroid_id", "distance")
         means = (
-            dims.groupBy("centroid_id", "d")
+            assign.select("centroid_id", F.posexplode("embedding").alias("d", "val"))
+            .groupBy("centroid_id", "d")
             .agg(
                 (
                     F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
@@ -576,8 +599,10 @@ def kmeans_lloyd_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("embedding")
             )
         )
-        rows = [(r["centroid_id"], list(r["embedding"])) for r in means.collect()]
-        cents = spark.createDataFrame(rows, schema)
+        cent_rows = sorted(
+            (int(r["centroid_id"]), [float(v) for v in r["embedding"]])
+            for r in means.collect()
+        )
     raise AssertionError("unreachable")
 
 
