@@ -480,9 +480,21 @@ def streaming_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
         )
+        # r14 (guide §2.4): ONE per-source aggregate feeds both the
+        # spine-dispatch bound (max rows per source == what the probe
+        # job inside keyed_cumsum would have measured, so the branch
+        # choice — and therefore the plan — is unchanged) and the
+        # post-write totals advance below; before this round each batch
+        # paid two separate jobs for the same grouped scan.
+        stats = (
+            d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("n_tokens").alias("t"))
+            .collect()
+        )
         d = keyed_cumsum(
             d, "source", ["doc_id"], _doc_id_bucket(), "n_tokens",
             out_col="__within", include_current=False,
+            max_rows_per_key=max((r["c"] for r in stats), default=0),
         )
         totals = state["totals"]
         if totals:
@@ -513,13 +525,11 @@ def streaming_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # advance the per-source totals AFTER the write commits
         # (exactly-once versioned discipline: a replayed batch recomputes
-        # from the same state because totals only move on version bump)
-        adds = {
-            r["source"]: r["t"]
-            for r in d.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
-        }
-        for k, v in adds.items():
-            totals[k] = totals.get(k, 0) + int(v)
+        # from the same state because totals only move on version bump —
+        # the sums were computed up front in `stats` but are APPLIED only
+        # here, after the commit, so the discipline is unchanged)
+        for r in stats:
+            totals[r["source"]] = totals.get(r["source"], 0) + int(r["t"])
         state["version"] = batch_id
 
     s = drain_mod3_batches(
