@@ -2714,9 +2714,17 @@ _R14_WINDOW: list[str] = [
     "multimodal_resize",
 ]
 
-# Specs registered after the r14 window fills must land here and be
-# benched in the same round (the freeze policy).
-_POST_R14_ADDITIONS: list[str] = []
+# Specs registered OR edited after the r14 window froze must land here
+# and be benched in the same round (the freeze policy); they enter the
+# r15 window head. r14 optimization edits behind the freeze:
+# doc_cut_duplicate_spans (cut application rewritten to per-row array
+# algebra, oracle hash-match re-verified locally at all three SFs) and
+# char_bigram_lm_score (docstring-only A/B note from the REVERTED
+# array-adjacency attempt — code shape unchanged, digest moved).
+_POST_R14_ADDITIONS: list[str] = [
+    "doc_cut_duplicate_spans",
+    "char_bigram_lm_score",
+]
 
 # Retained for the rotation audit trail (round-13 window allowance).
 _R13_ROWS_ONLY_WINDOW_OK: list[str] = [
