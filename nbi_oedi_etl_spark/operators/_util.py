@@ -2,7 +2,57 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class _FastLitFallback(Exception):
+    pass
+
+
+def _render_sql_literal(v) -> str:
+    if isinstance(v, (list, tuple)):
+        if not v:
+            # array() with no args has no element type; let F.lit decide
+            raise _FastLitFallback
+        return "array(" + ",".join(_render_sql_literal(e) for e in v) + ")"
+    if isinstance(v, bool):
+        raise _FastLitFallback
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            raise _FastLitFallback  # inf/nan have no SQL literal form
+        # repr() is the shortest round-trip form: Double.parseDouble
+        # recovers the exact same IEEE double (bit-identity pinned by
+        # tests/test_new_op_properties.py::test_fast_lit_*)
+        return repr(v) + "D"
+    if isinstance(v, int):
+        # match per-element F.lit typing: int32-range -> IntegerType,
+        # wider -> LongType ("L" suffix)
+        return str(v) if -(2**31) <= v < 2**31 else str(v) + "L"
+    raise _FastLitFallback
+
+
+def fast_lit(value) -> Column:
+    """A numeric (possibly nested-list) literal Column from ONE driver call.
+
+    ``F.lit`` on a (nested) list recursively calls ``lit`` per SCALAR and
+    assembles the array element-by-element over py4j — profiled r14 at
+    ~0.3 s per 16×16 codebook matrix (3k+ gateway commands for the IVF-PQ
+    CDC batch's ten matrices, ~3.1 s of a 6 s micro-batch). Rendering the
+    same values into one SQL ``array(array(...))`` expression string is a
+    single gateway call; the JVM parses it in microseconds and constant-
+    folds it to the IDENTICAL Literal the per-element path produces
+    (``repr`` round-trips every finite double bit-exactly; int literals
+    keep F.lit's int32/int64 element typing). Values with no SQL literal
+    form (inf/nan, empty arrays, bools, other types) fall back to
+    ``F.lit`` unchanged.
+    """
+    try:
+        return F.expr(_render_sql_literal(value))
+    except _FastLitFallback:
+        return F.lit(value)
 
 
 def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:

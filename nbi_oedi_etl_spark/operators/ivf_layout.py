@@ -31,6 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nbi_oedi_etl_spark.operators._util import fast_lit
 from nbi_oedi_etl_spark.operators.similarity import (
     _rank_topk,
     cosine,
@@ -56,12 +57,16 @@ def _lit_matrix(rows) -> "F.Column":
     1k+ driver calls) and hands Catalyst a CreateArray tree it has to
     re-constant-fold on every optimization pass; profiled r14 at sf0.1,
     expression CONSTRUCTION alone was ~40 s of the IVF-PQ CDC stream's
-    53 s in-batch time. A single nested-list ``F.lit`` is one driver
-    call and one already-folded Literal node — value-identical (pinned
-    by the existing probe/encode parity tests)."""
+    53 s in-batch time. The closing r14 profile showed the "single
+    nested-list ``F.lit``" still expands to one gateway command per
+    scalar inside PySpark (~0.3 s per matrix), so the literal is now
+    rendered through ``fast_lit`` — ONE ``F.expr`` driver call whose
+    parsed tree constant-folds to the identical Literal (bit-exact;
+    pinned by the existing probe/encode parity tests plus the
+    ``fast_lit`` bit-identity tests)."""
     if isinstance(rows, np.ndarray):
         rows = rows.tolist()
-    return F.lit([[float(v) for v in r] for r in rows])
+    return fast_lit([[float(v) for v in r] for r in rows])
 
 
 def _write_ivf_meta(spark: SparkSession, dest: str, cent_unit: np.ndarray) -> None:
@@ -89,6 +94,38 @@ def read_ivf_codebook(spark: SparkSession, path: str) -> np.ndarray:
         raise ValueError(f"corrupt IVF sidecar: shape {cent.shape} != "
                          f"({m['dim']}, {m['n_cells']})")
     return cent
+
+
+#: Inferred layout schemas, keyed by (applicationId, path, sidecar
+#: mtime). Schema inference reads parquet footers on EVERY
+#: ``spark.read.parquet`` (~0.1-0.5 s per probe — the recall curves
+#: probe the same layout 4+ times and the CDC streams once per batch),
+#: but a layout's schema is fixed at write time: appends preserve it
+#: (the dim/type guards) and an overwrite rewrites ``_ivf_meta.json``,
+#: rotating the mtime key. Metadata only — never data — so bench runs
+#: still compute everything from the parquet inputs.
+_LAYOUT_SCHEMA_MEMO: dict = {}
+
+
+def _layout_scan(spark: SparkSession, path: str):
+    """``spark.read`` over the layout, skipping footer schema inference
+    after the first read of a given layout (see _LAYOUT_SCHEMA_MEMO).
+    File LISTING stays eager at the returned reader's ``.parquet`` call
+    either way — the CDC probes rely on listing-before-append."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_IVF_META_FILE}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        mtime = fs.getFileStatus(hpath).getModificationTime()
+    except Exception:
+        return spark.read.parquet(path)  # no sidecar: plain inference
+    key = (spark.sparkContext.applicationId, path, mtime)
+    schema = _LAYOUT_SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _LAYOUT_SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _assign_cells(
@@ -368,10 +405,10 @@ def probe_ivf_layout(
             ),
         )
         return _rerank_candidates(
-            spark.read.parquet(path), q, k, broadcast_q=False
+            _layout_scan(spark, path), q, k, broadcast_q=False
         )
     q, probed_cells = _driver_probe_relation(spark, q_src, cent_unit, n_probe)
-    c = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
+    c = _layout_scan(spark, path).where(F.col("cell").isin(probed_cells))
     return _rerank_candidates(c, q, k, broadcast_q=True)
 
 
@@ -424,7 +461,10 @@ def _probe_relation_from_rows(
     q_schema = StructType(
         list(q_fields) + [StructField("cell", IntegerType(), False)]
     )
-    q = spark.createDataFrame(exploded, q_schema)
+    # rows came out of Spark under q_fields and cell is a driver int:
+    # skip the per-value Python verification pass (profiled r14 at
+    # ~0.4 s per CDC batch for a 3k-row relation)
+    q = spark.createDataFrame(exploded, q_schema, verifySchema=False)
     return q, sorted({int(c) for c in cells.ravel()})
 
 
@@ -471,7 +511,8 @@ def _local_assigned_relation(
         ]
     )
     data = [(r[0], r[1], int(c)) for r, c in zip(rows, cells)]
-    return spark.createDataFrame(data, schema)
+    # same trusted-rows argument as _probe_relation_from_rows
+    return spark.createDataFrame(data, schema, verifySchema=False)
 
 
 def cdc_probe_append_ivf_layout(
@@ -520,8 +561,23 @@ def cdc_probe_append_ivf_layout(
     q_fields = list(q_src.schema.fields)
     q, probed = _probe_relation_from_rows(spark, rows, q_fields, cent_unit, n_probe)
     # File listing resolves HERE — before the append below lands — so the
-    # probe never sees the batch's own rows (the unfused ordering).
-    c = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    # probe never sees the batch's own rows (the unfused ordering). The
+    # schema is declared instead of inferred: the layout stores exactly
+    # (vec_id as the corpus id type, emb array<double> — _assign_cells
+    # casts before the write — cell int), and skipping footer inference
+    # cuts the per-batch read setup ~5× while the file listing stays
+    # EAGER at this call (pinned by the fused-parity tests: a lazy
+    # listing would let the probe see its own append).
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    scan_schema = StructType(
+        [
+            StructField("vec_id", q_fields[0].dataType, True),
+            StructField("emb", q_fields[1].dataType, True),
+            StructField("cell", IntegerType(), True),
+        ]
+    )
+    c = spark.read.schema(scan_schema).parquet(path).where(F.col("cell").isin(probed))
     res = _rerank_candidates(c, q, k, broadcast_q=True)
     # Append leg: np.argmax over the shared matrix IS ivf_cell_udf's math
     # (same matmul, same first-max tie rule). repartition("cell"), NOT
@@ -591,8 +647,22 @@ def cdc_probe_append_ivf_pq_layout(
     q_fields = list(q_src.schema.fields)
     q, probed = _probe_relation_from_rows(spark, rows, q_fields, cent_unit, n_probe)
     code_cols = [f"code_{s}" for s in range(pq_m)]
+    # Declared schema instead of footer inference (see the IVF twin):
+    # vec_id keeps the batch's native id type, codes are the stored int
+    # columns, cell is the partition int. The emb column is simply not
+    # declared — parquet ignores file columns outside the table schema,
+    # which IS the ADC column-pruning contract. Listing stays eager at
+    # this call (the probe must not see its own append below).
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    scan_schema = StructType(
+        [StructField("vec_id", q_fields[0].dataType, True)]
+        + [StructField(c, IntegerType(), True) for c in code_cols]
+        + [StructField("cell", IntegerType(), True)]
+    )
     scan = (
-        spark.read.parquet(path)
+        spark.read.schema(scan_schema)
+        .parquet(path)
         .where(F.col("cell").isin(probed))
         .select("vec_id", "cell", *code_cols)
     )
@@ -819,12 +889,12 @@ def probe_ivf_pq_layout(
                 "cell"
             ),
         )
-        scan = spark.read.parquet(path).select("vec_id", "cell", *code_cols)
+        scan = _layout_scan(spark, path).select("vec_id", "cell", *code_cols)
         broadcast_q = False
     else:
         q, probed = _driver_probe_relation(spark, q_src, cent_unit, n_probe)
         scan = (
-            spark.read.parquet(path)
+            _layout_scan(spark, path)
             .where(F.col("cell").isin(probed))
             .select("vec_id", "cell", *code_cols)
         )

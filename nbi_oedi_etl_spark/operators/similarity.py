@@ -35,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from nbi_oedi_etl_spark.operators._util import ensure_parallelism
+from nbi_oedi_etl_spark.operators._util import ensure_parallelism, fast_lit
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -573,10 +573,10 @@ def _pq_assign_fast(subs: DataFrame, cb0: DataFrame) -> DataFrame:
     codes_sorted = [c for c, _ in by_sub[0]]
     if any([c for c, _ in by_sub[s]] != codes_sorted for s in range(m)):
         return pq_assign(subs, cb0)
-    cbs_all = F.lit(
+    cbs_all = fast_lit(
         [[emb for _, emb in by_sub[s]] for s in range(m)]
     )  # sub → code-ascending codebook matrix, ONE Literal node
-    codes_lit = F.lit(codes_sorted)
+    codes_lit = fast_lit(codes_sorted)
     dists = F.transform(
         F.element_at(cbs_all, F.col("sub") + 1),
         lambda c: l2_distance(F.col("semb"), c),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nbi_oedi_etl_spark.operators._util import fast_lit
 from nbi_oedi_etl_spark.sources.parquet import read_table
 
 
@@ -565,8 +566,8 @@ def kmeans_lloyd_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("double").alias("distance"),
                 "embedding",
             )
-        ids_lit = F.lit([cid for cid, _ in cent_rows])
-        cents_lit = F.lit([c for _, c in cent_rows])
+        ids_lit = fast_lit([cid for cid, _ in cent_rows])
+        cents_lit = fast_lit([list(c) for _, c in cent_rows])
         dists = F.transform(
             cents_lit, lambda c: l2_distance(F.col("embedding"), c)
         )

@@ -515,8 +515,11 @@ def embedding_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     bits = []
+    from nbi_oedi_etl_spark.operators._util import fast_lit
+
     for p in range(_ANN_PLANES):
-        plane = F.array(*[F.lit(_sign(p, d)) for d in range(dim)])
+        # one driver call per plane instead of one per component
+        plane = fast_lit([_sign(p, d) for d in range(dim)])
         dot = F.aggregate(
             F.zip_with(F.col("emb"), plane, lambda a, b: a * b),
             F.lit(0.0),

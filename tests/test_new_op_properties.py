@@ -1268,3 +1268,70 @@ def test_banded_precomputed_rows_match_internal_banding(spark, tmp_path):
     bl.write_banded_layout(None, d_ext, n_buckets=16, banded_rows=ext_rows)
     with pytest.raises(ValueError, match="external"):
         bl.banded_rows_for_layout(spark, d_ext, batch)
+
+
+# ---------------------------------------------------------------- fast_lit
+
+
+def test_fast_lit_bit_identical_doubles(spark):
+    """fast_lit renders finite doubles through repr -> SQL double literal;
+    Double.parseDouble recovers the exact same IEEE bits as the F.lit
+    per-element path, including subnormals, huge magnitudes, -0.0 and
+    values needing the full 17 significant digits."""
+    import struct
+
+    from nbi_oedi_etl_spark.operators._util import fast_lit
+
+    vals = [
+        0.1, -0.1, 1 / 3, 2.0, -0.0, 0.0, 1e-310, -1e308, 3.14e-45,
+        1e16 + 1.0, 0.051882116641025644, -0.6874962133846153,
+    ]
+    rows = [vals[0::2], vals[1::2]]
+    df = spark.range(1).select(
+        F.lit([[float(v) for v in r] for r in rows]).alias("a"),
+        fast_lit([[float(v) for v in r] for r in rows]).alias("b"),
+    )
+    row = df.collect()[0]
+    pack = lambda x: struct.pack("<d", x)  # noqa: E731
+    assert [len(r) for r in row["a"]] == [len(r) for r in row["b"]]
+    for ra, rb in zip(row["a"], row["b"]):
+        for x, y in zip(ra, rb):
+            assert pack(x) == pack(y)
+
+
+def test_fast_lit_int_typing_matches_lit(spark):
+    """Element types must match F.lit's per-element inference (int32-range
+    -> array<int>, wider -> coerced long) so downstream schemas are
+    unchanged."""
+    from nbi_oedi_etl_spark.operators._util import fast_lit
+
+    small = [0, 15, -7]
+    wide = [2**40, 3]
+    df = spark.range(1).select(
+        F.lit(small).alias("ls"), fast_lit(small).alias("fs"),
+        F.lit(wide).alias("lw"), fast_lit(wide).alias("fw"),
+    )
+    t = dict(df.dtypes)
+    assert t["fs"] == t["ls"]
+    assert t["fw"] == t["lw"]
+    row = df.collect()[0]
+    assert list(row["fs"]) == list(row["ls"]) == small
+    assert list(row["fw"]) == list(row["lw"]) == wide
+
+
+def test_fast_lit_falls_back_for_nonliteral_values(spark):
+    """inf/nan/empty arrays have no SQL literal rendering; fast_lit must
+    fall back to F.lit and still produce the same column values."""
+    from nbi_oedi_etl_spark.operators._util import fast_lit
+
+    df = spark.range(1).select(
+        fast_lit([float("inf"), 1.0]).alias("inf_arr"),
+        fast_lit([float("nan")]).alias("nan_arr"),
+        fast_lit([]).alias("empty"),
+        fast_lit(3.5).alias("scalar"),
+    )
+    row = df.collect()[0]
+    assert row["inf_arr"][0] == float("inf") and row["inf_arr"][1] == 1.0
+    assert row["nan_arr"][0] != row["nan_arr"][0]  # NaN
+    assert list(row["empty"]) == []
+    assert row["scalar"] == 3.5
