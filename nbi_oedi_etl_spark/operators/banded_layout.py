@@ -254,6 +254,7 @@ def probe_banded_layout(
     text_col: str = "text",
     id_col: str = "doc_id",
     banded_rows: DataFrame | None = None,
+    rows_materialized: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs between ``new_docs`` and the
     at-rest corpus: band the batch with the layout's own parameters (read
@@ -292,7 +293,13 @@ def probe_banded_layout(
     # localCheckpoint materializes them once (CDC batches are small by
     # contract; bands rows per doc), so the banding pipeline doesn't run
     # twice and the collected pcell list is consistent with the join input.
-    q = q.localCheckpoint(eager=True)
+    # ``rows_materialized=True`` (r14): the shared-banding CDC callers
+    # already localCheckpoint the banded_rows they pass in, and ``_pcell``
+    # is a pure deterministic projection over (band_id, band_hash) — so
+    # re-materializing here would only copy the same rows again. Pass
+    # True ONLY for banded_rows that are already materialized.
+    if not (banded_rows is not None and rows_materialized):
+        q = q.localCheckpoint(eager=True)
     probed = sorted(r["pcell"] for r in q.select("pcell").distinct().collect())
     # Explicit schema — the batch's own band-row schema IS the layout's
     # (same pipeline): an EMPTY corpus layout (only _SUCCESS, no

@@ -277,7 +277,9 @@ def streaming_banded_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # matching band; ACROSS batches pair sets are disjoint by
             # construction (doc_id_new ∈ this batch, each doc arrives
             # exactly once), so per-batch deltas need no global distinct
-            pairs = probe_banded_layout(bs, layout, banded_rows=rows).distinct()
+            pairs = probe_banded_layout(
+                bs, layout, banded_rows=rows, rows_materialized=True
+            ).distinct()
             append_to_banded_layout(bs, layout, banded_rows=rows)
         # r12 (the streaming_pack_sequences discipline, applied to the
         # RESULT side too): write only this batch's pairs to a
@@ -349,7 +351,9 @@ def streaming_banded_cdc_dedup_production(
             )
             # per-batch delta + within-batch distinct (see the portable
             # twin — cross-batch pair sets are disjoint by construction)
-            pairs = probe_banded_layout(bs, layout, banded_rows=rows).distinct()
+            pairs = probe_banded_layout(
+                bs, layout, banded_rows=rows, rows_materialized=True
+            ).distinct()
             append_to_banded_layout(bs, layout, banded_rows=rows)
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_root, f"batch={batch_id}")
