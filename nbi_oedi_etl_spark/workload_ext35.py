@@ -79,10 +79,16 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "s"),
     )
+    # "shared by >= 2 distinct docs" as min != max (r14, guide §2.3):
+    # countDistinct planned as a TWO-exchange distinct aggregate whose
+    # first shuffle carried the whole (s, doc_id) spine; min/max are
+    # map-side partial-aggregable, so one exchange carries one row per
+    # (partition, shingle). doc_id is the non-null table key, so
+    # nd >= 2 <=> min(doc_id) != max(doc_id) exactly.
     dup = (
         sh.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
         .select("s")
     )
     hits = sh.join(dup, "s").select("doc_id", "pos")
@@ -186,9 +192,12 @@ def doc_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "s"),
     )
+    # nd >= 2 as min != max — same rewrite as the detection spec above:
+    # drops the (s, doc_id) distinct pre-shuffle in favor of one
+    # map-combined exchange (min is already needed as the owner).
     owner = sh.groupBy("s").agg(
-        F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd")
-    ).where(F.col("nd") >= 2)
+        F.min("doc_id").alias("owner"), F.max("doc_id").alias("dmax")
+    ).where(F.col("owner") != F.col("dmax"))
     noncanon = (
         sh.join(owner, "s")
         .where(F.col("doc_id") > F.col("owner"))
