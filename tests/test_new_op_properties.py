@@ -345,6 +345,48 @@ def test_doc_duplicate_spans_merges_overlapping_duplicates(spark, tmp_path):
     assert rows == [(0, 0, MIN_SPAN_TOKENS), (1, 0, MIN_SPAN_TOKENS)]
 
 
+def test_doc_duplicate_spans_within_doc_repeat_excluded(spark, tmp_path):
+    """The duplicated-shingle gate is CROSS-doc: a shingle repeated many
+    times WITHIN one doc (distinct doc count 1) must not produce a span.
+    Pins the r14 min(doc_id) != max(doc_id) rewrite of the
+    countDistinct >= 2 gate on its exact equivalence edge — a heavily
+    self-repeating doc — for both the detection and the cut spec."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nbi_oedi_etl_spark.workload_ext35 import (
+        doc_cut_duplicate_spans,
+        doc_duplicate_spans,
+    )
+
+    # doc 0: an 8-token phrase repeated 5x -> every shingle occurs many
+    # times, all inside the one doc; docs 1/2 share a 24-token block.
+    rep = " ".join(f"r{i % 8}" for i in range(40))
+    shared = " ".join(f"s{i}" for i in range(24))
+    docs = [
+        (0, rep),
+        (1, " ".join(f"u{i}" for i in range(10)) + " " + shared),
+        (2, shared + " " + " ".join(f"v{i}" for i in range(10))),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                  "text": pa.array([t for _, t in docs])}),
+        str(tmp_path / "documents.parquet"),
+    )
+    spans = sorted(
+        (r["doc_id"], r["start_pos"], r["end_pos"])
+        for r in doc_duplicate_spans(spark, str(tmp_path)).collect()
+    )
+    assert spans == [(1, 10, 34), (2, 0, 24)]
+    cuts = {
+        r["doc_id"]: r["cut_tokens"]
+        for r in doc_cut_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    # keep-first: doc 1 owns the shared block, doc 2 loses exactly it;
+    # the self-repeating doc is untouched
+    assert cuts == {0: 0, 1: 0, 2: 24}
+
+
 def test_doc_cut_duplicate_spans_keep_first_semantics(spark, tmp_path):
     """Keep-first rule on planted docs: the min-doc_id owner keeps its
     text intact; later docs lose exactly the shared span; uniques pass
