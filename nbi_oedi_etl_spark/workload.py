@@ -2718,11 +2718,15 @@ _R14_WINDOW: list[str] = [
 # and be benched in the same round (the freeze policy); they enter the
 # r15 window head. r14 optimization edits behind the freeze:
 # doc_cut_duplicate_spans (cut application rewritten to per-row array
-# algebra, oracle hash-match re-verified locally at all three SFs) and
+# algebra, then the min≠max duplicated-shingle gate — oracle hash-match
+# re-verified locally at all three SFs after each edit),
+# doc_duplicate_spans (the same min≠max gate rewrite, oracle
+# hash-match re-verified locally at all three SFs), and
 # char_bigram_lm_score (docstring-only A/B note from the REVERTED
 # array-adjacency attempt — code shape unchanged, digest moved).
 _POST_R14_ADDITIONS: list[str] = [
     "doc_cut_duplicate_spans",
+    "doc_duplicate_spans",
     "char_bigram_lm_score",
 ]
 
