@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from nbi_oedi_etl_spark.operators._util import fast_lit
 from nbi_oedi_etl_spark.operators.similarity import (
     _rank_topk,
-    cosine,
     ivf_cell_udf,
     ivf_codebook,
     probe_cells,
@@ -322,18 +321,29 @@ _MAX_PROBE_BATCH_ROWS = 16_384
 
 def _rerank_candidates(c: DataFrame, q: DataFrame, k: int, broadcast_q: bool) -> DataFrame:
     """Shared probe tail: candidate equi-join on cell, self-exclusion
-    (native compare on dtype match — ADVICE r9), exact cosine re-rank."""
+    (native compare on dtype match — ADVICE r9), exact cosine re-rank.
+    The two norms are materialized per SIDE row before the join (r14 —
+    same fold over the same operands as the inline cosine, so the sim
+    doubles are bit-identical; the per-pair work drops to the dot)."""
+    from nbi_oedi_etl_spark.operators.similarity import _cosine_prenormed, _norm
+
     corpus_id_t = dict(c.dtypes)["vec_id"]
     query_id_t = dict(q.dtypes)["query_id"]
     if corpus_id_t == query_id_t:
         not_self = F.col("vec_id") != F.col("query_id")
     else:
         not_self = F.col("vec_id").cast("string") != F.col("query_id").cast("string")
+    c = c.withColumn("_cn", _norm(F.col("emb")))
+    q = q.withColumn("_qn", _norm(F.col("q_emb")))
     qq = F.broadcast(q) if broadcast_q else q
     cand = c.join(qq, "cell").where(not_self)
     return _rank_topk(
         cand.select(
-            "query_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("sim")
+            "query_id",
+            "vec_id",
+            _cosine_prenormed(
+                F.col("emb"), F.col("q_emb"), F.col("_cn"), F.col("_qn")
+            ).alias("sim"),
         ),
         k,
     )

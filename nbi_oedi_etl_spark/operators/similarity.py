@@ -52,6 +52,18 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with the two norms PRE-materialized per side row
+    (r14, guide §2.3): in a pair join the norms are pair-independent, so
+    the inline form re-folds each side's norm once per CANDIDATE PAIR —
+    2/3 of the per-pair flops. Callers compute ``na``/``nb`` with
+    ``_norm`` in a projection BEFORE the join; the division then uses
+    the SAME doubles the inline form would produce (identical fold over
+    identical operands), so results are bit-identical — pinned by the
+    ANN oracle parity suite."""
+    return _dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -70,16 +82,18 @@ def brute_force_topk(
     """
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("emb")
-    )
+    ).withColumn("_cn", _norm(F.col("emb")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
-    )
+    ).withColumn("_qn", _norm(F.col("q_emb")))
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
     sims = pairs.select(
         "query_id",
         "vec_id",
-        cosine(F.col("emb"), F.col("q_emb")).alias("sim"),
+        _cosine_prenormed(
+            F.col("emb"), F.col("q_emb"), F.col("_cn"), F.col("_qn")
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -166,7 +180,10 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("emb")
     ).select(
-        "vec_id", "emb", F.posexplode(bucket_col(F.col("emb"))).alias("table_id", "bucket")
+        "vec_id",
+        "emb",
+        _norm(F.col("emb")).alias("_cn"),
+        F.posexplode(bucket_col(F.col("emb"))).alias("table_id", "bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -174,6 +191,7 @@ def lsh_topk(
     ).select(
         "query_id",
         "q_emb",
+        _norm(F.col("q_emb")).alias("_qn"),
         F.posexplode(bucket_col(F.col("q_emb"))).alias("table_id", "bucket"),
     )
     cand = (
@@ -183,7 +201,11 @@ def lsh_topk(
     )
     return _rank_topk(
         cand.select(
-            "query_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("sim")
+            "query_id",
+            "vec_id",
+            _cosine_prenormed(
+                F.col("emb"), F.col("q_emb"), F.col("_cn"), F.col("_qn")
+            ).alias("sim"),
         ),
         k,
     )
@@ -214,6 +236,7 @@ def embedding_near_dup_pairs(
     ).select(
         "vec_id",
         "emb",
+        _norm(F.col("emb")).alias("_n"),
         F.posexplode(
             multitable_signlsh_buckets(F.col("emb"), planes, n_tables, bits_per_table)
         ).alias("table_id", "bucket"),
@@ -231,12 +254,21 @@ def embedding_near_dup_pairs(
             F.col("b.vec_id").alias("id_b"),
             F.col("a.emb").alias("emb_a"),
             F.col("b.emb").alias("emb_b"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cand.select(
-            "id_a", "id_b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim")
+            "id_a",
+            "id_b",
+            F.round(
+                _cosine_prenormed(
+                    F.col("emb_a"), F.col("emb_b"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -347,21 +379,31 @@ def ivf_topk(
             )
             .where(F.lit(False))
         )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("emb")
-    ).withColumn("cell", ivf_cell_udf(cent_unit)(F.col("emb")))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("emb"),
+        )
+        .withColumn("_cn", _norm(F.col("emb")))
+        .withColumn("cell", ivf_cell_udf(cent_unit)(F.col("emb")))
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
     ).select(
         "query_id",
         "q_emb",
+        _norm(F.col("q_emb")).alias("_qn"),
         F.explode(ivf_probe_udf(cent_unit, n_probe)(F.col("q_emb"))).alias("cell"),
     )
     cand = c.join(F.broadcast(q), "cell").where(F.col("vec_id") != F.col("query_id"))
     return _rank_topk(
         cand.select(
-            "query_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("sim")
+            "query_id",
+            "vec_id",
+            _cosine_prenormed(
+                F.col("emb"), F.col("q_emb"), F.col("_cn"), F.col("_qn")
+            ).alias("sim"),
         ),
         k,
     )
