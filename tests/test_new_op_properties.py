@@ -1377,3 +1377,44 @@ def test_fast_lit_falls_back_for_nonliteral_values(spark):
     assert row["nan_arr"][0] != row["nan_arr"][0]  # NaN
     assert list(row["empty"]) == []
     assert row["scalar"] == 3.5
+
+
+def test_cosine_prenormed_bit_identical_to_inline(spark):
+    """The r14 pre-normed rerank tail: dividing the per-pair dot by
+    norms materialized per side row must produce BIT-identical doubles
+    to the inline cosine (same fold over the same operands), including
+    on near-tie vectors where a single ulp would flip a round-6 value
+    or a rank."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_spark.operators.similarity import (
+        _cosine_prenormed,
+        _norm,
+        cosine,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        a = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        # near-ties: half the b side is a +/- a tiny perturbation
+        if i % 2:
+            b = [x + rng.gauss(0.0, 1e-12) for x in a]
+        else:
+            b = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    ).withColumn("_na", _norm(F.col("a"))).withColumn("_nb", _norm(F.col("b")))
+    out = df.select(
+        cosine(F.col("a"), F.col("b")).alias("inline"),
+        _cosine_prenormed(
+            F.col("a"), F.col("b"), F.col("_na"), F.col("_nb")
+        ).alias("prenormed"),
+    ).collect()
+    import struct
+
+    for r in out:
+        assert struct.pack("d", r["inline"]) == struct.pack("d", r["prenormed"])
