@@ -2723,11 +2723,18 @@ _R14_WINDOW: list[str] = [
 # doc_duplicate_spans (the same min≠max gate rewrite, oracle
 # hash-match re-verified locally at all three SFs), and
 # char_bigram_lm_score (docstring-only A/B note from the REVERTED
-# array-adjacency attempt — code shape unchanged, digest moved).
+# array-adjacency attempt — code shape unchanged, digest moved), and
+# label_centroid_quality (the workload-level pre-normed-cosine wave:
+# the broadcast centroid's norm rides the broadcast instead of
+# re-folding per member row — old-vs-new rows EXACT-equal in one
+# session and oracle hash-match re-verified at all three SFs; its four
+# wave siblings were already inside _R14_WINDOW via the similarity.py
+# digest moves).
 _POST_R14_ADDITIONS: list[str] = [
     "doc_cut_duplicate_spans",
     "doc_duplicate_spans",
     "char_bigram_lm_score",
+    "label_centroid_quality",
 ]
 
 # Retained for the rotation audit trail (round-13 window allowance).

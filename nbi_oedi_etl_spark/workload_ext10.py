@@ -221,14 +221,19 @@ def embedding_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = similarity.kmeans_assignment_step(emb, cents).select(
         "vec_id", "centroid_id"
     )
+    # r14 (guide §2.3): the norm folds once per row BEFORE the cell
+    # join (shared by the query and candidate sides), so scoring folds
+    # only the per-pair dot; _cosine_prenormed divides the same dot by
+    # the same `_norm` doubles — the rounded score is bit-identical.
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).join(assign, "vec_id")
+    ).join(assign, "vec_id").withColumn("_n", similarity._norm(F.col("emb")))
     q = (
         e.where(F.col("vec_id") < 20)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("q_emb"),
+            F.col("_n").alias("_qn"),
             F.col("centroid_id").alias("cell"),
         )
     )
@@ -236,6 +241,7 @@ def embedding_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             F.col("vec_id").alias("cand_id"),
             F.col("emb").alias("c_emb"),
+            F.col("_n").alias("_cn"),
             F.col("centroid_id").alias("cell"),
         ),
         "cell",
@@ -243,9 +249,12 @@ def embedding_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         "cand_id",
-        F.round(similarity.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias(
-            "cos_sim"
-        ),
+        F.round(
+            similarity._cosine_prenormed(
+                F.col("q_emb"), F.col("c_emb"), F.col("_qn"), F.col("_cn")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
@@ -314,11 +323,16 @@ def ann_recall_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nbi_oedi_etl_spark.operators import similarity
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # r14 (guide §2.3): corpus-side norm folds once per row and the 20
+    # query norms fold once each before the broadcast, instead of both
+    # re-folding per (corpus row × query) pair; _cosine_prenormed
+    # divides the same dot by the same `_norm` doubles (bit-identical).
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).withColumn("_n", similarity._norm(F.col("emb")))
     q = e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"),
+        F.col("_n").alias("_qn"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -326,9 +340,12 @@ def ann_recall_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(similarity.cosine(F.col("q_emb"), F.col("emb")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                similarity._cosine_prenormed(
+                    F.col("q_emb"), F.col("emb"), F.col("_qn"), F.col("_n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))

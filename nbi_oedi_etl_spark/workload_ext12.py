@@ -300,19 +300,33 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = similarity.kmeans_assignment_step(emb, cents).select(
         "vec_id", F.col("centroid_id").alias("cell_id")
     )
+    # r14 (guide §2.3): each side's norm folds once per ROW before the
+    # cell self-join instead of once per within-cell pair (Σ|cell|² of
+    # them); _cosine_prenormed divides the same dot by the same `_norm`
+    # doubles, so the rounded similarity is bit-identical.
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).join(assign, "vec_id")
+    ).join(assign, "vec_id").withColumn("_n", similarity._norm(F.col("emb")))
     a = vecs.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "cell_id"
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"),
+        F.col("_n").alias("_na"), "cell_id"
     )
     b = vecs.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), "cell_id"
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"),
+        F.col("_n").alias("_nb"), "cell_id"
     )
     dup_pairs = (
         a.join(b, "cell_id")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .where(F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6) >= 0.3)
+        .where(
+            F.round(
+                similarity._cosine_prenormed(
+                    F.col("ea"), F.col("eb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            )
+            >= 0.3
+        )
     )
     dropped = dup_pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return assign.join(dropped.withColumn("_drop", F.lit(1)), "vec_id", "left").select(

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nbi_oedi_etl_spark.operators.similarity import cosine
+from nbi_oedi_etl_spark.operators.similarity import _cosine_prenormed, _norm
 from nbi_oedi_etl_spark.sources.parquet import read_table
 
 # The held-out "benchmark" slice of the documents table: contamination is
@@ -238,6 +238,12 @@ def label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "centroid",
+            # r14 (guide §2.3): the centroid's UNROUNDED norm rides the
+            # broadcast so the per-member cosine folds dot + member norm
+            # only, instead of re-folding the label centroid's norm for
+            # every member row; `_norm` is the exact fold `centroid_norm`
+            # rounds, so the cosine doubles are bit-identical.
+            _norm(F.col("centroid")).alias("_cn"),
             F.round(
                 F.sqrt(
                     F.aggregate(
@@ -251,7 +257,9 @@ def label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = emb.join(F.broadcast(cent), "label").select(
         "label",
         "centroid_norm",
-        cosine(F.col("emb"), F.col("centroid")).alias("cos"),
+        _cosine_prenormed(
+            F.col("emb"), F.col("centroid"), _norm(F.col("emb")), F.col("_cn")
+        ).alias("cos"),
     )
     return per.groupBy("label", "centroid_norm").agg(
         F.count(F.lit(1)).alias("n_vecs"),

@@ -529,15 +529,28 @@ def embedding_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    buckets = e.select("vec_id", "emb", bucket.cast("bigint").alias("bucket"))
+    # r14 (guide §2.3): norms materialized once per SIDE row before the
+    # bucket join — the verification cosine divides the same dot by the
+    # same `_norm` doubles (bit-identical; the _cosine_prenormed rule),
+    # instead of re-folding both norms per CANDIDATE PAIR.
+    buckets = e.select(
+        "vec_id", "emb", bucket.cast("bigint").alias("bucket")
+    ).withColumn("_n", similarity._norm(F.col("emb")))
     a = buckets.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("ea"), "bucket"
+        F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("ea"),
+        F.col("_n").alias("_na"), "bucket"
     )
     b2 = buckets.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("eb"), "bucket"
+        F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("eb"),
+        F.col("_n").alias("_nb"), "bucket"
     )
     cand = a.join(b2, "bucket").where(F.col("vec_id_a") < F.col("vec_id_b"))
-    sim = F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6)
+    sim = F.round(
+        similarity._cosine_prenormed(
+            F.col("ea"), F.col("eb"), F.col("_na"), F.col("_nb")
+        ),
+        6,
+    )
     return (
         cand.select("bucket", "vec_id_a", "vec_id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.2)
