@@ -2666,6 +2666,59 @@ _ROWS_ONLY_WINDOW_OK: list[str] = [
     "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
 ]
+# ---- round-15 window ---------------------------------------------------
+# Heads: the 4 _POST_R14_ADDITIONS (r14 optimization edits behind the
+# freeze — the r14 verdict's item 2: they MUST be driver re-hashed this
+# round or the digest debt goes stale). Then this round's own
+# optimization debt (added as edits land, per the freeze policy). Then
+# the THREE rows-only CDC streams (the r15 optimization targets — their
+# row checks re-prove the drain path after this round's per-batch
+# rewrites). Then the 16 remaining banked r8-green refreshers
+# (multimodal_wav_features .. window_functions_demo — the r14 comment
+# undercounted them as 14; they keep their promise here). The remainder
+# to 50 are the alphabetically-first r9-green refreshers; NEW debt from
+# this round's edits displaces r9 refreshers from the END of the list.
+# 4 + 3 + 16 + 27 = 50.
+_R15_WINDOW: list[str] = [
+    # -- 4 post-r14 freeze debt (verdict r14 item 2) --
+    "doc_cut_duplicate_spans",
+    "doc_duplicate_spans",
+    "char_bigram_lm_score",
+    "label_centroid_quality",
+    # -- 3 rows-only CDC streams (this round's optimization targets) --
+    "streaming_ivf_pq_cdc_ann",
+    "streaming_banded_cdc_dedup_production",
+    "streaming_ivf_cdc_ann",
+    # -- 16 banked r8-green refreshers (promised in the r14 comment) --
+    "multimodal_wav_features", "multimodal_webp_features",
+    "pivot_qty_by_linestatus", "price_percentiles",
+    "priority_shipping_counts", "promo_revenue_by_month",
+    "range_join_order_revenue", "regional_supplier_volume",
+    "set_ops_customer_years", "shipping_priority",
+    "sliding_window_counts", "supplier_part_brand_counts",
+    "top_tokens", "unpivot_lineitem_measures",
+    "user_sessions", "window_functions_demo",
+    # -- 27 stalest (r9-green) refreshers, alphabetical --
+    "bloom_decontamination", "bpe_merge_candidates", "cms_token_topk",
+    "copurchase_triangles", "corpus_shard_assignment",
+    "cross_source_contamination", "data_quality_report",
+    "date_function_suite", "doc_bm25_top_terms", "doc_word_repetition",
+    "embedding_norm_stats", "events_hourly_gapfill",
+    "full_outer_nation_activity", "hash_sample_documents",
+    "idle_rich_customers", "monthly_revenue_growth",
+    "order_price_deciles", "order_price_histogram",
+    "part_name_fuzzy_pairs", "python_datasource_resample",
+    "q10_returned_items", "q11_important_parts",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q20_heavy_suppliers",
+    "q21_waiting_suppliers",
+]
+
+# Specs registered OR edited after the r15 window froze must land here
+# and be benched in the same round (the freeze policy); they enter the
+# r16 window head.
+_POST_R15_ADDITIONS: list[str] = []
+
 _R14_WINDOW: list[str] = [
     # -- 31 changed-since-green debt (the two edit waves above) --
     "ann_recall_portable",
@@ -2931,7 +2984,7 @@ _R5_QUEUE: list[str] = [
 
 def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in specs}
-    front = [by_name[n] for n in _R14_WINDOW if n in by_name]
+    front = [by_name[n] for n in _R15_WINDOW if n in by_name]
     front_set = {s.name for s in front}
     rest_oracled = [s for s in specs if s.name not in front_set and s.oracle is not None]
     rest_rows_only = [s for s in specs if s.name not in front_set and s.oracle is None]

@@ -28,13 +28,13 @@ import rotation_audit  # noqa: E402
 
 def test_window_is_prefix_and_fully_oracled():
     names = [s.name for s in workload.SPECS]
-    assert names[:50] == workload._R14_WINDOW
+    assert names[:50] == workload._R15_WINDOW
     by_name = {s.name: s for s in workload.SPECS}
     # oracle-backed except the three documented rows-only CDC streams
     # (the driver records their weaker row check — VERDICT r12 task 1)
     assert all(
         by_name[n].oracle is not None or n in workload._ROWS_ONLY_WINDOW_OK
-        for n in workload._R14_WINDOW
+        for n in workload._R15_WINDOW
     )
     assert all(by_name[n].oracle is None for n in workload._ROWS_ONLY_WINDOW_OK)
 
@@ -50,7 +50,7 @@ def test_changed_since_green_debt_is_inside_window():
     if not list(_REPO.glob("CORRECTNESS_r[0-9]*.json")):
         return  # fresh checkout without driver artifacts
     debt = rotation_audit.verification_debt()
-    allowed = set(workload._R14_WINDOW) | set(workload._POST_R14_ADDITIONS)
+    allowed = set(workload._R15_WINDOW) | set(workload._POST_R15_ADDITIONS)
     outside = sorted(set(debt) - allowed)
     assert outside == [], (
         "specs with stale driver evidence not scheduled for re-verification: "
@@ -90,5 +90,6 @@ def test_window_covers_post_round_additions():
     assert set(workload._POST_R11_ADDITIONS) <= set(workload._R12_WINDOW)
     assert set(workload._POST_R12_ADDITIONS) <= set(workload._R13_WINDOW)
     assert set(workload._POST_R13_ADDITIONS) <= set(workload._R14_WINDOW)
-    assert len(workload._R14_WINDOW) == 50
-    assert len(set(workload._R14_WINDOW)) == 50
+    assert set(workload._POST_R14_ADDITIONS) <= set(workload._R15_WINDOW)
+    assert len(workload._R15_WINDOW) == 50
+    assert len(set(workload._R15_WINDOW)) == 50
