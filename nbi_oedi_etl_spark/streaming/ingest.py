@@ -54,6 +54,34 @@ def scoped_streaming_session(
     return s
 
 
+#: memoized table schemas for stream sources, keyed by
+#: (sf_dir, table, mtime-of-path). Pure METADATA (a StructType — no
+#: session-bound state, valid across sessions/contexts like
+#: workload_banded._STAGED_MOD3_CACHE's files); the mtime key re-infers
+#: if anyone rewrites the path. Profiled r15: every drain paid a
+#: ~0.12 s footer-inference job for an immutable testdata schema —
+#: ~0.1 s × every streaming-spec invocation of the bench (guide §1.2
+#: "don't compute things you throw away").
+_TABLE_SCHEMA_MEMO: dict = {}
+
+
+def table_schema(spark: SparkSession, sf_dir: str, table: str):
+    """Memoized ``StructType`` of ``{sf_dir}/{table}.parquet``."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (sf_dir, table, mtime)
+    schema = _TABLE_SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _TABLE_SCHEMA_MEMO[key] = schema
+    return schema
+
+
 def read_file_stream(
     spark: SparkSession,
     path: str,
@@ -82,7 +110,7 @@ def table_file_stream(
     with a glob filter pinned to that one file."""
     import os
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    raw_schema = table_schema(spark, sf_dir, table)
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -119,7 +147,7 @@ def events_file_stream(
     if stream_dir is not None:
         # prepared drain directory: events-shaped files only, schema
         # still pinned from the sf_dir fixture
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        raw_schema = table_schema(spark, sf_dir, "events")
         reader = spark.readStream.schema(raw_schema)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import tempfile
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -149,7 +150,7 @@ def drain_mod3_batches(spark, sf_dir: str, table: str, id_col: str, apply_batch,
     s = ingest.scoped_streaming_session(spark)
     src = _stage_mod3_split(sf_dir, table, id_col, prefix)
 
-    raw_schema = s.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    raw_schema = ingest.table_schema(s, sf_dir, table)
     stream = (
         s.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -280,7 +281,30 @@ def streaming_banded_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs = probe_banded_layout(
                 bs, layout, banded_rows=rows, rows_materialized=True
             ).distinct()
-            append_to_banded_layout(bs, layout, banded_rows=rows)
+            # r15 (guide §2.6 — overlap independent jobs): the pairs
+            # delta and the layout append are independent sink jobs over
+            # the same checkpointed rows, and the probe's corpus listing
+            # resolved ABOVE (probe_banded_layout's eager read), so the
+            # append's new files cannot leak into the pairs job. Running
+            # them from two driver threads removes ~1 s of serialized
+            # append wall per batch (phase-timed r15: append 1.0 s
+            # behind pairs 0.3 s). Failure of either still fails the
+            # batch; a replayed batch overwrites its own pairs delta and
+            # the probe's distinct() absorbs replay-duplicated band rows
+            # — the same replay posture as the sequential order.
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fp = pool.submit(
+                    lambda: pairs.write.mode("overwrite").parquet(
+                        os.path.join(pairs_root, f"batch={batch_id}")
+                    )
+                )
+                fa = pool.submit(
+                    append_to_banded_layout, bs, layout, banded_rows=rows
+                )
+                fp.result()
+                fa.result()
+            state["version"] = batch_id
+            return
         # r12 (the streaming_pack_sequences discipline, applied to the
         # RESULT side too): write only this batch's pairs to a
         # batch=<id> delta — the old prev-union-overwrite rewrote the
@@ -354,7 +378,21 @@ def streaming_banded_cdc_dedup_production(
             pairs = probe_banded_layout(
                 bs, layout, banded_rows=rows, rows_materialized=True
             ).distinct()
-            append_to_banded_layout(bs, layout, banded_rows=rows)
+            # r15 §2.6 overlap — same two independent sink jobs as the
+            # portable twin (listing already resolved by the probe)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fp = pool.submit(
+                    lambda: pairs.write.mode("overwrite").parquet(
+                        os.path.join(pairs_root, f"batch={batch_id}")
+                    )
+                )
+                fa = pool.submit(
+                    append_to_banded_layout, bs, layout, banded_rows=rows
+                )
+                fp.result()
+                fa.result()
+            state["version"] = batch_id
+            return
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_root, f"batch={batch_id}")
         )
@@ -480,11 +518,22 @@ def streaming_ivf_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             # old per-batch isEmpty peek folded into the same collect
             # (None = empty batch). Results pinned identical to the
             # probe-then-append pair in tests/test_new_op_properties.py.
+            # r15: the result delta is written INSIDE the fused step via
+            # result_sink (guide §2.6 — the sink job overlaps the append
+            # write; both joined before the batch returns).
             res = cdc_probe_append_ivf_layout(
-                bs, layout, vecs, k=3, query_id_col="vec_id"
+                bs,
+                layout,
+                vecs,
+                k=3,
+                query_id_col="vec_id",
+                result_sink=lambda df: df.write.mode("overwrite").parquet(
+                    os.path.join(out_root, f"batch={batch_id}")
+                ),
             )
-            if res is None:
-                res = bs.createDataFrame([], empty_schema).repartition(1)
+            if res is not None:
+                return  # delta written by the sink above
+            res = bs.createDataFrame([], empty_schema).repartition(1)
         # r12: per-batch result DELTA (batch=<id>), union-on-read — the
         # old prev-union-overwrite rewrote the accumulated results every
         # trigger (O(B²) write volume; the same anti-pattern the r11
@@ -551,12 +600,22 @@ def streaming_ivf_pq_cdc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             # r14 fused CDC step — see streaming_ivf_cdc_ann: one shared
             # collect, driver-side assign, encode projection over the
-            # local relation, one sidecar read each per batch.
+            # local relation, one sidecar read each per batch. r15: the
+            # result delta is written inside the fused step (§2.6
+            # overlap with the append write — see the IVF twin).
             res = cdc_probe_append_ivf_pq_layout(
-                bs, layout, vecs, k=3, query_id_col="vec_id"
+                bs,
+                layout,
+                vecs,
+                k=3,
+                query_id_col="vec_id",
+                result_sink=lambda df: df.write.mode("overwrite").parquet(
+                    os.path.join(out_root, f"batch={batch_id}")
+                ),
             )
-            if res is None:
-                res = bs.createDataFrame([], empty_schema).repartition(1)
+            if res is not None:
+                return  # delta written by the sink above
+            res = bs.createDataFrame([], empty_schema).repartition(1)
         res.write.mode("overwrite").parquet(
             os.path.join(out_root, f"batch={batch_id}")
         )
