@@ -2677,14 +2677,37 @@ _ROWS_ONLY_WINDOW_OK: list[str] = [
 # (multimodal_wav_features .. window_functions_demo — the r14 comment
 # undercounted them as 14; they keep their promise here). The remainder
 # to 50 are the alphabetically-first r9-green refreshers; NEW debt from
-# this round's edits displaces r9 refreshers from the END of the list.
-# 4 + 3 + 16 + 27 = 50.
+# this round's edits displaces r9 refreshers from the END of the list
+# (the first r15 optimization wave — streaming schema/drain memoization
+# + CDC sink-job overlap — flagged the 16 oracled streaming specs plus
+# banded_layout_portable and stateful_session_stats, displacing 17 of
+# the original 27 r9 slots).
+# 4 + 17 + 3 + 16 + 10 = 50.
 _R15_WINDOW: list[str] = [
     # -- 4 post-r14 freeze debt (verdict r14 item 2) --
     "doc_cut_duplicate_spans",
     "doc_duplicate_spans",
     "char_bigram_lm_score",
     "label_centroid_quality",
+    # -- 17 r15 optimization debt (streaming harness memoization + CDC
+    # sink-job overlap, guide §2.6; verified by rotation_audit.py) --
+    "banded_layout_portable",
+    "stateful_session_stats",
+    "streaming_banded_cdc_dedup",
+    "streaming_click_purchase_join",
+    "streaming_click_purchase_left_join",
+    "streaming_cms_token_topk",
+    "streaming_cumulative_unique_users",
+    "streaming_ewma_daily",
+    "streaming_exact_dedup",
+    "streaming_foreachbatch_upsert",
+    "streaming_hll_distinct_tokens",
+    "streaming_hourly_resample",
+    "streaming_pack_sequences",
+    "streaming_session_window_stats",
+    "streaming_sliding_window_counts",
+    "streaming_static_enrichment",
+    "streaming_watermark_dedup",
     # -- 3 rows-only CDC streams (this round's optimization targets) --
     "streaming_ivf_pq_cdc_ann",
     "streaming_banded_cdc_dedup_production",
@@ -2698,20 +2721,11 @@ _R15_WINDOW: list[str] = [
     "sliding_window_counts", "supplier_part_brand_counts",
     "top_tokens", "unpivot_lineitem_measures",
     "user_sessions", "window_functions_demo",
-    # -- 27 stalest (r9-green) refreshers, alphabetical --
+    # -- 10 stalest (r9-green) refreshers, alphabetical --
     "bloom_decontamination", "bpe_merge_candidates", "cms_token_topk",
     "copurchase_triangles", "corpus_shard_assignment",
     "cross_source_contamination", "data_quality_report",
     "date_function_suite", "doc_bm25_top_terms", "doc_word_repetition",
-    "embedding_norm_stats", "events_hourly_gapfill",
-    "full_outer_nation_activity", "hash_sample_documents",
-    "idle_rich_customers", "monthly_revenue_growth",
-    "order_price_deciles", "order_price_histogram",
-    "part_name_fuzzy_pairs", "python_datasource_resample",
-    "q10_returned_items", "q11_important_parts",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q17_small_qty_revenue", "q20_heavy_suppliers",
-    "q21_waiting_suppliers",
 ]
 
 # Specs registered OR edited after the r15 window froze must land here
