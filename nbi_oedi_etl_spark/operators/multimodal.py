@@ -38,6 +38,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from nbi_oedi_etl_spark.operators._util import ensure_parallelism
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -395,6 +397,12 @@ def with_bmp_payload(
             StructField("mime", StringType()),
         ]
     )
+    # r15: measured and deliberately NOT parallelized — this builder's
+    # codec work is cheap enough that fanning the Python boundary out to
+    # defaultParallelism workers LOSES (interleaved A/B at sf0.1:
+    # bmp_roundtrip 0.31->0.70 s, wav 0.47->0.75 s, png consumers a
+    # wash), unlike the jpeg/webp builders below where the codec
+    # dominates. The single input split stays the honest shape here.
     return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
         _mk, schema
     )
@@ -458,6 +466,12 @@ def with_png_payload(
             StructField("mime", StringType()),
         ]
     )
+    # r15: measured and deliberately NOT parallelized — this builder's
+    # codec work is cheap enough that fanning the Python boundary out to
+    # defaultParallelism workers LOSES (interleaved A/B at sf0.1:
+    # bmp_roundtrip 0.31->0.70 s, wav 0.47->0.75 s, png consumers a
+    # wash), unlike the jpeg/webp builders below where the codec
+    # dominates. The single input split stays the honest shape here.
     return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
         _mk, schema
     )
@@ -501,7 +515,18 @@ def with_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             StructField("mime", StringType()),
         ]
     )
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(_mk, schema)
+    # r15 (guide §2.5 input parallelism / §4): the standard corpus is one
+    # parquet file => ONE scan task, so this builder's heavy pure-Python
+    # codec chain ran single-core (phase-timed: the webp spec's 2.5 s
+    # codec work WAS its bench median). Spreading the tiny doc_id
+    # projection before the Python boundary parallelizes the codec
+    # (interleaved A/B at sf0.1: webp 2.73->0.90 s, jpeg 1.34->0.72 s,
+    # rows exact-equal); at real scale file splits already provide
+    # parallelism and this is a no-op. The cheap-codec builders above
+    # measured SLOWER parallelized and stay single-split.
+    return ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"))
+    ).mapInPandas(_mk, schema)
 
 
 def with_webp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -542,7 +567,18 @@ def with_webp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             StructField("mime", StringType()),
         ]
     )
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(_mk, schema)
+    # r15 (guide §2.5 input parallelism / §4): the standard corpus is one
+    # parquet file => ONE scan task, so this builder's heavy pure-Python
+    # codec chain ran single-core (phase-timed: the webp spec's 2.5 s
+    # codec work WAS its bench median). Spreading the tiny doc_id
+    # projection before the Python boundary parallelizes the codec
+    # (interleaved A/B at sf0.1: webp 2.73->0.90 s, jpeg 1.34->0.72 s,
+    # rows exact-equal); at real scale file splits already provide
+    # parallelism and this is a no-op. The cheap-codec builders above
+    # measured SLOWER parallelized and stay single-split.
+    return ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"))
+    ).mapInPandas(_mk, schema)
 
 
 def extract_image_features(payloads: DataFrame) -> DataFrame:
@@ -741,6 +777,12 @@ def with_wav_payload(
             StructField("mime", StringType()),
         ]
     )
+    # r15: measured and deliberately NOT parallelized — this builder's
+    # codec work is cheap enough that fanning the Python boundary out to
+    # defaultParallelism workers LOSES (interleaved A/B at sf0.1:
+    # bmp_roundtrip 0.31->0.70 s, wav 0.47->0.75 s, png consumers a
+    # wash), unlike the jpeg/webp builders below where the codec
+    # dominates. The single input split stays the honest shape here.
     return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
         _mk, schema
     )

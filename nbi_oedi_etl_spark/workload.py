@@ -2682,7 +2682,7 @@ _ROWS_ONLY_WINDOW_OK: list[str] = [
 # + CDC sink-job overlap — flagged the 16 oracled streaming specs plus
 # banded_layout_portable and stateful_session_stats, displacing 17 of
 # the original 27 r9 slots).
-# 4 + 17 + 3 + 16 + 10 = 50.
+# 4 + 17 + 6 + 3 + 16 + 4 = 50.
 _R15_WINDOW: list[str] = [
     # -- 4 post-r14 freeze debt (verdict r14 item 2) --
     "doc_cut_duplicate_spans",
@@ -2712,6 +2712,16 @@ _R15_WINDOW: list[str] = [
     "streaming_ivf_pq_cdc_ann",
     "streaming_banded_cdc_dedup_production",
     "streaming_ivf_cdc_ann",
+    # -- 6 more r15 debt: the multimodal input-parallelism wave (the
+    # jpeg/webp builders spread their doc_id projection before the
+    # Python codec stage; the cheap-codec builders measured slower and
+    # keep their shape, but the shared-module digest moves them all) --
+    "multimodal_bmp_resize",
+    "multimodal_bmp_roundtrip",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "multimodal_jpeg_features",
+    "multimodal_resize",
     # -- 16 banked r8-green refreshers (promised in the r14 comment) --
     "multimodal_wav_features", "multimodal_webp_features",
     "pivot_qty_by_linestatus", "price_percentiles",
@@ -2721,11 +2731,9 @@ _R15_WINDOW: list[str] = [
     "sliding_window_counts", "supplier_part_brand_counts",
     "top_tokens", "unpivot_lineitem_measures",
     "user_sessions", "window_functions_demo",
-    # -- 10 stalest (r9-green) refreshers, alphabetical --
+    # -- 4 stalest (r9-green) refreshers, alphabetical --
     "bloom_decontamination", "bpe_merge_candidates", "cms_token_topk",
-    "copurchase_triangles", "corpus_shard_assignment",
-    "cross_source_contamination", "data_quality_report",
-    "date_function_suite", "doc_bm25_top_terms", "doc_word_repetition",
+    "copurchase_triangles",
 ]
 
 # Specs registered OR edited after the r15 window froze must land here

@@ -1036,11 +1036,22 @@ def test_column_profile_has_no_expand(spark):
 
 def test_multimodal_jpeg_pipeline_is_shuffle_free(spark):
     """multimodal_jpeg_features: payload build + decode are two chained
-    mapInPandas stages over the documents scan — one narrow pipeline,
-    no Exchange anywhere."""
+    mapInPandas stages; r15 adds EXACTLY ONE round-robin exchange of the
+    bare doc_id projection BELOW both Python stages (guide §2.5: the
+    single-file corpus gave the whole pure-Python codec chain one task —
+    A/B 1.34->0.72 s at sf0.1). The exchange must carry only doc_id
+    (ids move, payload bytes never cross a shuffle — guide §8), so the
+    pipeline stays narrow from the payload builder up."""
     df = _plan(spark, "multimodal_jpeg_features")
     plan = physical_plan(df)
-    assert "Exchange" not in plan, "codec pipeline must stay narrow"
+    # the ONLY exchange kind present is the id round-robin (AQE's plan
+    # string may render the same node in both Final and Initial sections,
+    # so pin the partitioning kinds, not the node count)
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    # the exchange sits below the Python stages: everything above it is
+    # the chained codec pipeline, so payloads never cross it
+    assert plan.index("Exchange") > plan.index("MapInPandas")
 
 
 def test_ivf_at_rest_layout_probe_is_partition_pruned(spark, tmp_path):

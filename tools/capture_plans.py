@@ -19,7 +19,7 @@ from nbi_oedi_etl_spark import get_spark, workload
 from nbi_oedi_etl_spark.plans.explain import formatted_plan
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r15"))
 
 
 def main() -> None:
