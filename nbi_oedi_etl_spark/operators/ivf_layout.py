@@ -391,20 +391,21 @@ def probe_ivf_layout(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_emb"),
     )
-    # Dispatch peek on the ID COLUMN only (r11 self-review: peeking with
-    # limit(cap+1) over the full rows shipped up to cap+1 embedding
-    # arrays to the driver just to discard them on the distributed
-    # branch — ~134 MB at 1024-dim). The count job is bounded and
-    # column-pruned; the driver branch then collects the full rows it
-    # actually needs (two small jobs for small batches — the trade for
-    # never spiking the driver on large ones).
+    # ONE bounded collect serves both the dispatch decision and the
+    # driver branch's rows (r15, VERDICT r14 minor 4 — the old shape
+    # paid an ids-only count peek AND a second full collect per probe,
+    # and the recall curves probe a layout 4+ times). This is exactly
+    # the fused CDC step's `_cdc_collect_batch` contract: the waste is
+    # bounded at cap+1 rows shipped-then-discarded on the distributed
+    # branch (~8 MB at the 64-dim fixtures, ~134 MB once at 1024-dim —
+    # transient, far under the driver's result-size bound).
     cap = _MAX_PROBE_BATCH_ROWS if driver_batch_rows is None else driver_batch_rows
-    n_peek = q_src.select("query_id").limit(cap + 1).count()
-    if n_peek > cap:
+    rows = q_src.limit(cap + 1).collect()
+    if len(rows) > cap:
         # Fact-scale batch: executor-side probe math (same probe_cells
         # via ivf_probe_udf), shuffle join against the full layout scan
         # (a batch this size probes ~every cell — static pruning is
-        # moot), identical rerank tail. No driver collect of the batch.
+        # moot), identical rerank tail. The peeked rows are discarded.
         from nbi_oedi_etl_spark.operators.similarity import ivf_probe_udf
 
         q = q_src.select(
@@ -417,30 +418,11 @@ def probe_ivf_layout(
         return _rerank_candidates(
             _layout_scan(spark, path), q, k, broadcast_q=False
         )
-    q, probed_cells = _driver_probe_relation(spark, q_src, cent_unit, n_probe)
-    c = _layout_scan(spark, path).where(F.col("cell").isin(probed_cells))
-    return _rerank_candidates(c, q, k, broadcast_q=True)
-
-
-def _driver_probe_relation(
-    spark: SparkSession,
-    q_src: DataFrame,
-    cent_unit: np.ndarray,
-    n_probe: int,
-) -> tuple[DataFrame, list[int]]:
-    """Shared driver-branch probe scaffold (used by ``probe_ivf_layout``
-    and ``probe_ivf_pq_layout``): collect the broadcast-sized batch once,
-    run the probe math driver-side (``similarity.probe_cells`` — the same
-    function the executor UDF calls), and return the exploded (query_id,
-    q_emb, cell) LOCAL relation (query id keeps its NATIVE type: q_src's
-    schema plus the cell column — no type round-trip through strings)
-    together with the probed-cell union (≤ n_cells ints) that becomes the
-    STATIC partition predicate Catalyst prunes the file listing with,
-    before any IO."""
-    rows = q_src.collect()  # broadcast-sized by the caller's contract
-    return _probe_relation_from_rows(
+    q, probed_cells = _probe_relation_from_rows(
         spark, rows, list(q_src.schema.fields), cent_unit, n_probe
     )
+    c = _layout_scan(spark, path).where(F.col("cell").isin(probed_cells))
+    return _rerank_candidates(c, q, k, broadcast_q=True)
 
 
 def _probe_relation_from_rows(
@@ -952,8 +934,9 @@ def probe_ivf_pq_layout(
     )
     code_cols = [f"code_{s}" for s in range(pq_m)]
     cap = _MAX_PROBE_BATCH_ROWS if driver_batch_rows is None else driver_batch_rows
-    n_peek = q_src.select("query_id").limit(cap + 1).count()
-    if n_peek > cap:
+    # one bounded collect for dispatch + driver rows — see probe_ivf_layout
+    rows = q_src.limit(cap + 1).collect()
+    if len(rows) > cap:
         from nbi_oedi_etl_spark.operators.similarity import ivf_probe_udf
 
         q = q_src.select(
@@ -966,7 +949,9 @@ def probe_ivf_pq_layout(
         scan = _layout_scan(spark, path).select("vec_id", "cell", *code_cols)
         broadcast_q = False
     else:
-        q, probed = _driver_probe_relation(spark, q_src, cent_unit, n_probe)
+        q, probed = _probe_relation_from_rows(
+            spark, rows, list(q_src.schema.fields), cent_unit, n_probe
+        )
         scan = (
             _layout_scan(spark, path)
             .where(F.col("cell").isin(probed))
