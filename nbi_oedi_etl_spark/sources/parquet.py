@@ -37,6 +37,41 @@ TABLES = (
 )
 
 
+#: Inferred table schemas, keyed (path, fingerprint-of-files). METADATA
+#: ONLY — a StructType, never data or results: every read still scans
+#: the parquet files (this memo is what a catalog/metastore provides in
+#: a real deployment: the table schema, so scans skip footer
+#: inference). Profiled r15: inference costs ~0.08-0.1 s per
+#: ``spark.read.parquet`` call and is NOT cached by Spark within a
+#: session, so a 199-query × 3-pass bench re-inferred immutable
+#: testdata schemas ~600+ times (guide §1.2: don't compute things you
+#: throw away). The fingerprint covers the file set's (name, mtime_ns,
+#: size) — any rewrite, add, or delete rotates the key and re-infers.
+#: Session-independent by construction (pure Python StructType).
+_TABLE_SCHEMA_MEMO: dict = {}
+_TABLE_SCHEMA_MEMO_MAX = 256
+
+
+def _path_fingerprint(path: str):
+    """(name, mtime_ns, size) of the path and, for a directory-of-parts
+    table, of every visible entry — None when unstatable (caller then
+    skips the memo and lets Spark surface the original error)."""
+    import os
+
+    try:
+        st = os.stat(path)
+        fp = [("", st.st_mtime_ns, st.st_size)]
+        if os.path.isdir(path):
+            for e in sorted(os.listdir(path)):
+                if e.startswith((".", "_")):
+                    continue
+                es = os.stat(os.path.join(path, e))
+                fp.append((e, es.st_mtime_ns, es.st_size))
+        return tuple(fp)
+    except OSError:
+        return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (``{sf_dir}/{name}.parquet``).
 
@@ -45,10 +80,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as long (legacy conf, runtime-settable) and rebuild a TIMESTAMP_NTZ by
     pure arithmetic from the NTZ epoch — truncating ns → µs exactly like
     DuckDB/pyarrow do, and independent of the session timezone.
+
+    The inferred schema is memoized per (path, file fingerprint) — see
+    ``_TABLE_SCHEMA_MEMO``; on a hit the scan runs with the declared
+    schema (identical DataFrame: the declared schema IS what inference
+    would return for the unchanged files). File LISTING still happens at
+    every call, and every job still reads the parquet data.
     """
     if name == "events":
+        # the conf must be set before either inference or a declared-
+        # schema read of the nanos column
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    fp = _path_fingerprint(path)
+    schema = _TABLE_SCHEMA_MEMO.get((path, fp)) if fp is not None else None
+    if schema is not None:
+        raw = spark.read.schema(schema).parquet(path)
+    else:
+        raw = spark.read.parquet(path)
+        if fp is not None:
+            _TABLE_SCHEMA_MEMO[(path, fp)] = raw.schema
+            while len(_TABLE_SCHEMA_MEMO) > _TABLE_SCHEMA_MEMO_MAX:
+                _TABLE_SCHEMA_MEMO.pop(next(iter(_TABLE_SCHEMA_MEMO)))
+    if name == "events":
         if dict(raw.dtypes).get("ts") == "bigint":
             raw = raw.withColumn(
                 "ts",
@@ -58,7 +112,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         return raw
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return raw
 
 
 def load_tables(

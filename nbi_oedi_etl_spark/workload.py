@@ -2738,8 +2738,93 @@ _R15_WINDOW: list[str] = [
 
 # Specs registered OR edited after the r15 window froze must land here
 # and be benched in the same round (the freeze policy); they enter the
-# r16 window head.
-_POST_R15_ADDITIONS: list[str] = []
+# next window head. r15 CARRIES AN EXCEPTIONAL ENTRY SET: the
+# read_table schema-memo optimization (sources/parquet.py — metadata-
+# only memoization of immutable-table schema inference, ~25-30 s of
+# pure per-pass construction cost across the bench, see
+# OPTIMIZATION_r15.md) touches the ONE function every spec's dependency
+# closure includes, so the function-granular audit flags all 259
+# oracled specs at once. The 47 window slots cover the round's directly
+# optimized paths; the remaining 212 land here. Their value
+# evidence this round is the in-repo driver-gate replica
+# (tests/test_oracle_parity.py: all 260 oracled specs, DuckDB
+# cross-check, run cold in the closing suite) — the memoized schema is
+# value-neutral by construction (the declared schema IS inference's
+# result for an unchanged file set; any file change rotates the
+# fingerprint key and re-infers).
+_POST_R15_ADDITIONS: list[str] = [
+    "ann_recall_portable", "anti_join_reconciliation", "asof_last_purchase",
+    "benchmark_contamination_spans", "benford_first_digit", "bm25_search_ranking",
+    "bpe_apply_merges", "brand_basket_rules", "brand_price_quantity_ols",
+    "brand_revenue", "cascade_daily_rollup", "ccnet_perplexity_buckets",
+    "char_stats_udtf", "classifier_calibration_bins", "classifier_pr_curve",
+    "classifier_roc_auc", "cohort_ltv_curve", "conversion_latency_histogram",
+    "copurchase_bfs_hops", "copurchase_kcore", "corpus_epoch_shuffle",
+    "corpus_pack_sequences", "corpus_pack_sequences_bpe", "corpus_pack_sequences_global",
+    "corpus_pack_slices", "corpus_prep_pipeline", "corpus_shard_assignment",
+    "cross_join_region_matrix", "cross_source_contamination", "cube_order_stats",
+    "cumulative_unique_users", "customer_k_anonymity_audit", "customer_order_counts",
+    "customer_rfm_segmentation", "customers_without_orders", "daily_active_wau",
+    "daily_volume_seasonal_residuals", "data_quality_report", "date_function_suite",
+    "disjunctive_filter_revenue", "distinct_user_event_pairs", "doc_base64_codec",
+    "doc_bm25_top_terms", "doc_boilerplate_ngrams", "doc_chunking",
+    "doc_containment_pairs", "doc_fingerprints", "doc_gopher_filter",
+    "doc_jaccard_prefix_join", "doc_lang_guess", "doc_lexical_diversity",
+    "doc_pii_scrub", "doc_quality", "doc_readability_forcast",
+    "doc_regex_token_estimate", "doc_sparse_cosine_pairs", "doc_tfidf_top_terms",
+    "doc_token_entropy", "doc_token_stats", "doc_unicode_normalize",
+    "doc_word_repetition", "dup_cluster_size_histogram", "embedding_ann_portable",
+    "embedding_covariance", "embedding_int8_quantization", "embedding_ivf_portable",
+    "embedding_near_dup_exact_small", "embedding_norm_stats", "embedding_pq_adc_topk",
+    "embedding_pq_codes", "embedding_topk_cosine", "event_bitwise_aggregates",
+    "event_funnel_conversion", "event_funnel_windowed", "event_type_ewma_daily",
+    "event_type_markov", "event_value_anomalies", "event_value_imputation",
+    "event_value_mad_outliers", "event_value_psi_drift", "event_value_twap_daily",
+    "event_value_welch_ttest", "events_hourly_gapfill", "exact_dedup_docs",
+    "flagship_hourly_resample", "full_outer_nation_activity", "greedy_coverage_selection",
+    "grouping_sets_revenue", "hash_sample_documents", "hash_uniformity_ks",
+    "hll_distinct_tokens", "hll_sliding_weekly_users", "hll_tokens_by_source",
+    "idle_rich_customers", "incremental_dedup_new_docs", "ivf_pq_portable",
+    "ivf_pq_recall_curve", "ivf_recall_curve", "journey_similarity_matrix",
+    "json_props_stats", "kfold_assignment", "kmeans_assign_embeddings",
+    "kmeans_lloyd_3iter", "kmv_source_overlap", "lang_confusion_matrix",
+    "lang_source_chi2", "large_order_customers", "late_shipment_priority_counts",
+    "latest_event_per_user", "leakage_safe_splits", "lineitem_dispersion_stats",
+    "lsh_banding_recall_curve", "map_props_surface", "max_concurrent_sessions_daily",
+    "median_ci_order_stats", "minhash_estimator_audit", "minhash_lsh_portable",
+    "monthly_revenue_growth", "nation_pair_volume", "nation_trade_pagerank",
+    "near_dup_clusters_portable", "near_dup_clusters_recursive_sql", "near_dup_clusters_star",
+    "near_dup_keep_best", "near_dup_pipeline_portable", "near_dup_source_modularity",
+    "ngram_jaccard_small", "order_date_format", "order_ols_price_vs_items",
+    "order_price_deciles", "order_price_equidepth_histogram", "order_price_histogram",
+    "order_price_percentiles_cont", "order_rate_interpolation", "order_rollup_per_customer",
+    "orders_above_customer_avg", "orders_column_profile", "orders_keyset_pagination",
+    "pack_boundary_stats", "pandas_demean_values", "pandas_normalize_text",
+    "part_golden_records", "part_name_fuzzy_pairs", "part_name_sorted_neighborhood",
+    "part_price_size_skyline", "phrase_search_positions", "pq_recall_audit",
+    "pricing_summary", "purchase_attribution_first_last", "purchase_conversion_ab_test",
+    "q10_returned_items", "q11_important_parts", "q13_order_count_distribution",
+    "q15_top_supplier", "q17_small_qty_revenue", "q20_heavy_suppliers",
+    "q21_waiting_suppliers", "q2_best_supplier_per_part", "q6_forecast_revenue",
+    "q8_market_share", "q9_profit_by_nation_year", "quality_classifier_inference",
+    "quantile_sketch_order_price", "rapid_reorder_pairs", "ref_q1_count_distinct",
+    "ref_q2_grouped_count_distinct", "ref_q3_topk_per_group", "referential_integrity_matrix",
+    "resample_incremental_merge", "reservoir_sample_per_source", "revenue_pareto_analysis",
+    "rolling_revenue_90d", "rollup_revenue", "salted_event_value_sum",
+    "scd1_merge_orders", "scd2_user_events", "scd2_user_state_history",
+    "segment_bitmap_overlap", "semantic_dedup_cells", "semi_join_customers",
+    "session_event_trigrams", "session_window_stats", "shard_slot_apportionment",
+    "shingle_novelty", "simhash_portable", "source_lang_kl_drift",
+    "source_quantile_normalize", "source_temperature_mixture", "source_token_budget_cap",
+    "spine_event_rank", "spine_global_event_rank", "spine_global_running_value_sum",
+    "spine_running_value_sum", "spine_user_sessions", "stratified_sample_documents",
+    "string_function_suite", "supplier_busy_intervals", "table_content_digest",
+    "token_pmi_bigrams", "topk_orders", "upgrade_code_format",
+    "user_event_sequences", "user_interarrival_stats", "user_state_snapshot_diff",
+    "variant_props_surface", "weekly_retention_cohorts", "weighted_median_price",
+    "weighted_mixture_sample", "weighted_reservoir_docs", "window_rank_suite",
+    "winnowing_fingerprints", "zipf_slope_tokens",
+]
 
 _R14_WINDOW: list[str] = [
     # -- 31 changed-since-green debt (the two edit waves above) --
