@@ -523,9 +523,15 @@ def with_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # (interleaved A/B at sf0.1: webp 2.73->0.90 s, jpeg 1.34->0.72 s,
     # rows exact-equal); at real scale file splits already provide
     # parallelism and this is a no-op. The cheap-codec builders above
-    # measured SLOWER parallelized and stay single-split.
+    # measured SLOWER parallelized and stay single-split. The 8-way cap
+    # keeps the Python stage inside the warm worker pool: in a long
+    # bench session other queries keep ~8 workers alive, and every task
+    # beyond the pool forks a fresh worker that re-imports the package
+    # (A/B: 32-way cold 4.2 s vs 8-way 0.7 s for the same codec work —
+    # the codec is ~2.5 s single-core, so /8 is already at the stage
+    # floor).
     return ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"))
+        df.select(F.col(id_col).alias("doc_id")), max_partitions=8
     ).mapInPandas(_mk, schema)
 
 
@@ -575,9 +581,15 @@ def with_webp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # (interleaved A/B at sf0.1: webp 2.73->0.90 s, jpeg 1.34->0.72 s,
     # rows exact-equal); at real scale file splits already provide
     # parallelism and this is a no-op. The cheap-codec builders above
-    # measured SLOWER parallelized and stay single-split.
+    # measured SLOWER parallelized and stay single-split. The 8-way cap
+    # keeps the Python stage inside the warm worker pool: in a long
+    # bench session other queries keep ~8 workers alive, and every task
+    # beyond the pool forks a fresh worker that re-imports the package
+    # (A/B: 32-way cold 4.2 s vs 8-way 0.7 s for the same codec work —
+    # the codec is ~2.5 s single-core, so /8 is already at the stage
+    # floor).
     return ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"))
+        df.select(F.col(id_col).alias("doc_id")), max_partitions=8
     ).mapInPandas(_mk, schema)
 
 

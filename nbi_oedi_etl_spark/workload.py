@@ -2886,7 +2886,8 @@ _R14_WINDOW: list[str] = [
 # array-adjacency attempt — code shape unchanged, digest moved), and
 # label_centroid_quality (the workload-level pre-normed-cosine wave:
 # the broadcast centroid's norm rides the broadcast instead of
-# re-folding per member row — old-vs-new rows EXACT-equal in one
+# re-folding per member row — old-vs-new rows EXACT-equal, reproduced
+# in two independent sessions (VERIFICATION_r14.md entry 23), in one
 # session and oracle hash-match re-verified at all three SFs; its four
 # wave siblings were already inside _R14_WINDOW via the similarity.py
 # digest moves).
